@@ -1,0 +1,38 @@
+"""Registry wiring query callables to their DuckDB oracle SQL.
+
+Driver contract (__spark_entry__.py): `queries()[name](spark, sf_dir)`
+runs the Spark plan; `oracle_sql()[name]` is equivalent ANSI SQL DuckDB
+executes over the same parquet (views pre-registered). The driver
+compares row-count + schema + order-insensitive value-hash, sorting
+columns by name — so EVERY computed column must carry the same alias
+on both sides.
+
+Queries with no SQL equivalent (approx algorithms, training loops,
+streaming) register with oracle=None → the driver's weaker rows-only
+check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query plan and (optionally) its oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
