@@ -1,0 +1,85 @@
+"""As-of join (SURVEY.md §2.C C8): each left row matches the latest
+right row with the same key and right_ts <= left_ts.
+
+Scale-first design: the naive formulation (range join + row_number)
+explodes to |left| × |matching rights| intermediate rows before the
+window prunes them — quadratic per key. Instead we UNION the two
+inputs on (key, time) and take `last(right_value, ignorenulls=True)`
+over an ordered window: ONE shuffle on the key, linear intermediate
+size, no join at all. This is the same trick DuckDB's ASOF JOIN and
+kdb's aj use internally (sort-merge by key/time).
+
+At 100 TB both sides shuffle once on `key`; the window sort is local
+per key group. No broadcast needed, no skew beyond key skew (salt the
+key upstream if one key dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    how: str = "inner",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Join each left row to the latest right row at-or-before its timestamp.
+
+    Args:
+        left/right: inputs sharing join key `key` (right key column must
+            be named the same; rename upstream if not).
+        left_ts/right_ts: event-time columns.
+        value_cols: right columns carried to the output (suffixed as-is).
+        how: 'inner' drops left rows with no match; 'left' keeps them
+            with nulls.
+        tiebreak: right column that breaks ties when several right rows
+            share right_ts (largest wins, matching
+            `row_number() over (order by ts desc, tiebreak desc) = 1`).
+
+    Returns left columns + value_cols.
+    """
+    lcols = left.columns
+    # Tag and align the two sides on a common shape.
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(
+            right.schema[tiebreak].dataType if tiebreak else "long"
+        ).alias("__tb"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        *value_cols,
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+    )
+    # Right rows sort before left rows at equal timestamps (__is_left asc)
+    # so an exactly-simultaneous right row is visible to the left row (<=).
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    filled = unioned.select(
+        "__is_left",
+        "__lrow",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    ).filter(F.col("__is_left") == 1)
+    out = filled.select(*[F.col(f"__lrow.{c}").alias(c) for c in lcols], *value_cols)
+    if how == "inner":
+        out = out.filter(F.col(value_cols[0]).isNotNull())
+    return out

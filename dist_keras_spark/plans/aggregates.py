@@ -1,0 +1,243 @@
+"""Aggregations (SURVEY.md §2.D): hash aggs, distinct, rollup/cube,
+collect, percentiles, statistics, pivot.
+
+All built-in JVM aggregates → Spark plans partial (map-side) + final
+aggregation automatically; the shuffle carries only group keys ×
+partial states. Float outputs are rounded and aliased identically to
+the DuckDB oracle (SURVEY.md §7.2).
+
+DuckDB gotcha: sum(INTEGER) returns HUGEINT there — oracle SQL casts
+to BIGINT wherever Spark returns bigint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+@query(
+    "agg_basic_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       min(l_extendedprice)           AS min_price,
+       max(l_extendedprice)           AS max_price,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*)                       AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: sum/min/max/avg/count in one hash aggregate."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: multiple exact count-distincts (expand + two-phase agg)."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_count_distinct")  # no oracle: approximate → rows-only check
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: HLL++ approximate distinct. Tested against exact in tests/
+    (±5%); driver does a rows-only check since hashes can't match."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_int,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) AS INT) * 2 + CAST(grouping(l_linestatus) AS INT)
+           AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: rollup with grouping_id — (flag,status), (flag), () levels."""
+    li = _lt(spark, sf_dir, "lineitem").withColumn(
+        "qty_int", F.col("l_quantity").cast("bigint")
+    )
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_int").alias("sum_qty_int"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: cube — all 4 grouping-set combinations in one pass."""
+    o = _lt(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+SELECT l_returnflag,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: collect_set, sorted + joined to a string so the cross-engine
+    hash is representation-stable."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses")
+    )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 4) AS med_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: exact median + exact continuous percentile.
+
+    `percentile` (exact, interpolating) matches DuckDB quantile_cont;
+    approx_percentile is exercised in tests instead (not hash-stable).
+    """
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_variance_corr",
+    oracle="""
+SELECT l_linestatus,
+       round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+       round(var_samp(l_extendedprice), 2)               AS var_price,
+       round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: second-moment statistics (single-pass co-moment aggregates)."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(coalesce(count(*) FILTER (WHERE l_linestatus = 'F'), 0) AS BIGINT) AS F,
+       CAST(coalesce(count(*) FILTER (WHERE l_linestatus = 'O'), 0) AS BIGINT) AS O
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: pivot on linestatus with an explicit value list (no extra
+    distinct-values job — required discipline at scale)."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O"])
+    )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+SELECT l_linestatus,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+           AS weighted_avg_price
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 composite: ratio of sums (weighted average price by quantity)."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 4
+        ).alias("weighted_avg_price")
+    )
+
+
+@query(
+    "agg_accuracy_evaluator",
+    oracle="""
+SELECT round(avg(CASE WHEN (vec_id % 10) = label THEN 1.0 ELSE 0.0 END), 6)
+           AS accuracy
+FROM embeddings
+""",
+)
+def agg_accuracy_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 (REF distkeras/evaluators.py §AccuracyEvaluator ~L30-60): mean
+    of prediction==label, as one JVM aggregate instead of an RDD map.
+    Here the 'prediction' is the deterministic vec_id%10 so the oracle
+    can replay it; the real evaluator operator wraps any column pair
+    (operators/evaluators.py)."""
+    e = _lt(spark, sf_dir, "embeddings")
+    return e.select(
+        F.round(
+            F.avg(((F.col("vec_id") % 10) == F.col("label")).cast("double")), 6
+        ).alias("accuracy")
+    )

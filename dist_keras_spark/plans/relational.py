@@ -1,0 +1,374 @@
+"""Filters, predicates, joins, set ops, sorts, top-k (SURVEY.md §2.B/C/F/G).
+
+The reference has zero joins and no predicate surface (its pipelines
+are single-table RDD maps — distkeras/transformers.py ~L30); all of
+this is ENG surface over the fixture star schema.
+
+Plan-shape invariants (checked in tests via explain()):
+  - every dimension join is broadcast;
+  - filters on scan columns push into the parquet reader;
+  - top-k compiles to TakeOrderedAndProject, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.operators.asof import asof_join
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+# -- B3/B4: predicates ------------------------------------------------------
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_returnflag IN ('A', 'R')
+  AND l_linestatus LIKE 'F%'
+  AND l_discount IS NOT NULL
+""",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IN / LIKE / IS NOT NULL — all pushed to the scan."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_discount").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "filter_regexp_not",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE regexp_matches(c_name, '[02468]$')
+  AND NOT (c_mktsegment = 'BUILDING' OR c_acctbal < 0)
+""",
+)
+def filter_regexp_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rlike + boolean NOT/OR composition."""
+    c = _lt(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_name").rlike("[02468]$")
+        & ~((F.col("c_mktsegment") == "BUILDING") | (F.col("c_acctbal") < 0))
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "distinct_projection",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: distinct — hash aggregate on the projected pair only."""
+    return _lt(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# -- C1-C7: joins -----------------------------------------------------------
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2: inner equi-join; customer side broadcast (dim table)."""
+    o = _lt(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _lt(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_outer_agg",
+    oracle="""
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: left outer keeps order-less customers (count 0, spend 0)."""
+    c = _lt(spark, sf_dir, "customer")
+    o = _lt(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(s.n, c.n) AS nationkey,
+       coalesce(s.n_supp, 0) AS n_supp,
+       coalesce(c.n_cust, 0) AS n_cust
+FROM (SELECT s_nationkey AS n, count(*) AS n_supp FROM supplier GROUP BY 1) s
+FULL JOIN (SELECT c_nationkey AS n, count(*) AS n_cust FROM customer GROUP BY 1) c
+  ON s.n = c.n
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: full outer between supplier-nation and customer-nation counts."""
+    s = (
+        _lt(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sn"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    c = (
+        _lt(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cn"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return s.join(c, F.col("sn") == F.col("cn"), "full").select(
+        F.coalesce("sn", "cn").alias("nationkey"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: left-semi = EXISTS; no row duplication from the probe side."""
+    c = _lt(spark, sf_dir, "customer")
+    o = _lt(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: left-anti = NOT EXISTS (customers with no orders)."""
+    c = _lt(spark, sf_dir, "customer")
+    o = _lt(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r_name, st AS order_status
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders)
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: cross join of two tiny inputs (5 regions × order statuses)."""
+    r = _lt(spark, sf_dir, "region").select("r_name")
+    st = _lt(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("order_status")
+    ).distinct()
+    return r.crossJoin(st)
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+SELECT o1.o_orderkey AS okey_a, o2.o_orderkey AS okey_b
+FROM orders o1
+JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+              AND o2.o_orderdate > o1.o_orderdate
+              AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/C9: non-equi range self-join — pairs of orders by the same
+    customer placed within 7 days of each other.
+
+    Spark plans equi on o_custkey + the range predicates as a post-join
+    filter, so the shuffle is still hash-partitioned on the equi key
+    (sort-merge, no BNLJ/cartesian).
+    """
+    o1 = _lt(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("okey_a"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    o2 = _lt(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck2"), F.col("o_orderkey").alias("okey_b"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    cond = (
+        (F.col("ck") == F.col("ck2"))
+        & (F.col("d2") > F.col("d1"))
+        & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 7 DAY"))
+    )
+    return o1.join(o2, cond).select("okey_a", "okey_b")
+
+
+@query(
+    "join_asof",
+    oracle="""
+SELECT event_id, o_orderkey AS asof_orderkey
+FROM (
+    SELECT e.event_id, o.o_orderkey,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: as-of join via the union+window operator (operators/asof.py).
+
+    Each event matches the latest order at-or-before its timestamp for
+    the same customer. One shuffle, no join explosion — the oracle SQL
+    is the quadratic formulation, the plan is not.
+    """
+    e = _lt(spark, sf_dir, "events").withColumnRenamed("user_id", "custkey")
+    o = _lt(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    joined = asof_join(
+        e,
+        o,
+        key="custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+        how="inner",
+        tiebreak="o_orderkey",
+    )
+    return joined.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+
+
+# -- G: set operations ------------------------------------------------------
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+SELECT okey, count(*) AS n
+FROM (SELECT o_orderkey AS okey FROM orders
+      UNION ALL
+      SELECT l_orderkey AS okey FROM lineitem)
+GROUP BY okey
+""",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _lt(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("okey"))
+    li = _lt(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("okey"))
+    return o.unionByName(li).groupBy("okey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+SELECT o_orderkey AS okey FROM orders
+INTERSECT
+SELECT l_orderkey FROM lineitem
+""",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _lt(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("okey"))
+    li = _lt(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("okey"))
+    return o.intersect(li)
+
+
+@query(
+    "setop_except",
+    oracle="""
+SELECT o_orderkey AS okey FROM orders
+EXCEPT
+SELECT l_orderkey FROM lineitem
+""",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _lt(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("okey"))
+    li = _lt(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("okey"))
+    return o.exceptAll(li.distinct()).distinct()
+
+
+# -- F2-F5: sorts / limits / top-k ------------------------------------------
+
+
+@query(
+    "topk_global",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""",
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: global top-k → TakeOrderedAndProject (no full sort/shuffle).
+
+    Unique (orderkey, linenumber) tiebreak keeps the LIMIT deterministic.
+    """
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_extendedprice").orderBy(
+        F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+    ).limit(10)
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: top-3 orders per priority via ranked window (shuffle once on
+    the partition key; AQE handles group skew)."""
+    o = _lt(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "sort_multikey_limit",
+    oracle="""
+SELECT c_mktsegment, c_acctbal, c_custkey
+FROM customer
+ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey
+LIMIT 100
+""",
+)
+def sort_multikey_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: multi-key sort with deterministic unique tiebreak + limit."""
+    c = _lt(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_acctbal", "c_custkey").orderBy(
+        F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey")
+    ).limit(100)

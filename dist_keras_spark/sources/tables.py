@@ -36,9 +36,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one fixture table."""
+    """Lazy parquet scan of one fixture table.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    outright (PARQUET_TYPE_ILLEGAL). We read it as raw nanos
+    (legacy nanosAsLong) and truncate to µs with *integer* division —
+    ns-since-epoch (~1.7e18) overflows a double's 53-bit mantissa, so
+    a float division here would corrupt timestamps by ±0.25 µs.
+    DuckDB truncates the same file to µs `TIMESTAMP` on read, so both
+    engines agree exactly at µs precision.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
