@@ -9,6 +9,13 @@ from dist_keras_spark.plans import registry
 from dist_keras_spark.plans.registry import ORACLE, QUERIES
 
 # Import for side effect: each module registers its queries.
-from dist_keras_spark.plans import aggregates, relational, tpch  # noqa: E402,F401
+from dist_keras_spark.plans import (  # noqa: E402,F401
+    aggregates,
+    events_time,
+    relational,
+    scalars,
+    tpch,
+    windows,
+)
 
 __all__ = ["registry", "QUERIES", "ORACLE"]

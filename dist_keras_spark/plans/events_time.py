@@ -1,0 +1,163 @@
+"""Event-time queries over `events` (SURVEY.md §2.K batch equivalents).
+
+Each of these is the *batch* expression of a streaming operator; the
+same plans run under Structured Streaming (see
+dist_keras_spark/streaming/) with `readStream` + watermarks — Spark's
+unified batch/stream semantics guarantee the results agree, which is
+exactly what the DuckDB oracle checks here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)               AS n,
+       round(sum(value), 2)   AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: tumbling 1-hour window aggregate (epoch-aligned, equal to
+    date_trunc('hour'))."""
+    e = _lt(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+           AS window_start,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: sliding window (1 hour, 15-minute slide) — each event lands
+    in 4 overlapping windows; the oracle replays that expansion with
+    UNNEST."""
+    e = _lt(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "events_session_window",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     < INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM events
+), numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts)              AS session_start,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: session windows (30-minute gap) per user; oracle is the
+    classic gaps-and-islands rewrite (lag + cumulative sum)."""
+    e = _lt(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n", "sum_value"
+        )
+    )
+
+
+@query(
+    "events_dedup_latest",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 shape: keep the latest event per (user, type) — streaming
+    dropDuplicates with event-time preference, expressed as a ranked
+    window in batch."""
+    e = _lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "events_stream_static_join",
+    oracle="""
+SELECT c_mktsegment, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+""",
+)
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: stream-static join shape — events ⋈ broadcast(customer)."""
+    e = _lt(spark, sf_dir, "events")
+    c = _lt(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "events_type_share",
+    oracle="""
+SELECT event_type, n, round(n * 1.0 / sum(n) OVER (), 6) AS share
+FROM (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+""",
+)
+def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + unpartitioned window over the (tiny) aggregate —
+    global share per event type."""
+    e = _lt(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(W.partitionBy()), 6).alias("share"),
+    )

@@ -1,0 +1,259 @@
+"""Scalar function families (SURVEY.md §2.H): string, date/time, math,
+conditional, array, JSON/map, hash. All JVM built-ins inside
+whole-stage codegen — zero Python in these plans.
+
+The reference's only scalar compute was numpy inside RDD-map
+transformers (distkeras/transformers.py B6-B9); everything here is the
+ENG/NS surface the fixtures demand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+SELECT doc_id,
+       upper(substring(text, 1, 12))             AS head_upper,
+       length(text)                              AS n_chars_live,
+       len(string_split(text, ' '))              AS n_tokens,
+       regexp_extract(text, '^(\\w+)', 1)        AS first_word,
+       levenshtein(lang, 'en')                   AS lang_dist,
+       lpad(source, 8, '0')                      AS source_padded,
+       strpos(text, 'scan')                      AS scan_pos,
+       concat(lang, '/', source)                 AS lang_source,
+       trim(concat(' ', lang, ' '))              AS lang_trimmed
+FROM documents
+""",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-string: substring/upper/length/split/regexp/levenshtein/lpad/
+    instr/concat/trim in one projection."""
+    d = _lt(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.length("text").alias("n_chars_live"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.levenshtein("lang", F.lit("en")).alias("lang_dist"),
+        F.lpad("source", 8, "0").alias("source_padded"),
+        F.instr("text", "scan").alias("scan_pos"),
+        F.concat("lang", F.lit("/"), "source").alias("lang_source"),
+        F.trim(F.concat(F.lit(" "), "lang", F.lit(" "))).alias("lang_trimmed"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate)                                        AS yr,
+       month(o_orderdate)                                       AS mo,
+       day(o_orderdate)                                         AS dom,
+       CAST(date_trunc('month', o_orderdate) AS DATE)           AS month_start,
+       CAST(date_diff('day', DATE '1995-01-01',
+                      CAST(o_orderdate AS DATE)) AS INT)        AS days_since_95,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS DATE) AS plus_week,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT)                AS unix_ts
+FROM orders
+""",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-date: year/month/day, date_trunc, datediff, date_add, epoch."""
+    o = _lt(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("plus_week"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)                 AS price_1dp,
+       round(abs(l_discount - 0.05), 4)          AS disc_dev,
+       ceil(l_extendedprice)                     AS price_ceil,
+       floor(l_extendedprice)                    AS price_floor,
+       round(sqrt(l_extendedprice), 6)           AS price_sqrt,
+       round(exp(l_discount), 6)                 AS disc_exp,
+       round(ln(l_extendedprice), 6)             AS price_ln,
+       round(log10(l_extendedprice), 6)          AS price_log10,
+       pow(l_quantity, 2)                        AS qty_sq,
+       CAST(sign(l_tax - 0.04) AS INT)           AS tax_sign,
+       least(l_tax, l_discount)                  AS min_rate,
+       greatest(l_tax, l_discount)               AS max_rate
+FROM lineitem
+""",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-math: round/abs/ceil/floor/sqrt/exp/ln/log10/pow/sign/least/greatest."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_1dp"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.signum(F.col("l_tax") - 0.04).cast("int").alias("tax_sign"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END                                   AS bal_tier,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')    AS segment_masked,
+       CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal ELSE NULL END AS even_bal,
+       coalesce(CASE WHEN c_nationkey % 2 = 0 THEN c_acctbal END, -1.0) AS even_bal_filled
+FROM customer
+""",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-conditional: when/otherwise, nullif, coalesce, null production."""
+    c = _lt(spark, sf_dir, "customer")
+    even_bal = F.when(F.col("c_nationkey") % 2 == 0, F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        even_bal.alias("even_bal"),
+        F.coalesce(even_bal, F.lit(-1.0)).alias("even_bal_filled"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding)                                          AS dim,
+       array_to_string(
+           list_transform(embedding[1:3],
+                          x -> CAST(CAST(round(CAST(x AS DOUBLE), 4)
+                                         AS DECIMAL(10,4)) AS VARCHAR)), ',')
+           AS first3,
+       round(CAST(list_max(embedding) AS DOUBLE), 4)           AS emb_max,
+       round(CAST(list_min(embedding) AS DOUBLE), 4)           AS emb_min,
+       round(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE))), 4)         AS emb_sum,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT)    AS n_positive
+FROM embeddings
+""",
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-array: size/slice/transform/max/min/aggregate/filter over the
+    embedding column — the LLM-path primitives, all JVM-side."""
+    e = _lt(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                # decimal cast before stringify: double→string renders
+                # 0.0003 as 3.0E-4 in Spark but 0.0003 in DuckDB
+                lambda x: F.round(x.cast("double"), 4).cast("decimal(10,4)").cast("string"),
+            ),
+            ",",
+        ).alias("first3"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("emb_max"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("emb_min"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("emb_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "scalar_json_map",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                 AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT)    AS k_int,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+FROM events
+""",
+)
+def scalar_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-json/map: get_json_object + from_json→map + element_at.
+
+    The map path (from_json to map<string,int>) exercises MapType; the
+    oracle replays it through DuckDB's JSON extraction.
+    """
+    e = _lt(spark, sf_dir, "events")
+    kmap = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.element_at(kmap, "k").alias("k_int"),
+        (F.element_at(kmap, "k") % 10).alias("k_mod"),
+    )
+
+
+@query(
+    "scalar_hash_funcs",
+    oracle="""
+SELECT doc_id,
+       md5(text)                  AS text_md5,
+       sha256(text)               AS text_sha256,
+       length(md5(text))          AS md5_len
+FROM documents
+""",
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-hash: md5 / sha2-256 (cross-engine standard algorithms)."""
+    d = _lt(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.length(F.md5("text")).alias("md5_len"),
+    )
+
+
+@query("scalar_hash_spark_native")  # xxhash64/crc32/hash: no DuckDB equivalent
+def scalar_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-hash (Spark-native): xxhash64 / crc32 / murmur hash — used by
+    the dedup/LSH path where cross-engine equality isn't required."""
+    d = _lt(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+        F.hash("text").alias("text_murmur"),
+    )

@@ -1,0 +1,166 @@
+"""Window functions (SURVEY.md §2.E) — none exist in the reference
+(no `over(` anywhere in distkeras/); all ENG surface.
+
+Every window here partitions by a real key (customer / user) so the
+single shuffle it costs is hash-distributed; none uses a global
+unpartitioned ordering except ntile, which is documented as a
+driver-chosen global ranking (bounded input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+@query(
+    "win_rank_orders",
+    oracle="""
+SELECT o_custkey, o_orderkey, rn, rk, drk
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rk,
+             dense_rank() OVER w AS drk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC))
+WHERE rn <= 2
+""",
+)
+def win_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: row_number / rank / dense_rank — 2 most recent orders per customer."""
+    o = _lt(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id,
+       lag(value)     OVER w AS prev_value,
+       lead(value)    OVER w AS next_value,
+       lag(event_id)  OVER w AS prev_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: lag/lead over per-user event time (deterministic tiebreak)."""
+    e = _lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("event_id").over(w).alias("prev_event"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2)
+           AS running_spend
+FROM orders
+""",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: running aggregate with an explicit ROWS frame."""
+    o = _lt(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+           AS rolling_1h
+FROM (SELECT event_id, user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events)
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: time-based sliding aggregate — RANGE frame over epoch seconds.
+
+    Both engines define sec = floor(epoch), so frame membership is
+    identical; RANGE includes all peers, making ties order-insensitive.
+    """
+    e = _lt(spark, sf_dir, "events").withColumn("sec", F.col("ts").cast("long"))
+    w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return e.select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("rolling_1h")
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT event_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value)  OVER w AS last_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: first/last over the full partition frame (deterministic)."""
+    e = _lt(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+FROM orders
+""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: ntile quartiles by price. Global ordering — acceptable only
+    because orders-per-window is bounded; at 100 TB you'd bucket by
+    percentile_approx instead (see tests for that variant)."""
+    o = _lt(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
