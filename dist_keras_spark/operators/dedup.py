@@ -1,0 +1,258 @@
+"""Deduplication operators (SURVEY.md §2.J J1/J2/J10 + north star):
+exact, priority-keyed, n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+Scale design (the whole point at 100 TB):
+  - exact dedup: one hash-partition shuffle on the content hash; the
+    text column itself never shuffles (only hash + keys).
+  - Jaccard pairs: inverted-index join on shingles — candidate pairs
+    are generated only where a shingle is shared, never a cross join.
+  - MinHash LSH: signatures are computed scan-side (per-row array
+    expressions, no shuffle); the only shuffles are the band-bucket
+    groupBy and the candidate verification join. Band buckets with a
+    single member produce no candidates (skew-safe: a degenerate
+    shingle that bucket-floods is capped by `max_bucket`).
+  - SimHash: 64-bit signature scan-side; near-dup candidates via
+    16-bit Hamming bands (4 exact-match sub-keys), verified with
+    bit_count(xor) <= radius.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.functions.text import shingles, tokens
+
+# Large prime for minhash modulus (fits comfortably in a long).
+_MINHASH_PRIME = 2_147_483_647
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", keep_order: list[str] | None = None
+) -> DataFrame:
+    """J1: keep one row per distinct md5(text_col); `keep_order` columns
+    decide the survivor (ascending), default lowest-first by all key
+    columns present. Implemented as one ranked window over the hash —
+    a single shuffle keyed on md5, no full-row comparison."""
+    order = [
+        F.col(c).asc() if isinstance(c, str) else c.asc()
+        for c in (keep_order or df.columns)
+    ]
+    w = W.partitionBy(F.md5(F.col(text_col))).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """id → distinct n-word shingle set (scan-side, no shuffle)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokens(F.col(text_col)), n=n, distinct=True).alias("sh"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """J3: exact n-gram Jaccard over an inverted index.
+
+    explode(shingle) → self-join postings on shingle → count shared →
+    |A∩B| / (|A|+|B|−|A∩B|). Only pairs sharing ≥1 shingle are ever
+    materialized. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sets = shingle_sets(df, id_col, text_col, n).withColumn("ns", F.size("sh"))
+    postings = sets.select("id", "ns", F.explode("sh").alias("shingle"))
+    a = postings.select(
+        F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle"
+    )
+    b = postings.select(
+        F.col("id").alias("id_b"), F.col("ns").alias("nb"), "shingle"
+    )
+    shared = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"), F.first("na").alias("na"), F.first("nb").alias("nb"))
+    )
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return shared.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """MinHash signature of the n-shingle set: k independent hash
+    functions, each hᵢ(S) = min over shingles of xxhash64(shingle⊕i)
+    mod p. Pure array expressions — computed in the scan stage."""
+    sets = shingle_sets(df, id_col, text_col, n)
+    seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda sh: F.pmod(
+                    F.xxhash64(F.concat(sh, F.lit("#"), s.cast("string"))),
+                    F.lit(_MINHASH_PRIME),
+                ),
+            )
+        ),
+    )
+    return sets.select("id", "sh", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """J2: MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    banding: signature split into `bands` bands of k/bands rows; docs
+    colliding on any band hash become candidates; candidates are then
+    verified exactly, so false positives cost only the verify step and
+    the miss probability at jaccard j is (1-j^r)^b (≈4e-8 at j=0.9
+    with k=64, b=16). `max_bucket` caps degenerate buckets (e.g. the
+    empty-shingle bucket) — dropped buckets are logged by count, the
+    skew-safety valve at scale.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(F.slice("sig", bi * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    cand = (
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sets = sigs.select("id", "sh", F.size("sh").alias("ns"))
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("ns").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("ns").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn("c", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash of the token multiset as a 64-char binary string:
+    position p is '1' iff Σ_tokens (±1 by bit p of xxhash64(token)) > 0.
+
+    String representation because Spark's shiftleft/shiftright take
+    only literal ints, not lambda-bound columns. Scan-side expressions,
+    no shuffle; a throughput-tuned variant would bit-pack per Arrow
+    batch in a pandas_udf, but signature computation is not the
+    bottleneck (the bucket join is).
+    """
+    toks = tokens(F.col(text_col))
+
+    def hbin(t: Column) -> Column:
+        # 64-char two's-complement binary of the token hash
+        return F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+
+    bit_sums = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda p: F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(hbin(t).substr(p, F.lit(1)) == "1", F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sig = F.array_join(
+        F.transform(bit_sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", radius: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius: band the 64-bit
+    signature into 4×16-bit sub-keys (pigeonhole: ≤3 differing bits →
+    at least one band matches exactly), bucket-join on each band, then
+    verify bit_count(xor) <= radius."""
+    sigs = simhash(df, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.col("simhash").substr(bi * 16 + 1, F.lit(16)).alias("bkey"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    # Hamming distance = # of differing positions in the two bit strings.
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("sig_a", ""), F.split("sig_b", ""), lambda x, y: x != y
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (SURVEY.md §2.J J4/J5).
+
+Two paths:
+  - `knn_bruteforce`: exact top-k. The query set is broadcast; the
+    corpus is scanned once, cosine computed scan-side (array
+    expressions, codegen), and top-k selected with a ranked window on
+    the query id. At 100 TB the corpus never shuffles — only
+    (n_queries × k) result rows move.
+  - `knn_lsh`: approximate. Random-hyperplane LSH (sign bits of
+    projections) buckets both sides; only same-bucket pairs are
+    scored. Hyperplanes are seeded-deterministic literals, multi-probe
+    via `tables` independent hash tables. The scale path when the
+    query set itself is large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.functions.arrays import cosine_similarity
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cosine); self-matches
+    excluded. Ranking ties broken by neighbor id on the cosine rounded
+    to 6dp so the order is reproducible across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity("qvec", "cvec"), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Bucket id = integer of sign bits of ⟨v, plane_j⟩ — pure column
+    expressions over literal hyperplanes (no UDF)."""
+    bits = []
+    for j, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: `tables` independent hyperplane hash tables;
+    candidates = same bucket in ANY table; exact cosine re-rank.
+
+    Recall is tunable by (n_planes, tables); tests measure it against
+    knn_bruteforce. Dim is read from the first corpus row (driver-side
+    metadata peek, not a data collect).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+
+    def bucketed(df: DataFrame, vc: str, out: str) -> DataFrame:
+        pieces = [
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket_expr(vc, _hyperplanes(dim, n_planes, seed + t)).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+        return df.select("*", F.explode(F.array(*pieces)).alias(out)).select(
+            "*", f"{out}.table", f"{out}.bucket"
+        ).drop(out)
+
+    qb = bucketed(q, "qvec", "qb")
+    cb = bucketed(c, "cvec", "cb")
+    cand = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", F.round(cosine_similarity("qvec", "cvec"), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -13,6 +13,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     aggregates,
     events_time,
     features,
+    llm,
     relational,
     scalars,
     tpch,

@@ -1,0 +1,375 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.J, north star): dedup
+(exact / Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force + LSH kNN), text analysis (stats, quality, lang-id,
+TF-IDF, fingerprint), multimodal join.
+
+Each query runs the real operator from operators/dedup.py /
+operators/similarity.py / functions/text.py; the oracle replays the
+semantics in ANSI SQL. Approximate operators (LSH variants) either
+have a sharp oracle (verified candidates at a threshold where miss
+probability < 1e-7) or register rows-only with a pytest recall gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.functions.text import (
+    doc_fingerprint,
+    lang_id_heuristic,
+    stopword_ratio,
+    tokens,
+)
+from dist_keras_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from dist_keras_spark.operators.similarity import knn_bruteforce, knn_lsh
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+# Shared DuckDB fragment: doc_id → distinct 3-word shingle set.
+_SHINGLES_CTE = """
+shingle_sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+"""
+
+_JACCARD_PAIRS_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + """,
+postings AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM shingle_sets),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+           any_value(a.ns) AS na, any_value(b.ns) AS nb
+    FROM postings a JOIN postings b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c * 1.0 / (na + nb - c), 4) AS jaccard
+FROM shared WHERE c * 1.0 / (na + nb - c) >= {tau}
+"""
+)
+
+
+@query(
+    "dedup_exact_priority",
+    oracle="""
+SELECT doc_id, source, md5(text) AS text_md5
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY md5(text)
+        ORDER BY CASE WHEN source = 'copy' THEN 1 ELSE 0 END, doc_id) AS rn
+    FROM (SELECT doc_id, text, lang, source, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id, text, lang, 'copy' AS source, n_chars FROM documents
+          WHERE doc_id % 3 = 0)
+) WHERE rn = 1
+""",
+)
+def dedup_exact_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J10: exact dedup by content hash with source priority.
+
+    The fixture has no exact dups, so we union a 'copy'-source replica
+    of every third doc; the operator must keep the original. One
+    shuffle keyed on md5(text).
+    """
+    d = _lt(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 3 == 0).withColumn("source", F.lit("copy"))
+    unioned = d.unionByName(copies)
+    kept = exact_dedup(
+        unioned,
+        text_col="text",
+        keep_order=[(F.col("source") == "copy").cast("int"), F.col("doc_id")],
+    )
+    return kept.select("doc_id", "source", F.md5("text").alias("text_md5"))
+
+
+@query(
+    "jaccard_neardup_pairs",
+    oracle=_JACCARD_PAIRS_SQL.format(tau=0.5),
+)
+def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: exact 3-shingle Jaccard ≥ 0.5 via inverted-index join —
+    never a cross join; candidate pairs exist only where a shingle is
+    shared."""
+    d = _lt(spark, sf_dir, "documents")
+    out = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "minhash_lsh_neardup",
+    oracle=_JACCARD_PAIRS_SQL.format(tau=0.8),
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: MinHash (k=64) + LSH banding (16×4) near-dup pairs, verified
+    with exact Jaccard ≥ 0.8. Oracle is the *exact* Jaccard SQL: at
+    the fixture's duplicate similarity (j ≥ 0.9) the LSH miss
+    probability is (1-0.9⁴)¹⁶ ≈ 4e-8, so exact equality is expected;
+    the pytest suite additionally gates recall explicitly."""
+    d = _lt(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("simhash_neardup")  # xxhash64-based signature: no DuckDB equivalent
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit signature, Hamming radius 3 via
+    4×16-bit pigeonhole bands). Rows-only here; pytest checks it finds
+    the same near-dup clusters as exact Jaccard."""
+    d = _lt(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", radius=3)
+
+
+@query(
+    "knn_bruteforce_top5",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 20 = 0),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> q.qv[i] * q.qv[i])))), 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS knn_rank
+           FROM scored)
+SELECT query_id, neighbor_id, knn_rank, cosine FROM ranked WHERE knn_rank <= 5
+""",
+)
+def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 exact path: top-5 cosine neighbors for every 20th vector.
+    Query side broadcast; corpus scanned once, never shuffled."""
+    e = _lt(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn_bruteforce(e, q, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
+    )
+
+
+@query("knn_lsh_top5")  # approximate: rows-only + pytest recall gate
+def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 scale path: random-hyperplane LSH (8 planes × 4 tables),
+    exact re-rank within buckets."""
+    e = _lt(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    return knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=8, tables=4, seed=42)
+
+
+@query(
+    "cosine_pairs_threshold",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 20 = 0)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       round(
+         list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(range(1, 65),
+             i -> q.qv[i] * q.qv[i])))), 4) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> q.query_id
+  AND list_sum(list_transform(range(1, 65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+      / (sqrt(list_sum(list_transform(range(1, 65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65),
+          i -> q.qv[i] * q.qv[i])))) >= 0.2
+""",
+)
+def cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: pairwise cosine ≥ 0.2 between sampled queries and the corpus
+    — the pairwise-similarity primitive under the dedup/knn operators."""
+    from dist_keras_spark.functions.arrays import cosine_similarity
+
+    e = _lt(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    cos = cosine_similarity("qvec", "cvec")
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .filter(cos >= 0.2)
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+    )
+
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+SELECT lang,
+       count(*)                                        AS n_docs,
+       round(avg(n_chars), 2)                          AS avg_chars,
+       round(avg(len(string_split(text, ' '))), 2)     AS avg_tokens,
+       count(DISTINCT source)                          AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: corpus statistics per language."""
+    d = _lt(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(F.avg(F.size(tokens("text"))), 2).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "quality_filter",
+    oracle="""
+SELECT doc_id, n_tokens, stop_ratio
+FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(['the','and','of','to','a','in','is','for','on','with'], t)))
+                 * 1.0 / greatest(len(string_split(text, ' ')), 1), 4) AS stop_ratio,
+           regexp_matches(text, '^[a-z ]+$') AS clean_charset
+    FROM documents
+)
+WHERE n_tokens BETWEEN 5 AND 900 AND clean_charset
+""",
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: quality filtering — token-count bounds, charset whitelist,
+    stopword-ratio signal. All scan-side predicates."""
+    d = _lt(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        d.withColumn("n_tokens", F.size(toks))
+        .withColumn("stop_ratio", F.round(stopword_ratio(toks, "en"), 4))
+        .filter(
+            F.col("n_tokens").between(5, 900) & F.col("text").rlike("^[a-z ]+$")
+        )
+        .select("doc_id", "n_tokens", "stop_ratio")
+    )
+
+
+@query(
+    "lang_id_fingerprint",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN hits_es > greatest(hits_en, 0) THEN 'es'
+            WHEN hits_en > 0 THEN 'en'
+            ELSE 'und' END AS lang_pred,
+       CAST(list_sum(list_transform(range(1, len(t) + 1),
+            i -> i * (ascii(substring(t[i], 1, 1)) * 31 + length(t[i]))))
+            AS BIGINT) AS fingerprint
+FROM (
+    SELECT doc_id, t,
+           len(list_filter(t, x -> list_contains(
+               ['the','and','of','to','a','in','is','for','on','with'], x))) AS hits_en,
+           len(list_filter(t, x -> list_contains(
+               ['el','la','de','que','y','en','un','es','por','los'], x))) AS hits_es
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+""",
+)
+def lang_id_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J8: n-gram language-ID heuristic + order-sensitive rolling-hash
+    document fingerprint, both pure column expressions."""
+    d = _lt(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        lang_id_heuristic(toks).alias("lang_pred"),
+        doc_fingerprint(toks).alias("fingerprint"),
+    )
+
+
+@query(
+    "tfidf_top_term",
+    oracle="""
+WITH tf AS (SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.token,
+                  round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+           FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token AS top_term, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rn
+      FROM scored)
+WHERE rn = 1
+""",
+)
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: TF-IDF (explode → tf, df, idf=ln(N/df)) and the top-scoring
+    term per document. N computed as a broadcast scalar, not a collect."""
+    d = _lt(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+SELECT doc_id, lang, label,
+       len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS emb_norm
+FROM documents JOIN embeddings ON doc_id = vec_id
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: text ⋈ embedding by id — the multimodal row (typed columns
+    side by side; binary decode plumbing lives in operators/multimodal)."""
+    from dist_keras_spark.functions.arrays import l2_norm
+
+    d = _lt(spark, sf_dir, "documents")
+    e = _lt(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("emb_norm"),
+    )
