@@ -14,6 +14,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     events_time,
     features,
     llm,
+    ml,
     relational,
     scalars,
     tpch,
