@@ -15,6 +15,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     features,
     llm,
     ml,
+    multimodal_stream,
     relational,
     scalars,
     tpch,

@@ -1,0 +1,89 @@
+"""Multimodal-column and live-streaming demo queries.
+
+`multimodal_blob_features` is oracle-checked (binary column creation +
+byte-level functions exist in both engines). The streaming queries run
+REAL Structured Streaming (readStream → watermark → memory sink via
+Trigger.AvailableNow) inside the callable — rows-only for the driver,
+while tests/test_streaming.py asserts stream == batch equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_keras_spark.operators.multimodal import attach_blob, fake_decode_features
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+@query(
+    "multimodal_blob_features",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text)                  AS blob_md5,
+       'image/fake'               AS kind
+FROM documents
+""",
+)
+def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: opaque binary column + typed metadata; byte length and
+    content hash computed on the blob itself (not the source string)."""
+    d = attach_blob(_lt(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.octet_length("blob").alias("n_bytes"),
+        F.md5("blob").alias("blob_md5"),
+        F.col("blob_meta.kind").alias("kind"),
+    )
+
+
+@query("multimodal_fake_decode")  # mapInPandas plumbing: rows-only
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 decode path: Arrow-batched mapInPandas over the blob column →
+    fixed-dim feature vectors (deterministic fake decoder; real codec
+    is a drop-in — see operators/multimodal.py)."""
+    d = attach_blob(_lt(spark, sf_dir, "documents"))
+    return fake_decode_features(d, dim=8)
+
+
+@query(
+    "streaming_tumbling_live",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)               AS n,
+       round(sum(value), 2)   AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K4/A8/A9 as REAL streaming: readStream over the events
+    parquet, watermarked tumbling aggregate, drained with
+    Trigger.AvailableNow into a memory sink. Because every event is
+    replayed (availableNow) and output mode is complete, the result
+    equals the batch aggregate — so the batch oracle applies."""
+    from dist_keras_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+        streaming_tumbling_counts,
+    )
+
+    stream = streaming_tumbling_counts(stream_events(spark, sf_dir))
+    return run_available_now(stream, output_mode="complete")
+
+
+@query("streaming_dedup_live")  # append-mode stream: rows-only
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 as real streaming: watermarked dropDuplicates on event_id."""
+    from dist_keras_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+        streaming_dedup,
+    )
+
+    return run_available_now(
+        streaming_dedup(stream_events(spark, sf_dir)), output_mode="append"
+    ).select("event_id", "user_id", "event_type")

@@ -1,0 +1,84 @@
+"""Streaming pipelines over the `events` fixture.
+
+`stream_events` reads the events parquet as an unbounded source
+(availableNow processing of existing files = deterministic replay);
+each pipeline applies a watermark and the same expressions as the
+batch twin. `run_available_now` drains a pipeline into a memory sink
+and returns the result table — used by tests and the streaming demo
+queries.
+
+At scale: watermark bounds state; session/tumbling state is keyed by
+(window, key) and expires past the watermark — the standard 100 TB
+streaming posture (no unbounded state).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming source with the same ns→µs
+    timestamp normalization as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource needs a directory; glob-filter down to the table
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
+    """K1+K4: watermarked tumbling 1-hour aggregate (twin of
+    plans/events_time.events_tumbling_hourly)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def streaming_session_agg(events: DataFrame) -> DataFrame:
+    """K3: watermarked session windows (30-minute gap) per user."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n", "sum_value")
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """K5: streaming dropDuplicates on event_id within the watermark."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+
+
+def streaming_stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """K6: stream ⋈ static dimension (broadcast)."""
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame with Trigger.AvailableNow into a
+    memory sink; returns the materialized result (A9)."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
