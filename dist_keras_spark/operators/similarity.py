@@ -86,16 +86,20 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
-    tables: int = 4,
+    n_planes: int = 4,
+    tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: `tables` independent hyperplane hash tables;
     candidates = same bucket in ANY table; exact cosine re-rank.
 
     Recall is tunable by (n_planes, tables); tests measure it against
-    knn_bruteforce. Dim is read from the first corpus row (driver-side
-    metadata peek, not a data collect).
+    knn_bruteforce. Defaults favor short codes × many tables because
+    hyperplane LSH recall collapses on near-orthogonal corpora (the
+    fixture's regime: top-neighbor cosine ≈ 0.3-0.45 → per-plane
+    agreement ≈ 0.6, so 8-bit codes keep only 0.6⁸ ≈ 2% per table).
+    Dim is read from the first corpus row (driver-side metadata peek,
+    not a data collect).
     """
     dim = len(corpus.select(vec_col).first()[0])
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))

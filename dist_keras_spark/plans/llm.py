@@ -166,11 +166,11 @@ def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_lsh_top5")  # approximate: rows-only + pytest recall gate
 def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 scale path: random-hyperplane LSH (8 planes × 4 tables),
+    """J5 scale path: random-hyperplane LSH (4 planes × 8 tables),
     exact re-rank within buckets."""
     e = _lt(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
-    return knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=8, tables=4, seed=42)
+    return knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=4, tables=8, seed=42)
 
 
 @query(

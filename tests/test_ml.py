@@ -1,0 +1,108 @@
+"""ML parity + correctness gates (SURVEY.md §5.2.6): the distributed
+trainer must reach the single-node trainer's quality; the Arrow
+predictor must agree with driver-side numpy inference bit-for-bit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from dist_keras_spark.operators.evaluators import AccuracyEvaluator
+from dist_keras_spark.operators.models import MLP
+from dist_keras_spark.operators.predictors import ModelPredictor
+from dist_keras_spark.operators.trainers import (
+    ADAG,
+    AveragingTrainer,
+    EnsembleTrainer,
+    SingleTrainer,
+    SyncDistributedTrainer,
+)
+
+DIMS = (64, 16, 10)
+
+
+@pytest.fixture(scope="module")
+def train_df(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("embedding").alias("features"), "label", "vec_id")
+    )
+    df.cache().count()
+    return df
+
+
+def test_single_trainer_loss_decreases(train_df):
+    t = SingleTrainer(*DIMS, num_epoch=5, learning_rate=0.3)
+    t.train(train_df)
+    losses = [h["loss"] for h in t.history]
+    assert losses[-1] < losses[0]
+
+
+def test_distributed_parity_with_single(train_df):
+    """Sync-rounds trainer converges like the sequential baseline."""
+    single = SingleTrainer(*DIMS, num_epoch=8, learning_rate=0.3)
+    ws_s = single.train(train_df)
+    dist = SyncDistributedTrainer(
+        *DIMS, mode="downpour", num_workers=4, rounds=25, learning_rate=0.5
+    )
+    ws_d = dist.train(train_df)
+
+    def acc(ws):
+        pred = ModelPredictor(MLP.serialize(ws), *DIMS).predict(train_df)
+        return AccuracyEvaluator(argmax=True).evaluate(pred)
+
+    a_s, a_d = acc(ws_s), acc(ws_d)
+    dist_losses = [h["loss"] for h in dist.history]
+    assert dist_losses[-1] < dist_losses[0], "distributed loss must decrease"
+    assert a_d >= a_s - 0.1, f"distributed {a_d} too far below single {a_s}"
+
+
+def test_adag_mode_converges_faster_than_plain_sgd(train_df):
+    plain = SyncDistributedTrainer(*DIMS, mode="downpour", num_workers=4, rounds=10, learning_rate=0.05)
+    plain.train(train_df)
+    adag = ADAG(*DIMS, num_workers=4, rounds=10, learning_rate=0.05)
+    adag.train(train_df)
+    assert adag.history[-1]["loss"] <= plain.history[-1]["loss"] + 1e-6
+
+
+def test_ensemble_returns_n_models(train_df):
+    t = EnsembleTrainer(*DIMS, num_models=3, num_epoch=1)
+    models = t.train(train_df)
+    assert len(models) == 3
+    assert all(len(ws) == 4 for ws in models)
+
+
+def test_averaging_weights_shape_and_effect(train_df):
+    t = AveragingTrainer(*DIMS, num_models=3, num_epoch=2, learning_rate=0.3)
+    ws = t.train(train_df)
+    init = MLP(*DIMS).get_weights()
+    assert all(w.shape == i.shape for w, i in zip(ws, init))
+    assert any(not np.allclose(w, i) for w, i in zip(ws, init)), "training moved weights"
+
+
+def test_predictor_matches_driver_numpy(train_df):
+    """Arrow predictor == local forward pass, elementwise."""
+    model = MLP(*DIMS)
+    pred = ModelPredictor(MLP.serialize(model.get_weights()), *DIMS).predict(train_df)
+    rows = pred.select("vec_id", "features", "prediction").orderBy("vec_id").limit(16).collect()
+    x = np.stack([np.asarray(r["features"], dtype=np.float64) for r in rows])
+    expected = model.forward(x)
+    got = np.stack([np.asarray(r["prediction"]) for r in rows])
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+    # probabilities sum to 1
+    np.testing.assert_allclose(got.sum(axis=1), 1.0, rtol=1e-9)
+
+
+def test_evaluator_known_values(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.0, 1), (2.0, 2), (2.0, 2)], "prediction double, label int"
+    )
+    assert AccuracyEvaluator().evaluate(df) == 0.75
+
+
+def test_evaluator_argmax_mode(spark):
+    df = spark.createDataFrame(
+        [([0.1, 0.9], 1), ([0.8, 0.2], 1)], "prediction array<double>, label int"
+    )
+    assert AccuracyEvaluator(argmax=True).evaluate(df) == 0.5

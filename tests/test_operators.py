@@ -1,0 +1,140 @@
+"""Unit tests for operators: as-of join edges, transformers, dedup
+(SURVEY.md §5.2.4: nulls / empty partitions / duplicate keys / ties)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from dist_keras_spark.operators.asof import asof_join
+from dist_keras_spark.operators.dedup import exact_dedup, jaccard_pairs, simhash_pairs
+from dist_keras_spark.operators.transformers import (
+    LabelIndexTransformer,
+    MinMaxTransformer,
+    OneHotTransformer,
+    ReshapeTransformer,
+    StringIndexTransformer,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 10:00:00"), "e1"),
+                (1, _ts("2024-01-01 12:00:00"), "e2"),
+                (2, _ts("2024-01-01 09:00:00"), "e3"),  # before any right row
+                (3, _ts("2024-01-01 10:00:00"), "e4"),  # key w/o right rows
+            ],
+            "k long, t timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 09:00:00"), 100),
+                (1, _ts("2024-01-01 12:00:00"), 200),  # exactly simultaneous w/ e2
+                (1, _ts("2024-01-01 12:00:00"), 201),  # tie on ts → larger v wins
+                (2, _ts("2024-01-01 11:00:00"), 300),
+            ],
+            "k long, rt timestamp, v int",
+        )
+        return left, right
+
+    def test_inner_matches_latest_at_or_before(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, "k", "t", "rt", ["v"], how="inner", tiebreak="v")
+        got = {r["tag"]: r["v"] for r in out.collect()}
+        # e1: only 09:00 row qualifies; e2: simultaneous 12:00 rows
+        # qualify (<=), tie → larger v; e3/e4: no match → dropped
+        assert got == {"e1": 100, "e2": 201}
+
+    def test_left_keeps_unmatched(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, "k", "t", "rt", ["v"], how="left", tiebreak="v")
+        got = {r["tag"]: r["v"] for r in out.collect()}
+        assert got == {"e1": 100, "e2": 201, "e3": None, "e4": None}
+
+
+class TestTransformers:
+    def test_minmax_scalar_and_array(self, spark):
+        df = spark.createDataFrame([(0.0, [0.0, 10.0]), (10.0, [5.0, 0.0])], "x double, a array<double>")
+        s = MinMaxTransformer(0, 1, 0, 10, "x", "xs").transform(df)
+        assert [r["xs"] for r in s.orderBy("x").collect()] == [0.0, 1.0]
+        a = MinMaxTransformer(-1, 1, 0, 10, "a", "an").transform(df)
+        assert a.orderBy("x").collect()[0]["an"] == [-1.0, 1.0]
+
+    def test_one_hot_and_argmax_roundtrip(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(5)], "label int")
+        oh = OneHotTransformer(5, "label", "oh").transform(df)
+        back = LabelIndexTransformer(input_col="oh", output_col="idx").transform(oh)
+        assert all(r["idx"] == float(r["label"]) for r in back.collect())
+        row = oh.filter(F.col("label") == 3).collect()[0]
+        assert row["oh"] == [0, 0, 0, 1, 0]
+
+    def test_label_index_threshold(self, spark):
+        df = spark.createDataFrame([([0.1, 0.2],), ([0.1, 0.9],)], "p array<double>")
+        t = LabelIndexTransformer(
+            input_col="p", output_col="i", activation_threshold=0.55, default_index=-1
+        )
+        assert [r["i"] for r in t.transform(df).collect()] == [-1.0, 1.0]
+
+    def test_label_index_first_max_wins(self, spark):
+        df = spark.createDataFrame([([0.5, 0.5, 0.1],)], "p array<double>")
+        t = LabelIndexTransformer(input_col="p", output_col="i")
+        assert t.transform(df).collect()[0]["i"] == 0.0
+
+    def test_string_indexer_frequency_order(self, spark):
+        df = spark.createDataFrame(
+            [("b",), ("b",), ("a",), ("c",), ("c",)], "s string"
+        )
+        out = StringIndexTransformer("s", "i").transform(df)
+        m = {r["s"]: r["i"] for r in out.collect()}
+        # b and c tie on count 2 → lexical tiebreak; a is least frequent
+        assert m == {"b": 0.0, "c": 1.0, "a": 2.0}
+
+    def test_reshape_metadata(self, spark):
+        df = spark.createDataFrame([([1.0] * 6,)], "v array<double>")
+        out = ReshapeTransformer("v", "r", (2, 3)).transform(df)
+        row = out.collect()[0]
+        assert row["r_shape"] == [2, 3] and row["r"] == row["v"]
+
+
+class TestDedup:
+    def test_exact_dedup_idempotent_and_priority(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", "b"), (2, "x", "a"), (3, "y", "a")], "id long, text string, src string"
+        )
+        out = exact_dedup(df, "text", keep_order=["src", "id"])
+        rows = {(r["id"], r["src"]) for r in out.collect()}
+        assert rows == {(2, "a"), (3, "a")}
+        again = exact_dedup(out, "text", keep_order=["src", "id"])
+        assert sorted(r["id"] for r in again.collect()) == sorted(r["id"] for r in out.collect())
+
+    def test_jaccard_identical_docs_score_one(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "a b c d e f"),
+                (3, "z y x w v u"),
+            ],
+            "doc_id long, text string",
+        )
+        out = jaccard_pairs(df, threshold=0.9).collect()
+        assert len(out) == 1 and out[0]["id_a"] == 1 and out[0]["id_b"] == 2
+        assert abs(out[0]["jaccard"] - 1.0) < 1e-12
+
+    def test_jaccard_short_doc_no_crash(self, spark):
+        df = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id long, text string")
+        assert jaccard_pairs(df, threshold=0.1).count() == 0  # < 3 tokens → no shingles
+
+    def test_simhash_identical_distance_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over it"), (2, "the quick brown fox jumps over it")],
+            "doc_id long, text string",
+        )
+        out = simhash_pairs(df, radius=0).collect()
+        assert len(out) == 1 and out[0]["hamming"] == 0

@@ -1,0 +1,65 @@
+"""Smoke + plan-shape tests for the whole query registry.
+
+SURVEY.md §5.2.3/§4: every registered query must run at sf0.001, and
+the flagship plans must have the *right* physical shape (broadcast
+joins on dims, pushed filters, TakeOrderedAndProject for top-k) — not
+just pass.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from dist_keras_spark.plans import QUERIES
+
+SLOW = {"ml_train_distributed_adag", "ml_train_averaging", "ml_predict_eval"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs_and_schema_stable(spark, sf_dir, name):
+    fn = QUERIES[name]
+    df = fn(spark, sf_dir)
+    schema1 = df.schema
+    assert df.count() >= 0
+    assert fn(spark, sf_dir).schema == schema1
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"n_name", "revenue", "n_items"}
+
+
+def test_oracle_keys_subset():
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    # every oracle is non-trivial SQL
+    assert all("SELECT" in s.upper() for s in osql.values())
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    plan = QUERIES["revenue_by_nation"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "dim joins must broadcast"
+
+
+def test_filter_pushdown(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_topk_plan_is_take_ordered(spark, sf_dir):
+    plan = QUERIES["topk_global"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "global top-k must not globally sort"
+
+
+def test_column_pruning_documents(spark, sf_dir):
+    # text_stats reads 4 columns; the wide `text` col is needed, but
+    # a pure doc_id projection must NOT read text.
+    from dist_keras_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.split("ReadSchema")[-1]

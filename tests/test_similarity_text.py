@@ -1,0 +1,60 @@
+"""Similarity search (recall gates for approximate paths) and text
+functions (SURVEY.md §5.2.5 invariants)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dist_keras_spark.functions.arrays import cosine_similarity
+from dist_keras_spark.functions.text import doc_fingerprint, shingles, tokens
+from dist_keras_spark.operators.dedup import minhash_lsh_pairs
+from dist_keras_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+
+def test_cosine_bounds_and_self_similarity(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = e.select(
+        cosine_similarity("embedding", "embedding").alias("self_cos")
+    )
+    vals = [r["self_cos"] for r in pairs.collect()]
+    assert all(abs(v - 1.0) < 1e-9 for v in vals)
+
+
+def test_knn_lsh_recall_against_bruteforce(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_lsh(e, q, k=5, n_planes=4, tables=8, seed=42).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_minhash_lsh_recall_is_total_on_fixture(spark, sf_dir):
+    """At the fixture's near-dup similarity (j≥0.9) LSH must find every
+    exact-Jaccard pair — this is what licenses the sharp oracle."""
+    from dist_keras_spark.operators.dedup import jaccard_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(d, threshold=0.8).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(d, threshold=0.8).collect()}
+    assert lsh == exact
+
+
+def test_shingles_edges(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("a a a a",)], "text string")
+    out = df.select(shingles(tokens("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == []           # fewer tokens than shingle width
+    assert out[2]["s"] == ["a a a"]    # distinct collapses repeats
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame([("alpha beta",), ("beta alpha",)], "text string")
+    fps = [r["fp"] for r in df.select(doc_fingerprint(tokens("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]

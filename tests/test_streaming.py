@@ -1,0 +1,60 @@
+"""Streaming == batch equivalence (the point of unified semantics),
+plus watermark/session/dedup pipeline health."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dist_keras_spark.plans import QUERIES
+from dist_keras_spark.sources.tables import load_table
+from dist_keras_spark.streaming.pipelines import (
+    run_available_now,
+    stream_events,
+    streaming_dedup,
+    streaming_session_agg,
+    streaming_stream_static_join,
+    streaming_tumbling_counts,
+)
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream_out = run_available_now(
+        streaming_tumbling_counts(stream_events(spark, sf_dir)), "complete"
+    )
+    batch_out = QUERIES["events_tumbling_hourly"](spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _sorted_rows(stream_out, cols) == _sorted_rows(batch_out, cols)
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    stream_out = run_available_now(
+        streaming_session_agg(stream_events(spark, sf_dir)), "complete"
+    )
+    batch_out = QUERIES["events_session_window"](spark, sf_dir)
+    cols = ["user_id", "session_start", "n", "sum_value"]
+    assert _sorted_rows(stream_out, cols) == _sorted_rows(batch_out, cols)
+
+
+def test_stream_dedup_keeps_all_unique_ids(spark, sf_dir):
+    out = run_available_now(streaming_dedup(stream_events(spark, sf_dir)), "append")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events  # event_id already unique → nothing dropped
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    stream_out = run_available_now(streaming_stream_static_join(ev, cust), "complete")
+    batch_out = QUERIES["events_stream_static_join"](spark, sf_dir)
+    cols = ["c_mktsegment", "event_type", "n", "sum_value"]
+    assert _sorted_rows(stream_out, cols) == _sorted_rows(batch_out, cols)
+
+
+def test_watermark_present_in_plan(spark, sf_dir):
+    s = streaming_tumbling_counts(stream_events(spark, sf_dir))
+    assert "EventTimeWatermark" in s._jdf.queryExecution().logical().toString()
