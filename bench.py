@@ -1,0 +1,73 @@
+"""Headline benchmark (driver contract: one JSON line).
+
+Runs representative queries from every operator family at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], times each end-to-end (plan + execute +
+collect), and prints:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is warmed once at sf0.001 first so JVM/codegen warmup isn't
+attributed to the measured run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dist_keras_spark.plans import QUERIES  # noqa: E402
+from dist_keras_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_DIR = "/root/testdata/sf0.001"
+
+# One representative per family: scan+join+agg, wide agg, window,
+# as-of, set op, event-time, dedup (exact + LSH), knn, tfidf, ML inference.
+BENCH_QUERIES = [
+    "revenue_by_nation",
+    "pricing_summary",
+    "topk_per_group",
+    "win_running_sum",
+    "join_asof",
+    "setop_union_all",
+    "events_sliding_window",
+    "events_session_window",
+    "dedup_exact_priority",
+    "minhash_lsh_neardup",
+    "knn_bruteforce_top5",
+    "tfidf_top_term",
+    "ml_linear_scorer",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        fn(spark, WARM_DIR).count()  # warm: codegen + broadcast paths
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,24 +91,42 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
 ) -> DataFrame:
-    """MinHash signature of the n-shingle set: k independent hash
-    functions, each hᵢ(S) = min over shingles of xxhash64(shingle⊕i)
-    mod p. Pure array expressions — computed in the scan stage."""
+    """MinHash signature of the n-shingle set: each shingle is hashed
+    ONCE (xxhash64), then the k hash functions are affine rehashes
+    hᵢ(x) = (aᵢ·x + bᵢ) mod p over the precomputed hash array — k·|S|
+    multiply-adds instead of k·|S| string concat+hash (≈20× cheaper;
+    this is the scan-stage hot loop of near-dedup at 100 TB). Seeded
+    literal coefficient arrays keep it deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, _MINHASH_PRIME, size=k).tolist()
+    b = rng.randint(0, _MINHASH_PRIME, size=k).tolist()
+
     sets = shingle_sets(df, id_col, text_col, n)
-    seeds = F.sequence(F.lit(0), F.lit(k - 1))
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda sh: F.pmod(
-                    F.xxhash64(F.concat(sh, F.lit("#"), s.cast("string"))),
-                    F.lit(_MINHASH_PRIME),
-                ),
-            )
+    # Materialize the per-shingle hash array ONCE as a column (reduced
+    # into [0, p): a < p < 2^31 ⇒ a·h' + b < 2^62, no ANSI long
+    # overflow), then unroll the k affine rehashes as scalar-literal
+    # expressions — no element_at over a literal array (which Spark
+    # rebuilds per evaluation) and no re-expansion of the xxhash
+    # subtree into each of the k array_min folds.
+    hashed = sets.withColumn(
+        "hs",
+        F.transform(
+            F.col("sh"), lambda sh: F.pmod(F.xxhash64(sh), F.lit(_MINHASH_PRIME))
         ),
     )
-    return sets.select("id", "sh", sig.alias("sig"))
+
+    def _minfn(ai: int, bi: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(h * F.lit(ai) + F.lit(bi), F.lit(_MINHASH_PRIME)),
+            )
+        )
+
+    sig = F.array(*[_minfn(int(a[i]), int(b[i])) for i in range(k)])
+    return hashed.select("id", "sh", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -132,7 +150,7 @@ def minhash_lsh_pairs(
     skew-safety valve at scale.
     """
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    sigs = minhash_signatures(df, id_col, text_col, n, k).select("id", "sig")
     banded = sigs.select(
         "id",
         F.explode(
@@ -156,7 +174,10 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
-    sets = sigs.select("id", "sh", F.size("sh").alias("ns"))
+    # verify against the raw shingle sets, NOT the signature lineage —
+    # otherwise the (expensive) signature expressions are re-evaluated
+    # for both sides of the join
+    sets = shingle_sets(df, id_col, text_col, n).withColumn("ns", F.size("sh"))
     verified = (
         cand.join(
             sets.select(

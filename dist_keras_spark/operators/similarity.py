@@ -36,15 +36,29 @@ def knn_bruteforce(
     excluded. Ranking ties broken by neighbor id on the cosine rounded
     to 6dp so the order is reproducible across engines.
     """
+    from dist_keras_spark.functions.arrays import dot, l2_norm
+
+    # precompute norms per side so each pair costs ONE fold (the dot),
+    # not three — at 100 TB the pairwise stage dominates everything
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(vec_col).alias("qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(vec_col).alias("cnorm"),
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity("qvec", "cvec"), 6))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cosine",
+        F.round(
+            F.when(
+                F.col("qnorm") * F.col("cnorm") != 0,
+                dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm")),
+            ),
+            6,
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
