@@ -12,6 +12,7 @@ from dist_keras_spark.plans.registry import ORACLE, QUERIES
 from dist_keras_spark.plans import (  # noqa: E402,F401
     aggregates,
     events_time,
+    extras,
     features,
     llm,
     ml,

@@ -1,0 +1,63 @@
+"""Grouped-map, UDTF, stateful streaming, and util operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dist_keras_spark.operators.grouped import TokenExplode, zscore_per_group
+from dist_keras_spark.operators.utils import precache, shuffle
+from dist_keras_spark.sources.tables import load_table
+from dist_keras_spark.streaming.pipelines import run_available_now, stream_events
+from dist_keras_spark.streaming.stateful import running_user_totals
+
+
+def test_zscore_group_mean_zero(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 20.0)],
+        "g string, v double",
+    )
+    out = zscore_per_group(df, "g", "v").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["zscore"])
+    assert abs(sum(by_g["a"])) < 1e-9
+    assert sorted(by_g["b"]) == [-0.707107, 0.707107]
+
+
+def test_zscore_singleton_group_null(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    assert zscore_per_group(df, "g", "v").collect()[0]["zscore"] is None
+
+
+def test_udtf_token_explode(spark):
+    from pyspark.sql.functions import lit
+
+    out = TokenExplode(lit("x y z")).collect()
+    assert [(r["token"], r["pos"]) for r in out] == [("x", 0), ("y", 1), ("z", 2)]
+
+
+def test_stateful_stream_equals_batch_totals(spark, sf_dir):
+    out = run_available_now(
+        running_user_totals(stream_events(spark, sf_dir)), "update"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    key = lambda df: sorted(tuple(r) for r in df.select("user_id", "n_events", "total_value").collect())
+    assert key(out) == key(batch)
+
+
+def test_shuffle_preserves_multiset(spark, sf_dir):
+    nat = load_table(spark, sf_dir, "nation")
+    shuffled = shuffle(nat, seed=1)
+    assert sorted(r["n_nationkey"] for r in shuffled.collect()) == sorted(
+        r["n_nationkey"] for r in nat.collect()
+    )
+
+
+def test_precache_returns_count(spark, sf_dir):
+    nat = load_table(spark, sf_dir, "nation")
+    assert precache(nat) == 25
+    nat.unpersist()
