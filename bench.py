@@ -51,9 +51,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         fn(spark, WARM_DIR).count()  # warm: codegen + broadcast paths
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # steady-state: JIT/GC noise dominates run 1
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

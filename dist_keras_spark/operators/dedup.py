@@ -47,6 +47,21 @@ def exact_dedup(
     )
 
 
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition up to the session's default parallelism.
+
+    Small local fixture files arrive as ONE input partition, which
+    serializes every downstream per-row expression onto one core; at
+    cluster scale the scan is already split and this repartition is a
+    cheap no-op-sized shuffle. Compute-heavy per-row operators
+    (signatures, pairwise scoring) call this first.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """id → distinct n-word shingle set (scan-side, no shuffle)."""
     return df.select(
@@ -68,7 +83,9 @@ def jaccard_pairs(
     |A∩B| / (|A|+|B|−|A∩B|). Only pairs sharing ≥1 shingle are ever
     materialized. Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sets = shingle_sets(df, id_col, text_col, n).withColumn("ns", F.size("sh"))
+    sets = shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
+        "ns", F.size("sh")
+    )
     postings = sets.select("id", "ns", F.explode("sh").alias("shingle"))
     a = postings.select(
         F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle"
@@ -103,7 +120,7 @@ def minhash_signatures(
     a = rng.randint(1, _MINHASH_PRIME, size=k).tolist()
     b = rng.randint(0, _MINHASH_PRIME, size=k).tolist()
 
-    sets = shingle_sets(df, id_col, text_col, n)
+    sets = shingle_sets(spread(df, id_col), id_col, text_col, n)
     # Materialize the per-shingle hash array ONCE as a column (reduced
     # into [0, p): a < p < 2^31 ⇒ a·h' + b < 2^62, no ANSI long
     # overflow), then unroll the k affine rehashes as scalar-literal
@@ -177,7 +194,9 @@ def minhash_lsh_pairs(
     # verify against the raw shingle sets, NOT the signature lineage —
     # otherwise the (expensive) signature expressions are re-evaluated
     # for both sides of the join
-    sets = shingle_sets(df, id_col, text_col, n).withColumn("ns", F.size("sh"))
+    sets = shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
+        "ns", F.size("sh")
+    )
     verified = (
         cand.join(
             sets.select(
@@ -237,7 +256,7 @@ def simhash_pairs(
     signature into 4×16-bit sub-keys (pigeonhole: ≤3 differing bits →
     at least one band matches exactly), bucket-join on each band, then
     verify bit_count(xor) <= radius."""
-    sigs = simhash(df, id_col, text_col)
+    sigs = simhash(spread(df, id_col), id_col, text_col)
     banded = sigs.select(
         "id",
         "simhash",

@@ -37,9 +37,13 @@ def knn_bruteforce(
     to 6dp so the order is reproducible across engines.
     """
     from dist_keras_spark.functions.arrays import dot, l2_norm
+    from dist_keras_spark.operators.dedup import spread
 
     # precompute norms per side so each pair costs ONE fold (the dot),
-    # not three — at 100 TB the pairwise stage dominates everything
+    # not three — at 100 TB the pairwise stage dominates everything.
+    # spread() forces real parallelism on the corpus scan (small local
+    # fixture files arrive as one partition).
+    corpus = spread(corpus, id_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
