@@ -75,6 +75,43 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, output_mode="complete")
 
 
+@query(
+    "streaming_interval_join_live",
+    oracle="""
+SELECT a.user_id AS ua, a.event_id AS eid_a, b.event_id AS eid_b
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 5 MINUTE
+""",
+)
+def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9/K as REAL streaming: watermarked stream-stream self-join with
+    time bounds (bounded join state); availableNow replay makes the
+    batch range-join SQL its oracle."""
+    from dist_keras_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+        streaming_interval_self_join,
+    )
+
+    return run_available_now(
+        streaming_interval_self_join(stream_events(spark, sf_dir)), "append"
+    )
+
+
+@query("mllib_minhash_neardup")  # MLlib hash functions: rows-only + pytest recall
+def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 alternative path: MLlib MinHashLSH approxSimilarityJoin over
+    HashingTF shingle vectors (ML Pipelines interop); pytest gates its
+    recall against exact Jaccard."""
+    from dist_keras_spark.operators.mllib_lsh import mllib_minhash_pairs
+
+    d = _lt(spark, sf_dir, "documents")
+    return mllib_minhash_pairs(d, jaccard_distance=0.2)
+
+
 @query("streaming_dedup_live")  # append-mode stream: rows-only
 def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5 as real streaming: watermarked dropDuplicates on event_id."""

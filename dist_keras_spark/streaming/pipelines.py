@@ -69,6 +69,45 @@ def streaming_stream_static_join(events: DataFrame, customer: DataFrame) -> Data
     )
 
 
+def streaming_interval_self_join(events: DataFrame) -> DataFrame:
+    """C9/K: stream-stream self-join with time bounds — pairs of events
+    by the same user within 5 minutes of each other. Both sides are
+    watermarked so Spark can expire join state (bounded-state join,
+    the only kind that survives at stream scale)."""
+    a = events.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_id").alias("eid_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "10 minutes")
+    b = events.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("eid_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "10 minutes")
+    cond = (
+        (F.col("ua") == F.col("ub"))
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return a.join(b, cond).select("ua", "eid_a", "eid_b")
+
+
+def run_foreach_batch_to_parquet(stream_df: DataFrame, path: str) -> None:
+    """A9: drain a stream via foreachBatch into a parquet sink —
+    the standard pattern for sinks without native streaming writers."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame with Trigger.AvailableNow into a
     memory sink; returns the materialized result (A9)."""
