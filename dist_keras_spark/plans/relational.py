@@ -167,13 +167,16 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
 SELECT c_custkey, c_mktsegment FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
 """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5: left-anti = NOT EXISTS (customers with no orders)."""
+    """C5: left-anti = NOT EXISTS — customers with no finished ('F')
+    order (the status filter keeps the result non-degenerate: every
+    customer has *some* order in the fixtures)."""
     c = _lt(spark, sf_dir, "customer")
-    o = _lt(spark, sf_dir, "orders")
+    o = _lt(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
