@@ -76,17 +76,31 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """J3: exact n-gram Jaccard over an inverted index.
 
     explode(shingle) → self-join postings on shingle → count shared →
     |A∩B| / (|A|+|B|−|A∩B|). Only pairs sharing ≥1 shingle are ever
     materialized. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    `max_df` is the 100 TB skew valve: a shingle appearing in m docs
+    contributes m² join rows, so one boilerplate shingle can explode
+    the join. Setting max_df drops postings for shingles with document
+    frequency > max_df BEFORE the self-join — candidate recall for
+    near-dups is preserved (near-identical docs share many rare
+    shingles) but the computed jaccard becomes approximate, so the
+    default (None) keeps exact semantics for the oracle.
     """
     sets = shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
         "ns", F.size("sh")
     )
     postings = sets.select("id", "ns", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        postings = postings.join(
+            dfreq.filter(F.col("__df") <= max_df).select("shingle"), "shingle"
+        )
     a = postings.select(
         F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle"
     )
