@@ -70,7 +70,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH flagged AS (
     SELECT user_id, ts, value,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     < INTERVAL 30 MINUTE
+                     <= INTERVAL 30 MINUTE
                 THEN 0 ELSE 1 END AS new_sess
     FROM events
 ), numbered AS (
@@ -89,7 +89,9 @@ GROUP BY user_id, sid
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: session windows (30-minute gap) per user; oracle is the
-    classic gaps-and-islands rewrite (lag + cumulative sum)."""
+    classic gaps-and-islands rewrite (lag + cumulative sum). Boundary
+    semantics verified empirically: Spark MERGES events exactly one
+    gap apart, hence `<=` in the oracle's same-session condition."""
     e = _lt(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
