@@ -30,6 +30,8 @@ WARM_DIR = "/root/testdata/sf0.001"
 # as-of, set op, event-time, dedup (exact + LSH), knn, tfidf, ML inference.
 BENCH_QUERIES = [
     "revenue_by_nation",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned_items",
     "pricing_summary",
     "topk_per_group",
     "win_running_sum",
