@@ -204,6 +204,11 @@ def minhash_lsh_pairs(
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
+        # materialize the (tiny) candidate set once: truncates the
+        # signature/banding lineage so broadcast planning of the verify
+        # join can't re-execute it (measured 2-3× run-to-run variance
+        # otherwise)
+        .localCheckpoint(eager=True)
     )
     # verify against the raw shingle sets, NOT the signature lineage —
     # otherwise the (expensive) signature expressions are re-evaluated
