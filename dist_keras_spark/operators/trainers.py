@@ -209,11 +209,13 @@ class SyncDistributedTrainer(Trainer):
         rounds: int = 20,
         communication_window: int = 1,
         rho: float = 0.9,
+        momentum: float = 0.9,
         **kw,
     ) -> None:
         super().__init__(*args, **kw)
-        if mode not in ("downpour", "adag", "easgd", "dynsgd"):
+        if mode not in ("downpour", "adag", "easgd", "eamsgd", "dynsgd"):
             raise ValueError(f"unknown mode {mode!r}")
+        self.momentum = momentum
         self.mode = mode
         self.num_workers = num_workers
         self.rounds = rounds
@@ -310,6 +312,11 @@ class SyncDistributedTrainer(Trainer):
                 # elastic: center moves toward the gradient-implied
                 # worker consensus with coupling rho
                 center -= lr * (self.rho * grad)
+            elif self.mode == "eamsgd":
+                # elastic + Nesterov momentum on the center (I6):
+                # velocity look-ahead before the elastic step
+                m = self.momentum * m + lr * (self.rho * grad)
+                center -= self.momentum * m + lr * (self.rho * grad)
 
             model.set_weights(_unflatten(center, like))
             self.add_history(round=rnd, loss=mean_loss, n=n_total)
@@ -336,9 +343,9 @@ def AEASGD(*args, **kw) -> SyncDistributedTrainer:
 
 
 def EAMSGD(*args, **kw) -> SyncDistributedTrainer:
-    """REF trainers.py §EAMSGD (~L600-650); momentum folded into the
-    center optimizer."""
-    return SyncDistributedTrainer(*args, mode="easgd", **kw)
+    """REF trainers.py §EAMSGD (~L600-650): elastic averaging with
+    Nesterov momentum applied by the center optimizer."""
+    return SyncDistributedTrainer(*args, mode="eamsgd", **kw)
 
 
 def DynSGD(*args, **kw) -> SyncDistributedTrainer:

@@ -234,6 +234,25 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EXISTS_SQL)
 
 
+_SCALAR_SUBQ_SQL = """
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer)
+ORDER BY c_custkey
+"""
+
+
+@query("sql_scalar_subquery", oracle=_SCALAR_SUBQ_SQL)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.2 scalar-subquery handling: customers 50% above the mean
+    balance — the scalar aggregate plans as a separate tiny job whose
+    result folds into the main scan's filter."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: the canonical multi-aggregate hash agg.
 # ---------------------------------------------------------------------------
