@@ -56,3 +56,42 @@ class ModelPredictor:
                 yield pd.Series(list(p))
 
         return df.withColumn(self.output_col, score(F.col(self.features_col)))
+
+
+def predict_with_batch_udf(
+    df: DataFrame,
+    weights: dict,
+    n_in: int,
+    n_hidden: int,
+    n_out: int,
+    features_col: str = "features",
+    output_col: str = "prediction",
+    batch_size: int = 1024,
+) -> DataFrame:
+    """I9 via `pyspark.ml.functions.predict_batch_udf` (Spark 3.4+) —
+    the framework-blessed inference API: Spark manages model caching
+    per python worker and batch sizing. Same contract as
+    ModelPredictor; preferred when serving real DL frameworks since
+    the make_predict_fn closure can hold GPU state."""
+    import numpy as np
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def make_predict_fn():
+        from dist_keras_spark.operators.models import MLP
+
+        model = MLP(n_in, n_hidden, n_out)
+        model.set_weights(MLP.deserialize(weights))
+
+        def predict(inputs: np.ndarray) -> np.ndarray:
+            return model.forward(np.asarray(inputs, dtype=np.float64))
+
+        return predict
+
+    udf = predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(DoubleType()),
+        batch_size=batch_size,
+        input_tensor_shapes=[[n_in]],
+    )
+    return df.withColumn(output_col, udf(F.col(features_col)))

@@ -205,23 +205,36 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        json_extract_string(props, '$.k')                 AS k_str,
        CAST(json_extract_string(props, '$.k') AS INT)    AS k_int,
-       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       array_to_string(json_keys(props), ',')            AS keys_joined,
+       CAST(len(json_keys(props)) AS INT)                AS n_keys
 FROM events
 """,
 )
 def scalar_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """H-json/map: get_json_object + from_json→map + element_at.
+    """H-json/map: get_json_object + from_json→map + element_at /
+    map_keys / map round-trip (map_from_entries ∘ entries = identity,
+    exercised via the keys output).
 
     The map path (from_json to map<string,int>) exercises MapType; the
     oracle replays it through DuckDB's JSON extraction.
     """
     e = _lt(spark, sf_dir, "events")
     kmap = F.from_json("props", "map<string,int>")
+    # map → entries → map_from_entries round-trip, then keys — proves
+    # MapType construction, not just extraction
+    rebuilt = F.map_from_entries(
+        F.transform(
+            F.map_keys(kmap), lambda k: F.struct(k.alias("k"), F.element_at(kmap, k).alias("v"))
+        )
+    )
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
         F.element_at(kmap, "k").alias("k_int"),
         (F.element_at(kmap, "k") % 10).alias("k_mod"),
+        F.array_join(F.map_keys(rebuilt), ",").alias("keys_joined"),
+        F.size(F.map_values(rebuilt)).alias("n_keys"),
     )
 
 

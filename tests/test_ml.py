@@ -106,3 +106,21 @@ def test_evaluator_argmax_mode(spark):
         [([0.1, 0.9], 1), ([0.8, 0.2], 1)], "prediction array<double>, label int"
     )
     assert AccuracyEvaluator(argmax=True).evaluate(df) == 0.5
+
+
+def test_predict_batch_udf_matches_pandas_predictor(train_df):
+    """The predict_batch_udf path must agree with ModelPredictor."""
+    from dist_keras_spark.operators.predictors import predict_with_batch_udf
+
+    model = MLP(*DIMS)
+    ws = MLP.serialize(model.get_weights())
+    a = (
+        ModelPredictor(ws, *DIMS).predict(train_df)
+        .select("vec_id", "prediction").orderBy("vec_id").limit(8).collect()
+    )
+    b = (
+        predict_with_batch_udf(train_df, ws, *DIMS)
+        .select("vec_id", "prediction").orderBy("vec_id").limit(8).collect()
+    )
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(ra["prediction"], rb["prediction"], rtol=1e-12)
