@@ -18,6 +18,8 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -135,12 +137,18 @@ def minhash_signatures(
     b = rng.randint(0, _MINHASH_PRIME, size=k).tolist()
 
     sets = shingle_sets(spread(df, id_col), id_col, text_col, n)
-    # Materialize the per-shingle hash array ONCE as a column (reduced
-    # into [0, p): a < p < 2^31 ⇒ a·h' + b < 2^62, no ANSI long
-    # overflow), then unroll the k affine rehashes as scalar-literal
-    # expressions — no element_at over a literal array (which Spark
-    # rebuilds per evaluation) and no re-expansion of the xxhash
-    # subtree into each of the k array_min folds.
+    # Base shingle hash stays JVM-side (xxhash64 reduced into [0, p):
+    # a < p < 2^31 ⇒ a·h' + b < 2^62 — matters for the numpy uint64
+    # arithmetic below, which must agree with exact integer math).
+    # The k affine rehashes + min-reduction run as ONE Arrow-batched
+    # pandas_udf over the hash arrays: numpy does the whole batch as a
+    # (k × Σ|S|) broadcasted matrix with segment-mins. Alternatives
+    # measured at sf0.1: k unrolled array_min(transform(...))
+    # expressions are 3.7s warm but generate a huge codegen class that
+    # drops out of Spark's generated-class cache in long sessions and
+    # recompiles (~10s spikes); a relational explode×seeds+min-agg is
+    # stable but 20s (19M-row expansion). This path is ~1-2s and flat,
+    # PROVIDED the input is spread across partitions (see spread()).
     hashed = sets.withColumn(
         "hs",
         F.transform(
@@ -148,16 +156,34 @@ def minhash_signatures(
         ),
     )
 
-    def _minfn(ai: int, bi: int) -> F.Column:
-        return F.array_min(
-            F.transform(
-                F.col("hs"),
-                lambda h: F.pmod(h * F.lit(ai) + F.lit(bi), F.lit(_MINHASH_PRIME)),
-            )
-        )
+    from pyspark.sql.types import ArrayType, LongType
 
-    sig = F.array(*[_minfn(int(a[i]), int(b[i])) for i in range(k)])
-    return hashed.select("id", "sh", sig.alias("sig"))
+    a_np = np.asarray(a, dtype=np.uint64)[:, None]
+    b_np = np.asarray(b, dtype=np.uint64)[:, None]
+    empty_sig = np.full(k, _MINHASH_PRIME, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(hs: pd.Series) -> pd.Series:
+        lengths = hs.map(len).to_numpy()
+        if lengths.sum() == 0:
+            return pd.Series([empty_sig] * len(hs))
+        flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in hs])
+        mat = (a_np * flat[None, :] + b_np) % np.uint64(_MINHASH_PRIME)  # k × N
+        starts = np.zeros(len(hs), dtype=np.int64)
+        starts[1:] = np.cumsum(lengths)[:-1]
+        nonzero = lengths > 0
+        mins = np.minimum.reduceat(mat, starts[nonzero], axis=1)
+        out: list[np.ndarray] = []
+        j = 0
+        for nz in nonzero:
+            if nz:
+                out.append(mins[:, j].astype(np.int64))
+                j += 1
+            else:
+                out.append(empty_sig)
+        return pd.Series(out)
+
+    return hashed.select("id", "sh", _sig("hs").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -181,7 +207,17 @@ def minhash_lsh_pairs(
     skew-safety valve at scale.
     """
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, k).select("id", "sig")
+    # Eager checkpoints truncate the expression-heavy lineage: the
+    # signature/shingle subtrees otherwise re-enter planning + codegen
+    # for every downstream stage (banding, bucketing, both verify-join
+    # sides), which measured 14s of pure overhead at sf0.1 on data
+    # that computes in <0.5s. Cost: materializing |docs| signature
+    # rows — the operator is .fit()-like eager, by design.
+    sigs = (
+        minhash_signatures(df, id_col, text_col, n, k)
+        .select("id", "sig")
+        .localCheckpoint(eager=True)
+    )
     banded = sigs.select(
         "id",
         F.explode(
@@ -213,8 +249,10 @@ def minhash_lsh_pairs(
     # verify against the raw shingle sets, NOT the signature lineage —
     # otherwise the (expensive) signature expressions are re-evaluated
     # for both sides of the join
-    sets = shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
-        "ns", F.size("sh")
+    sets = (
+        shingle_sets(spread(df, id_col), id_col, text_col, n)
+        .withColumn("ns", F.size("sh"))
+        .localCheckpoint(eager=True)
     )
     verified = (
         cand.join(
