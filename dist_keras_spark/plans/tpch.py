@@ -234,6 +234,57 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EXISTS_SQL)
 
 
+_Q18_SQL = """
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_orderkey) big
+  ON big.l_orderkey = o_orderkey
+WHERE big.qty > 140
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+
+@query("tpch_q18_large_orders", oracle=_Q18_SQL)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    — aggregate-then-join (the aggregate side shrinks before the join,
+    the order that matters at scale)."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q18_SQL)
+
+
+@query(
+    "sql_correlated_min",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem l1
+WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_orderkey = l1.l_orderkey)
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def sql_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar aggregate subquery (cheapest
+    line per order) — Catalyst decorrelates it to an aggregate+join."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem l1
+WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_orderkey = l1.l_orderkey)
+ORDER BY l_orderkey, l_linenumber
+"""
+    )
+
+
 _SCALAR_SUBQ_SQL = """
 SELECT c_custkey, round(c_acctbal, 2) AS acctbal
 FROM customer
