@@ -72,6 +72,28 @@ def knn_bruteforce(
     )
 
 
+def approx_quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    id_cols: list[str] | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Scale-path alternative to ntile(n) OVER (ORDER BY value): bucket
+    by approxQuantile boundaries instead of a global single-reducer
+    sort. Two passes: a tiny sketch aggregation for the boundaries,
+    then a scan-side CASE — no global window, no skew point. Bucket
+    populations are approximately (not exactly) equal, the standard
+    trade at 100 TB."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(value_col, probs, relative_error)
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + (F.col(value_col) > F.lit(float(b))).cast("int")
+    cols = id_cols or [c for c in df.columns if c != value_col]
+    return df.select(*cols, value_col, bucket.alias("bucket"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)
