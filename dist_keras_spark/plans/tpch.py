@@ -285,6 +285,62 @@ ORDER BY l_orderkey, l_linenumber
     )
 
 
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("tpch_q15_top_supplier", oracle=_Q15_SQL)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE 'view' referenced twice (revenue + its max)
+    — Catalyst materializes the scalar max as a subquery over the same
+    aggregate."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_Q15_SQL)
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_linenumber > l1.l_linenumber)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@query("tpch_q21_waiting_supplier", oracle=_Q21_SQL)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact —
+    decorrelates to a left-semi and a left-anti join stacked on one
+    scan."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    return spark.sql(_Q21_SQL)
+
+
 _SCALAR_SUBQ_SQL = """
 SELECT c_custkey, round(c_acctbal, 2) AS acctbal
 FROM customer

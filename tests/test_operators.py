@@ -138,3 +138,17 @@ class TestDedup:
         )
         out = simhash_pairs(df, radius=0).collect()
         assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+class TestSetOpEdges:
+    def test_union_by_name_missing_columns(self, spark):
+        a = spark.createDataFrame([(1, "x")], "id long, s string")
+        b = spark.createDataFrame([(2,)], "id long")
+        out = a.unionByName(b, allowMissingColumns=True).orderBy("id").collect()
+        assert [(r["id"], r["s"]) for r in out] == [(1, "x"), (2, None)]
+
+    def test_intersect_all_keeps_duplicates(self, spark):
+        a = spark.createDataFrame([(1,), (1,), (2,)], "v int")
+        b = spark.createDataFrame([(1,), (1,), (3,)], "v int")
+        assert a.intersectAll(b).count() == 2
+        assert a.intersect(b).count() == 1
