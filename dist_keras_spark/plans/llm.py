@@ -350,6 +350,75 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_count_bpeish",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' '))                                   AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS INT)                                                   AS bpeish_tokens,
+       CAST(ceil(length(text) / 4.0) AS INT)                          AS char4_estimate
+FROM documents
+""",
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/north star: token counting three ways — whitespace, a BPE-ish
+    regex (alpha runs | digit runs | single punctuation), and the
+    chars/4 heuristic LLM pipelines use for budget estimates."""
+    d = _lt(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "bpeish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("char4_estimate"),
+    )
+
+
+@query(
+    "events_signup_conversion",
+    oracle="""
+WITH first_signup AS (
+    SELECT user_id, min(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT f.user_id,
+       CAST(count(e.event_id) AS BIGINT)          AS purchases_after_signup,
+       round(coalesce(sum(e.value), 0), 2)        AS purchase_value
+FROM first_signup f
+LEFT JOIN events e
+  ON e.user_id = f.user_id AND e.event_type = 'purchase' AND e.ts > f.signup_ts
+GROUP BY f.user_id
+""",
+)
+def events_signup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: purchases after each user's first signup —
+    aggregate-then-join (first_signup shrinks to one row per user
+    before touching the fact again)."""
+    e = _lt(spark, sf_dir, "events")
+    first_signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), "event_id", "ts", "value"
+    )
+    return (
+        first_signup.join(
+            purchases,
+            (F.col("user_id") == F.col("pu")) & (F.col("ts") > F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("event_id").alias("purchases_after_signup"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("purchase_value"),
+        )
+    )
+
+
+@query(
     "multimodal_join",
     oracle="""
 SELECT doc_id, lang, label,
