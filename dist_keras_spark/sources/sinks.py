@@ -20,3 +20,45 @@ def write_partitioned(
 ) -> None:
     """A6: hive-layout partitioned sink (one directory level per col)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Upsert-by-partition: dynamic partition overwrite replaces ONLY
+    the partitions present in `df`, leaving the rest of the table
+    untouched — the parquet-native incremental-load pattern (static
+    overwrite would truncate the whole table)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~target-sized files (returns the file count written). Streaming
+    sinks and incremental loads accrete small files; scan cost at
+    100 TB is dominated by file-open overhead once files ≪ the scan
+    split size. Rewrites via a temp dir so a mid-compaction failure
+    never corrupts the live path."""
+    import math
+    import shutil
+    import os
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -54,3 +54,35 @@ def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(l_returnflag" in physical
     total = spark.read.parquet(p).count()
     assert 0 < scan.count() < total
+
+
+def test_dynamic_partition_overwrite_preserves_others(spark, sf_dir, tmp_path):
+    from dist_keras_spark.sources.sinks import overwrite_partitions
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = str(tmp_path / "dyn")
+    write_partitioned(li, p, ["l_returnflag"])
+    before_n = spark.read.parquet(p).filter(F.col("l_returnflag") == "N").count()
+    # incremental load touching ONLY partition A, with halved quantities
+    update = li.filter(F.col("l_returnflag") == "A").withColumn(
+        "l_quantity", F.col("l_quantity") * 0
+    )
+    overwrite_partitions(update, p, ["l_returnflag"])
+    after = spark.read.parquet(p)
+    assert after.filter(F.col("l_returnflag") == "N").count() == before_n, "untouched partition intact"
+    assert after.filter((F.col("l_returnflag") == "A") & (F.col("l_quantity") != 0)).count() == 0
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from dist_keras_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "frag")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.parquet(p)  # fragment into 64 small files
+    assert len(glob.glob(f"{p}/*.parquet")) >= 32
+    n_before = spark.read.parquet(p).count()
+    written = compact_parquet(spark, p, target_file_bytes=8 * 1024 * 1024)
+    assert len(glob.glob(f"{p}/*.parquet")) == written <= 4
+    assert spark.read.parquet(p).count() == n_before
