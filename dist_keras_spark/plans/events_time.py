@@ -147,6 +147,44 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention_cohort",
+    oracle="""
+WITH first_day AS (
+    SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+    FROM events GROUP BY user_id
+)
+SELECT CAST(f.cohort_day AS DATE) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS INT)
+           AS day_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first_day f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day × activity-day
+    offset — aggregate-then-join (the cohort table is one row per user
+    before re-touching the fact), the canonical product-analytics
+    query at fleet scale."""
+    e = _lt(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        e.join(F.broadcast(first_day), "user_id")
+        .select(
+            F.col("cohort_day").cast("date").alias("cohort_day_d"),
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).cast("int").alias(
+                "day_offset"
+            ),
+            "user_id",
+        )
+        .groupBy(F.col("cohort_day_d").alias("cohort_day"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
     "events_type_share",
     oracle="""
 SELECT event_type, n, round(n * 1.0 / sum(n) OVER (), 6) AS share
