@@ -80,6 +80,65 @@ def stateful_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_quality_summary",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+           AS dup_violations,
+       CAST(coalesce(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS null_l_quantity,
+       CAST(coalesce(sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS oob_l_discount,
+       CAST(coalesce(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS oob_l_quantity
+FROM lineitem
+""",
+)
+def data_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline validation: uniqueness/null/range violation counts in
+    ONE aggregation pass (operators/quality.py) — the pre-training
+    sanity gate of a data pipeline."""
+    from dist_keras_spark.operators.quality import quality_summary
+
+    li = _lt(spark, sf_dir, "lineitem")
+    return quality_summary(
+        li,
+        unique_cols=["l_orderkey", "l_linenumber"],
+        not_null_cols=["l_quantity"],
+        range_checks={"l_discount": (0, 0.1), "l_quantity": (1, 50)},
+    )
+
+
+@query(
+    "deterministic_hash_sample",
+    oracle="""
+SELECT doc_id, lang
+FROM (
+    SELECT doc_id, lang,
+           ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096
+           +(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256
+           +(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16
+           +(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100
+               AS bucket
+    FROM documents
+)
+WHERE bucket < 20
+""",
+)
+def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20% content-hash sample of documents — reproducible across
+    engines, runs and partitionings (unlike rand/sampleBy), which is
+    what makes train/eval splits stable at 100 TB. The oracle spells
+    the hex arithmetic out digit-by-digit (DuckDB lacks conv())."""
+    from dist_keras_spark.operators.quality import deterministic_sample
+
+    d = _lt(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 20).select("doc_id", "lang")
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
 SELECT e.vec_id FROM embeddings e

@@ -61,3 +61,28 @@ def test_precache_returns_count(spark, sf_dir):
     nat = load_table(spark, sf_dir, "nation")
     assert precache(nat) == 25
     nat.unpersist()
+
+
+def test_deterministic_sample_stable_across_partitionings(spark, sf_dir):
+    from dist_keras_spark.operators.quality import deterministic_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    a = sorted(r["doc_id"] for r in deterministic_sample(d, "doc_id", 20).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(13), "doc_id", 20).collect()
+    )
+    assert a == b and 0 < len(a) < d.count()
+
+
+def test_quality_summary_detects_violations(spark):
+    from dist_keras_spark.operators.quality import quality_summary
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, None), (2, 99.0)], "id long, v double"
+    )
+    row = quality_summary(
+        df, unique_cols=["id"], not_null_cols=["v"], range_checks={"v": (0, 10)}
+    ).collect()[0]
+    assert row["n_rows"] == 3 and row["dup_violations"] == 1
+    assert row["null_v"] == 1 and row["oob_v"] == 1
