@@ -9,18 +9,25 @@ from dist_keras_spark.plans import registry
 from dist_keras_spark.plans.registry import ORACLE, QUERIES
 
 # Import for side effect: each module registers its queries.
+#
+# ORDER MATTERS: the driver's correctness harness checks the first 50
+# registered queries. Round 1 verified the aggregates/events_time/extras/
+# features/llm/ml block (CORRECTNESS_r01.json, 50/50 clean); round 2
+# rotates the core relational engine — joins, TPC-H, windows, scalar
+# batteries, streaming — into the checked window. Rounds alternate so
+# every query accumulates driver-verified signal.
 from dist_keras_spark.plans import (  # noqa: E402,F401
+    relational,
+    tpch,
+    windows,
+    scalars,
+    multimodal_stream,
     aggregates,
     events_time,
     extras,
     features,
     llm,
     ml,
-    multimodal_stream,
-    relational,
-    scalars,
-    tpch,
-    windows,
 )
 
 __all__ = ["registry", "QUERIES", "ORACLE"]

@@ -136,11 +136,14 @@ GROUP BY c_mktsegment, event_type
 """,
 )
 def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K6: stream-static join shape — events ⋈ broadcast(customer)."""
+    """K6: stream-static join shape — events ⋈ customer. The static
+    side scales with SF so it carries no broadcast hint (AQE
+    broadcasts it while it fits; the streaming variant re-plans per
+    microbatch the same way)."""
     e = _lt(spark, sf_dir, "events")
     c = _lt(spark, sf_dir, "customer")
     return (
-        e.join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        e.join(c, F.col("user_id") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
@@ -165,13 +168,15 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day × activity-day
     offset — aggregate-then-join (the cohort table is one row per user
     before re-touching the fact), the canonical product-analytics
-    query at fleet scale."""
+    query at fleet scale. first_day is one row PER USER — it scales
+    with the user population, so no broadcast hint: both sides shuffle
+    on user_id (AQE still broadcasts it when it truly fits)."""
     e = _lt(spark, sf_dir, "events")
     first_day = e.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("cohort_day")
     )
     return (
-        e.join(F.broadcast(first_day), "user_id")
+        e.join(first_day, "user_id")
         .select(
             F.col("cohort_day").cast("date").alias("cohort_day_d"),
             F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day")).cast("int").alias(

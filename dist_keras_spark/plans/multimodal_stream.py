@@ -39,15 +39,6 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_fake_decode")  # mapInPandas plumbing: rows-only
-def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 decode path: Arrow-batched mapInPandas over the blob column →
-    fixed-dim feature vectors (deterministic fake decoder; real codec
-    is a drop-in — see operators/multimodal.py)."""
-    d = attach_blob(_lt(spark, sf_dir, "documents"))
-    return fake_decode_features(d, dim=8)
-
-
 @query(
     "streaming_tumbling_live",
     oracle="""
@@ -99,6 +90,15 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         streaming_interval_self_join(stream_events(spark, sf_dir)), "append"
     )
+
+
+@query("multimodal_fake_decode")  # mapInPandas plumbing: rows-only
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 decode path: Arrow-batched mapInPandas over the blob column →
+    fixed-dim feature vectors (deterministic fake decoder; real codec
+    is a drop-in — see operators/multimodal.py)."""
+    d = attach_blob(_lt(spark, sf_dir, "documents"))
+    return fake_decode_features(d, dim=8)
 
 
 @query("mllib_minhash_neardup")  # MLlib hash functions: rows-only + pytest recall

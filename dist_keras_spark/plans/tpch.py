@@ -7,9 +7,12 @@ pipelines were single-table RDD maps — so every query here is ENG
 surface per SURVEY.md §2.C/§2.D provenance.
 
 Scale notes (100 TB posture):
-  - Dimension sides (region/nation/customer/supplier/part) are
-    broadcast explicitly; the fact-table side never shuffles for the
-    join, only for the final aggregation on the (small) group keys.
+  - Only SF-invariant dimensions (region 5 rows, nation 25, supplier)
+    carry explicit broadcast hints. customer / orders / part scale
+    linearly with SF, so their joins carry NO hint: AQE converts them
+    to broadcast joins at small SF from observed sizes and keeps them
+    as shuffle joins at 100 TB, where broadcasting them would OOM every
+    executor.
   - Aggregates are expressed as built-in hash aggregates → Spark plans
     partial (map-side) + final aggregation automatically; no Python.
   - Float sums are rounded to 2dp *in the plan* only because the
@@ -54,8 +57,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ orders ⋈ customer ⋈ nation, filtered, grouped, sorted.
 
     Plan shape: the l_shipdate predicate pushes into the parquet scan;
-    customer and nation join broadcast (small dims); the only shuffle
-    is the final hash aggregation on n_name (25 groups).
+    nation (25 rows, SF-invariant) joins broadcast. customer and orders
+    scale with SF, so they carry NO broadcast hint — at small SF the AQE
+    runtime planner converts them to broadcast joins on observed size;
+    at 100 TB they become shuffle joins, which is the only plan that
+    fits. The final shuffle is the hash aggregation on n_name (25
+    groups).
     """
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -65,7 +72,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -101,9 +108,12 @@ ORDER BY revenue DESC, n_name
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join where supplier and customer must
-    share a nation. All five dimension sides broadcast; lineitem (the
-    only table that scales) is scanned once and never shuffled until
-    the 25-group aggregate."""
+    share a nation. Only the SF-invariant dims (region 5 rows, nation
+    25, supplier ~SF·10k) carry broadcast hints; orders and customer
+    are fact-sized (they scale linearly with SF) so AQE decides their
+    join strategy from observed size — broadcast at toy SF, shuffle
+    join at 100 TB. lineitem is scanned once with the orderdate filter
+    reducing the orders side first."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     nation = _t(spark, sf_dir, "nation")
     customer = _t(spark, sf_dir, "customer")
@@ -113,8 +123,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
     return (
-        lineitem.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supplier),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -174,14 +184,16 @@ LIMIT 20
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer, top 20 —
-    grouped on a high-cardinality composite key then TakeOrdered."""
+    grouped on a high-cardinality composite key then TakeOrdered.
+    customer scales with SF → no broadcast hint (AQE decides);
+    nation is SF-invariant → broadcast."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

@@ -29,8 +29,13 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimension tables small enough to always broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Tables that are safe to ALWAYS broadcast: SF-invariant (region 5
+# rows, nation 25) or sub-percent of the fact tables (supplier is
+# SF·10k rows — ~1 GB at 100 TB lineitem, within executor budget).
+# customer and part scale linearly with SF (SF·150k / SF·200k rows) and
+# are NOT here: hint-broadcasting them OOMs at large SF. AQE still
+# broadcasts them at runtime when their observed size fits.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
