@@ -44,6 +44,28 @@ def test_flagship_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "dim joins must broadcast"
 
 
+@pytest.mark.parametrize(
+    "name", ["revenue_by_nation", "tpch_q5_local_supplier", "tpch_q10_returned_items"]
+)
+def test_fact_joins_carry_no_broadcast_hint(spark, sf_dir, name):
+    """100 TB guard: with size-based broadcast disabled, SF-scaling join
+    sides (orders/customer) must degrade to SortMergeJoin — an explicit
+    F.broadcast hint would force BroadcastHashJoin regardless and OOM at
+    scale. SF-invariant dims (nation/region/supplier) keep their hints."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan, "fact-side joins must not be hint-broadcast"
+    assert "BroadcastHashJoin" in plan, "dim hints must survive"
+
+
 def test_filter_pushdown(spark, sf_dir):
     df = QUERIES["pricing_summary"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
