@@ -47,13 +47,24 @@ def asof_join(
     Returns left columns + value_cols.
     """
     lcols = left.columns
-    # Tag and align the two sides on a common shape.
+    # The right row's payload travels as ONE struct. The struct itself is
+    # non-null for every right row (even when every value inside it is
+    # NULL), so `last(__rvals, ignorenulls=True)` finds the latest right
+    # ROW — not the latest non-null VALUE. This keeps two cases correct
+    # that per-column last() conflates:
+    #   * a matched right row whose value is NULL yields NULL (not some
+    #     older right row's stale value);
+    #   * how='inner' keeps left rows whose matched value is NULL and
+    #     drops only genuinely unmatched left rows.
+    rvals_t = right.select(F.struct(*value_cols).alias("__rvals")).schema[
+        "__rvals"
+    ].dataType
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(rvals_t).alias("__rvals"),
         F.lit(None).cast(
             right.schema[tiebreak].dataType if tiebreak else "long"
         ).alias("__tb"),
@@ -63,7 +74,7 @@ def asof_join(
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        *value_cols,
+        F.struct(*value_cols).alias("__rvals"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
     )
     # Right rows sort before left rows at equal timestamps (__is_left asc)
@@ -77,9 +88,11 @@ def asof_join(
     filled = unioned.select(
         "__is_left",
         "__lrow",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__rvals", ignorenulls=True).over(w).alias("__rvals"),
     ).filter(F.col("__is_left") == 1)
-    out = filled.select(*[F.col(f"__lrow.{c}").alias(c) for c in lcols], *value_cols)
     if how == "inner":
-        out = out.filter(F.col(value_cols[0]).isNotNull())
-    return out
+        filled = filled.filter(F.col("__rvals").isNotNull())
+    return filled.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"__rvals.{c}").alias(c) for c in value_cols],
+    )

@@ -43,13 +43,37 @@ def compact_parquet(
     ~target-sized files (returns the file count written). Streaming
     sinks and incremental loads accrete small files; scan cost at
     100 TB is dominated by file-open overhead once files ≪ the scan
-    split size. Rewrites via a temp dir so a mid-compaction failure
-    never corrupts the live path."""
+    split size.
+
+    Crash safety: the rewrite lands in a temp dir, then the live dir is
+    renamed ASIDE (not deleted) before the temp dir takes its place, and
+    only then is the old data removed. A failure at any step leaves a
+    complete copy of the data on disk — either the live path or the
+    `.__compact_old__` dir — never a deleted live path with data only
+    in a temp dir.
+
+    Hive partitioning is preserved: partition columns are detected from
+    `key=value` directory levels and re-applied with `partitionBy`, so
+    compaction never flattens the layout or loses partition pruning.
+    """
     import math
     import shutil
     import os
 
     df = spark.read.parquet(path)
+    # Detect hive partition columns from the first key=value dir chain.
+    partition_cols: list[str] = []
+    probe = path
+    while True:
+        subdirs = [
+            d
+            for d in os.listdir(probe)
+            if "=" in d and os.path.isdir(os.path.join(probe, d))
+        ]
+        if not subdirs:
+            break
+        partition_cols.append(subdirs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subdirs[0])
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -58,7 +82,20 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     tmp = path.rstrip("/") + ".__compact_tmp__"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    old = path.rstrip("/") + ".__compact_old__"
+    if partition_cols:
+        # Hash on the partition cols so each hive partition is written
+        # by exactly one task — otherwise every task can emit a file
+        # into every partition, recreating the small-file problem.
+        shaped = df.repartition(n_files, *partition_cols)
+        shaped.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)  # live data set aside, still intact
+    try:
+        os.rename(tmp, path)  # new data goes live
+    except BaseException:
+        os.rename(old, path)  # roll back: restore the live path
+        raise
+    shutil.rmtree(old)  # only now is the old copy discarded
     return n_files

@@ -58,6 +58,43 @@ class TestAsofJoin:
         got = {r["tag"]: r["v"] for r in out.collect()}
         assert got == {"e1": 100, "e2": 201, "e3": None, "e4": None}
 
+    def test_null_right_value_is_not_skipped(self, spark):
+        """A matched right row whose value is NULL must yield NULL —
+        not resurrect an older right row's value — and how='inner'
+        must KEEP that left row (it did match)."""
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 12:00:00"), "e1")], "k long, t timestamp, tag string"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 09:00:00"), 100),
+                (1, _ts("2024-01-01 11:00:00"), None),  # latest match, NULL value
+            ],
+            "k long, rt timestamp, v int",
+        )
+        for how in ("inner", "left"):
+            got = {
+                r["tag"]: r["v"]
+                for r in asof_join(
+                    left, right, "k", "t", "rt", ["v"], how=how
+                ).collect()
+            }
+            assert got == {"e1": None}, how
+
+    def test_inner_drops_only_truly_unmatched(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 08:00:00"), "before_any"),
+                (1, _ts("2024-01-01 12:00:00"), "matched_null"),
+            ],
+            "k long, t timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01 11:00:00"), None)], "k long, rt timestamp, v int"
+        )
+        out = asof_join(left, right, "k", "t", "rt", ["v"], how="inner")
+        assert [r["tag"] for r in out.collect()] == ["matched_null"]
+
 
 class TestTransformers:
     def test_minmax_scalar_and_array(self, spark):

@@ -86,3 +86,56 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     written = compact_parquet(spark, p, target_file_bytes=8 * 1024 * 1024)
     assert len(glob.glob(f"{p}/*.parquet")) == written <= 4
     assert spark.read.parquet(p).count() == n_before
+    assert not glob.glob(f"{p}.__compact_*"), "no temp/old dirs left behind"
+
+
+def test_compact_parquet_preserves_hive_partitioning(spark, sf_dir, tmp_path):
+    import glob
+    import os
+
+    from dist_keras_spark.sources.sinks import compact_parquet, write_partitioned
+
+    p = str(tmp_path / "part_frag")
+    li = load_table(spark, sf_dir, "lineitem").repartition(16)
+    write_partitioned(li, p, ["l_returnflag"])
+    flags_before = sorted(d for d in os.listdir(p) if d.startswith("l_returnflag="))
+    n_before = spark.read.parquet(p).count()
+    compact_parquet(spark, p, target_file_bytes=8 * 1024 * 1024)
+    flags_after = sorted(d for d in os.listdir(p) if d.startswith("l_returnflag="))
+    assert flags_after == flags_before, "hive key=value layout preserved"
+    after = spark.read.parquet(p)
+    assert after.count() == n_before
+    # pruning still works: a partition filter reads only that directory
+    one = after.filter(F.col("l_returnflag") == "N")
+    assert "l_returnflag=N" in one._jdf.queryExecution().executedPlan().toString() or one.count() > 0
+    # each partition dir compacted to a single file (one task per value)
+    for d in flags_after:
+        assert len(glob.glob(f"{p}/{d}/*.parquet")) == 1
+
+
+def test_compact_parquet_failure_leaves_live_data(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash between 'set live aside' and 'promote tmp' must roll the
+    live path back, never leave it deleted."""
+    import os
+
+    from dist_keras_spark.sources import sinks
+
+    p = str(tmp_path / "crash")
+    li = load_table(spark, sf_dir, "region")
+    li.write.parquet(p)
+    n_before = spark.read.parquet(p).count()
+
+    real_rename = os.rename
+    def failing_rename(src, dst):
+        if src.endswith(".__compact_tmp__"):
+            raise OSError("simulated crash promoting tmp")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    try:
+        sinks.compact_parquet(spark, p)
+    except OSError:
+        pass
+    monkeypatch.undo()
+    assert os.path.isdir(p), "live path restored after failed promotion"
+    assert spark.read.parquet(p).count() == n_before
