@@ -25,6 +25,20 @@ def softmax(z: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=1, keepdims=True)
 
 
+def _sgd_epoch(model, x, y, lr, batch_size, rng) -> float:
+    """One epoch of minibatch SGD in place; returns mean loss.
+    Works for any model honoring the get_weights/loss_grad contract."""
+    idx = rng.permutation(len(x))
+    losses = []
+    for s in range(0, len(x), batch_size):
+        b = idx[s : s + batch_size]
+        loss, grads = model.loss_grad(x[b], y[b])
+        for w, g in zip(model.get_weights(), grads):
+            w -= lr * g
+        losses.append(loss)
+    return float(np.mean(losses)) if losses else 0.0
+
+
 class MLP:
     """One-hidden-layer MLP classifier (tanh + softmax), pure numpy.
 
@@ -90,12 +104,83 @@ class MLP:
         rng: np.random.RandomState,
     ) -> float:
         """One epoch of minibatch SGD in place; returns mean loss."""
-        idx = rng.permutation(len(x))
-        losses = []
-        for s in range(0, len(x), batch_size):
-            b = idx[s : s + batch_size]
-            loss, grads = self.loss_grad(x[b], y[b])
-            for w, g in zip(self.get_weights(), grads):
-                w -= lr * g
-            losses.append(loss)
-        return float(np.mean(losses)) if losses else 0.0
+        return _sgd_epoch(self, x, y, lr, batch_size, rng)
+
+
+class ConvNet1D:
+    """1-D convnet classifier: valid conv (tanh) → flatten → dense
+    softmax, pure numpy.
+
+    Second implementation of the model contract
+    (forward / loss_grad / get_weights / set_weights / sgd_epoch),
+    proving the trainers are model-agnostic — the analogue of the
+    reference's `examples/mnist.ipynb` convnet fed through
+    ReshapeTransformer (distkeras/transformers.py §ReshapeTransformer
+    ~L135-150): the input vector is treated as a length-`n_in` signal
+    with 1 channel.
+    """
+
+    def __init__(
+        self,
+        n_in: int,
+        n_filters: int = 8,
+        n_out: int = 10,
+        kernel: int = 5,
+        seed: int = 42,
+    ) -> None:
+        if kernel > n_in:
+            raise ValueError(f"kernel {kernel} wider than input {n_in}")
+        rng = np.random.RandomState(seed)
+        self.kernel, self.n_in = kernel, n_in
+        self.L = n_in - kernel + 1  # valid-conv output length
+        sc = np.sqrt(6.0 / (kernel + n_filters))
+        sd = np.sqrt(6.0 / (self.L * n_filters + n_out))
+        self.wc = rng.uniform(-sc, sc, (kernel, n_filters))
+        self.bc = np.zeros(n_filters)
+        self.wd = rng.uniform(-sd, sd, (self.L * n_filters, n_out))
+        self.bd = np.zeros(n_out)
+
+    # -- serialization -------------------------------------------------------
+
+    def get_weights(self) -> list[np.ndarray]:
+        return [self.wc, self.bc, self.wd, self.bd]
+
+    def set_weights(self, ws: list[np.ndarray]) -> None:
+        self.wc, self.bc, self.wd, self.bd = [
+            np.asarray(w, dtype=np.float64) for w in ws
+        ]
+
+    serialize = staticmethod(MLP.serialize)
+    deserialize = staticmethod(MLP.deserialize)
+
+    # -- compute -------------------------------------------------------------
+
+    def _windows(self, x: np.ndarray) -> np.ndarray:
+        """(n, n_in) → (n, L, kernel) sliding views (no copy)."""
+        return np.lib.stride_tricks.sliding_window_view(x, self.kernel, axis=1)
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        h = np.tanh(self._windows(x) @ self.wc + self.bc)  # (n, L, F)
+        return softmax(h.reshape(len(x), -1) @ self.wd + self.bd)
+
+    def loss_grad(
+        self, x: np.ndarray, y: np.ndarray
+    ) -> tuple[float, list[np.ndarray]]:
+        n = x.shape[0]
+        win = self._windows(x)                      # (n, L, k)
+        h = np.tanh(win @ self.wc + self.bc)        # (n, L, F)
+        flat = h.reshape(n, -1)
+        p = softmax(flat @ self.wd + self.bd)
+        loss = float(-np.log(np.clip(p[np.arange(n), y], 1e-12, None)).mean())
+        dzd = p.copy()
+        dzd[np.arange(n), y] -= 1.0
+        dzd /= n
+        gwd = flat.T @ dzd
+        gbd = dzd.sum(axis=0)
+        dh = (dzd @ self.wd.T).reshape(h.shape) * (1 - h * h)  # (n, L, F)
+        gwc = np.einsum("nlk,nlf->kf", win, dh)
+        gbc = dh.sum(axis=(0, 1))
+        return loss, [gwc, gbc, gwd, gbd]
+
+    def sgd_epoch(self, x, y, lr, batch_size, rng) -> float:
+        return _sgd_epoch(self, x, y, lr, batch_size, rng)

@@ -34,21 +34,25 @@ class ModelPredictor:
         n_out: int,
         features_col: str = "features",
         output_col: str = "prediction",
+        model_factory=None,
     ) -> None:
         self.weights = weights
         self.dims = (n_in, n_hidden, n_out)
         self.features_col = features_col
         self.output_col = output_col
+        # pluggable model contract (same as trainers.Trainer): any
+        # zero-arg callable whose result honors forward/set_weights.
+        self.model_factory = model_factory
 
     def predict(self, df: DataFrame) -> DataFrame:
-        weights, dims = self.weights, self.dims
+        weights, dims, factory = self.weights, self.dims, self.model_factory
 
         @F.pandas_udf(ArrayType(DoubleType()))
         def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
             # deserialize once per partition, not per row/batch
             from dist_keras_spark.operators.models import MLP
 
-            model = MLP(*dims)
+            model = factory() if factory is not None else MLP(*dims)
             model.set_weights(MLP.deserialize(weights))
             for s in batches:
                 x = np.stack(s.to_numpy())

@@ -49,9 +49,14 @@ def _flatten(ws: list[np.ndarray]) -> np.ndarray:
 
 
 def _unflatten(flat: np.ndarray, like: list[np.ndarray]) -> list[np.ndarray]:
+    # .copy() is load-bearing: a reshape of a slice is a VIEW into
+    # `flat`, and set_weights/np.asarray won't copy a same-dtype array
+    # — so a model built from views would silently mutate `flat` (e.g.
+    # a broadcast center) on every in-place SGD step, making the
+    # reported center→local movement identically zero.
     out, off = [], 0
     for w in like:
-        out.append(np.asarray(flat[off : off + w.size]).reshape(w.shape))
+        out.append(np.asarray(flat[off : off + w.size]).reshape(w.shape).copy())
         off += w.size
     return out
 
@@ -66,7 +71,15 @@ def _xy(pdf_iter: Iterator[pd.DataFrame], features_col: str, label_col: str):
 
 class Trainer:
     """Base trainer: dims + SGD hyperparameters + wall-clock history
-    (parity with distkeras/trainers.py §Trainer.add_history ~L60-120)."""
+    (parity with distkeras/trainers.py §Trainer.add_history ~L60-120).
+
+    `model_factory` makes the model pluggable (the reference ships any
+    Keras architecture; here any zero-arg callable returning an object
+    with forward/loss_grad/get_weights/set_weights works — e.g.
+    `lambda: ConvNet1D(64, n_filters=8, n_out=10)`). Default: the MLP
+    built from `dims`. The factory is shipped to executors inside the
+    mapInPandas closure, so it must be picklable (cloudpickle handles
+    lambdas and local functions)."""
 
     def __init__(
         self,
@@ -79,6 +92,7 @@ class Trainer:
         batch_size: int = 32,
         learning_rate: float = 0.1,
         seed: int = 42,
+        model_factory=None,
     ) -> None:
         self.dims = (n_in, n_hidden, n_out)
         self.features_col = features_col
@@ -87,13 +101,27 @@ class Trainer:
         self.batch_size = batch_size
         self.learning_rate = learning_rate
         self.seed = seed
+        self.model_factory = model_factory
         self.history: list[dict] = []
 
-    def _new_model(self) -> MLP:
+    def _new_model(self):
+        if self.model_factory is not None:
+            return self.model_factory()
         return MLP(*self.dims, seed=self.seed)
 
     def add_history(self, **kw) -> None:
         self.history.append({"t": time.time(), **kw})
+
+    def get_averaged_history(self, metric: str = "loss") -> float:
+        """Mean of `metric` across all recorded history entries that
+        carry it (parity with distkeras/trainers.py
+        §Trainer.get_averaged_history ~L100, which averages worker
+        training histories). Entries without the metric (e.g. round
+        markers) are ignored; raises if none carry it."""
+        vals = [h[metric] for h in self.history if metric in h]
+        if not vals:
+            raise ValueError(f"no history entries carry metric {metric!r}")
+        return float(sum(vals)) / len(vals)
 
 
 class SingleTrainer(Trainer):
@@ -127,8 +155,11 @@ class EnsembleTrainer(Trainer):
         self.num_models = num_models
 
     def _train_partitions(self, df: DataFrame) -> DataFrame:
-        dims, fc, lc = self.dims, self.features_col, self.label_col
+        fc, lc = self.features_col, self.label_col
         epochs, bs, lr, seed = self.num_epoch, self.batch_size, self.learning_rate, self.seed
+        factory = self.model_factory or (
+            lambda dims=self.dims: MLP(*dims, seed=seed)
+        )
 
         def run(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext
@@ -141,7 +172,7 @@ class EnsembleTrainer(Trainer):
             if not xs:
                 return
             x, y = np.concatenate(xs), np.concatenate(ys)
-            model = MLP(*dims, seed=seed)
+            model = factory()
             rng = np.random.RandomState(seed + pid)
             loss = 0.0
             for _ in range(epochs):
@@ -195,6 +226,14 @@ class SyncDistributedTrainer(Trainer):
     the center absorbs their movement — the synchronous analogue of
     the reference's commit window).
 
+    The elastic modes ('easgd'/'eamsgd') only perform elastic
+    averaging when workers actually drift from the center, i.e. when
+    communication_window > 1; at window=1 the per-partition "local
+    model" is a single gradient step and the update degenerates to
+    rho-scaled (momentum) SGD. communication_window therefore defaults
+    to 5 for the elastic modes and 1 otherwise (pass it explicitly to
+    override).
+
     Scale: only weights move (broadcast down, one gradient row per
     partition up). For models where num_partitions × |w| exceeds
     driver memory, swap the collect for a treeAggregate-style two-level
@@ -207,7 +246,7 @@ class SyncDistributedTrainer(Trainer):
         mode: str = "adag",
         num_workers: int = 8,
         rounds: int = 20,
-        communication_window: int = 1,
+        communication_window: int | None = None,
         rho: float = 0.9,
         momentum: float = 0.9,
         **kw,
@@ -219,6 +258,10 @@ class SyncDistributedTrainer(Trainer):
         self.mode = mode
         self.num_workers = num_workers
         self.rounds = rounds
+        if communication_window is None:
+            # elastic modes need local drift to average elastically;
+            # window=1 would degenerate them to rho-scaled SGD.
+            communication_window = 5 if mode in ("easgd", "eamsgd") else 1
         self.communication_window = communication_window
         self.rho = rho
 
@@ -226,7 +269,10 @@ class SyncDistributedTrainer(Trainer):
         spark = df.sparkSession
         model = self._new_model()
         like = model.get_weights()
-        dims, fc, lc = self.dims, self.features_col, self.label_col
+        fc, lc = self.features_col, self.label_col
+        factory = self.model_factory or (
+            lambda dims=self.dims, seed=self.seed: MLP(*dims, seed=seed)
+        )
         lr, bs, window, seed = (
             self.learning_rate,
             self.batch_size,
@@ -258,7 +304,7 @@ class SyncDistributedTrainer(Trainer):
                 if not xs:
                     return
                 x, y = np.concatenate(xs), np.concatenate(ys)
-                local = MLP(*dims, seed=seed)
+                local = factory()
                 local.set_weights(_unflatten(np.asarray(bweights.value), like))
                 if window <= 1:
                     loss, grads = local.loss_grad(x, y)
@@ -266,11 +312,21 @@ class SyncDistributedTrainer(Trainer):
                 else:
                     # local-SGD window: take `window` minibatch steps,
                     # report the (negative) movement as the delta
+                    # report the full-partition loss at the CENTER
+                    # weights — the model the trainer actually returns.
+                    # (A local post-step loss plateaus: each worker's
+                    # shard-specific gains cancel in the averaging, so
+                    # it tracks neither the center nor convergence; a
+                    # last-minibatch loss is noise on top.) This matches
+                    # what the window=1 branch reports.
+                    p = local.forward(x)
+                    loss = float(
+                        -np.log(np.clip(p[np.arange(len(y)), y], 1e-12, None)).mean()
+                    )
                     rng = np.random.RandomState(seed + pid + 7919 * rnd)
-                    loss = 0.0
                     for _ in range(window):
                         idx = rng.choice(len(x), size=min(bs, len(x)), replace=False)
-                        loss, grads = local.loss_grad(x[idx], y[idx])
+                        _, grads = local.loss_grad(x[idx], y[idx])
                         for w, g in zip(local.get_weights(), grads):
                             w -= lr * g
                     payload = (
@@ -314,9 +370,16 @@ class SyncDistributedTrainer(Trainer):
                 center -= lr * (self.rho * grad)
             elif self.mode == "eamsgd":
                 # elastic + Nesterov momentum on the center (I6):
-                # velocity look-ahead before the elastic step
-                m = self.momentum * m + lr * (self.rho * grad)
-                center -= self.momentum * m + lr * (self.rho * grad)
+                # velocity look-ahead before the elastic step. The
+                # (1-momentum) damping keeps the steady-state step equal
+                # to the easgd step — undamped, the geometric momentum
+                # sum multiplies the elastic step by 1/(1-momentum)
+                # (≈10× at momentum .9), overshooting past the worker
+                # consensus every round and oscillating instead of
+                # converging.
+                step = lr * (self.rho * grad)
+                m = self.momentum * m + (1 - self.momentum) * step
+                center -= self.momentum * m + (1 - self.momentum) * step
 
             model.set_weights(_unflatten(center, like))
             self.add_history(round=rnd, loss=mean_loss, n=n_total)

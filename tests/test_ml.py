@@ -124,3 +124,66 @@ def test_predict_batch_udf_matches_pandas_predictor(train_df):
     )
     for ra, rb in zip(a, b):
         np.testing.assert_allclose(ra["prediction"], rb["prediction"], rtol=1e-12)
+
+
+def test_convnet_gradcheck():
+    """ConvNet1D.loss_grad against central finite differences — the
+    gradient math is hand-derived, so verify it numerically."""
+    from dist_keras_spark.operators.models import ConvNet1D
+
+    rng = np.random.RandomState(0)
+    m = ConvNet1D(12, n_filters=3, n_out=4, kernel=5, seed=1)
+    x = rng.randn(6, 12)
+    y = rng.randint(0, 4, size=6)
+    _, grads = m.loss_grad(x, y)
+    eps = 1e-6
+    for w, g in zip(m.get_weights(), grads):
+        it = np.nditer(w, flags=["multi_index"])
+        for _ in range(min(w.size, 5)):  # spot-check 5 coords per tensor
+            i = it.multi_index
+            orig = w[i]
+            w[i] = orig + eps
+            lp, _ = m.loss_grad(x, y)
+            w[i] = orig - eps
+            lm, _ = m.loss_grad(x, y)
+            w[i] = orig
+            np.testing.assert_allclose(g[i], (lp - lm) / (2 * eps), rtol=1e-4, atol=1e-7)
+            it.iternext()
+
+
+def test_pluggable_model_trains_distributed(train_df):
+    """The model contract is pluggable: a ConvNet1D trains through the
+    SAME SyncDistributedTrainer and scores through the SAME
+    ModelPredictor as the MLP (mirrors the reference's mnist.ipynb
+    convnet-through-the-common-trainer path)."""
+    from dist_keras_spark.operators.models import ConvNet1D
+
+    factory = lambda: ConvNet1D(64, n_filters=4, n_out=10, kernel=9, seed=42)  # noqa: E731
+    dist = SyncDistributedTrainer(
+        *DIMS, mode="adag", num_workers=4, rounds=12, learning_rate=0.05,
+        model_factory=factory,
+    )
+    ws = dist.train(train_df)
+    losses = [h["loss"] for h in dist.history]
+    assert losses[-1] < losses[0], "convnet loss must decrease through the shared trainer"
+    # shapes round-trip through the generic flatten/unflatten exchange
+    like = factory().get_weights()
+    assert [w.shape for w in ws] == [w.shape for w in like]
+    # and the shared Arrow predictor scores it
+    pred = ModelPredictor(
+        ConvNet1D.serialize(ws), *DIMS, model_factory=factory
+    ).predict(train_df)
+    rows = pred.select("prediction").limit(4).collect()
+    got = np.stack([np.asarray(r["prediction"]) for r in rows])
+    np.testing.assert_allclose(got.sum(axis=1), 1.0, rtol=1e-9)
+
+
+def test_get_averaged_history(train_df):
+    t = SingleTrainer(*DIMS, num_epoch=3, learning_rate=0.3)
+    t.train(train_df)
+    losses = [h["loss"] for h in t.history]
+    assert t.get_averaged_history("loss") == pytest.approx(sum(losses) / len(losses))
+    t.add_history(round=1)  # marker entry without the metric: ignored
+    assert t.get_averaged_history("loss") == pytest.approx(sum(losses) / len(losses))
+    with pytest.raises(ValueError, match="no history"):
+        t.get_averaged_history("nope")

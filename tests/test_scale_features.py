@@ -93,3 +93,36 @@ def test_unknown_trainer_mode_rejected():
 
     with pytest.raises(ValueError, match="unknown mode"):
         SyncDistributedTrainer(4, 2, 2, mode="gossip")
+
+
+def test_elastic_modes_default_multi_step_window():
+    """easgd/eamsgd with communication_window=1 degenerate to plain
+    rho-scaled SGD (no local drift to elastically average), so the
+    elastic modes must default to a local-SGD window > 1."""
+    from dist_keras_spark.operators.trainers import AEASGD, EAMSGD, ADAG
+
+    assert AEASGD(4, 2, 2).communication_window > 1
+    assert EAMSGD(4, 2, 2).communication_window > 1
+    assert ADAG(4, 2, 2).communication_window == 1
+    # explicit override still honored
+    assert AEASGD(4, 2, 2, communication_window=3).communication_window == 3
+
+
+def test_unflatten_never_aliases_the_flat_buffer():
+    """Regression: _unflatten must COPY — a view would let a model's
+    in-place SGD steps mutate the broadcast center buffer, zeroing the
+    reported center→local movement (elastic modes silently froze)."""
+    import numpy as np
+
+    from dist_keras_spark.operators.models import MLP
+    from dist_keras_spark.operators.trainers import _flatten, _unflatten
+
+    like = MLP(4, 3, 2).get_weights()
+    flat = _flatten(like)
+    before = flat.copy()
+    m = MLP(4, 3, 2)
+    m.set_weights(_unflatten(flat, like))
+    for w in m.get_weights():
+        w -= 1.0  # in-place update, as sgd_epoch does
+    assert np.array_equal(flat, before), "flat buffer mutated through a view"
+    assert np.linalg.norm(_flatten(m.get_weights()) - flat) > 0
