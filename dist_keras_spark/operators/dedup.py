@@ -30,6 +30,30 @@ from dist_keras_spark.functions.text import shingles, tokens
 _MINHASH_PRIME = 2_147_483_647
 
 
+def _stage(df: DataFrame, materialize: str | None) -> DataFrame:
+    """Materialize an intermediate to truncate expression-heavy lineage.
+
+    'local'   — localCheckpoint(eager): blocks live on executors; right
+                for single-node / interactive use, NOT for 100 TB (the
+                signature set must fit in cluster block storage and
+                dies with executors).
+    'storage' — reliable checkpoint to spark.sparkContext's checkpoint
+                dir (HDFS/object store at scale); caller must have
+                called setCheckpointDir.
+    None      — no materialization: pure lazy lineage. Subtrees may be
+                re-planned/re-executed by downstream stages, trading
+                recompute for zero storage — the right call when the
+                input dwarfs cluster storage.
+    """
+    if materialize == "local":
+        return df.localCheckpoint(eager=True)
+    if materialize == "storage":
+        return df.checkpoint(eager=True)
+    if materialize is None:
+        return df
+    raise ValueError(f"unknown materialize strategy: {materialize!r}")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", keep_order: list[str] | None = None
 ) -> DataFrame:
@@ -195,6 +219,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    materialize: str | None = "local",
 ) -> DataFrame:
     """J2: MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -205,6 +230,11 @@ def minhash_lsh_pairs(
     with k=64, b=16). `max_bucket` caps degenerate buckets (e.g. the
     empty-shingle bucket) — dropped buckets are logged by count, the
     skew-safety valve at scale.
+
+    `materialize` sizes the lineage-truncation strategy to the corpus
+    (see `_stage`): 'local' (default) for single-node runs, 'storage'
+    for cluster-scale corpora with a checkpoint dir, None to keep the
+    plan fully lazy (no materialization at all).
     """
     r = k // bands
     # Eager checkpoints truncate the expression-heavy lineage: the
@@ -212,11 +242,12 @@ def minhash_lsh_pairs(
     # for every downstream stage (banding, bucketing, both verify-join
     # sides), which measured 14s of pure overhead at sf0.1 on data
     # that computes in <0.5s. Cost: materializing |docs| signature
-    # rows — the operator is .fit()-like eager, by design.
-    sigs = (
-        minhash_signatures(df, id_col, text_col, n, k)
-        .select("id", "sig")
-        .localCheckpoint(eager=True)
+    # rows — the operator is .fit()-like eager, by design. At 100 TB
+    # pass materialize='storage' (or None); 'local' pins the signature
+    # set to executor block storage.
+    sigs = _stage(
+        minhash_signatures(df, id_col, text_col, n, k).select("id", "sig"),
+        materialize,
     )
     banded = sigs.select(
         "id",
@@ -240,19 +271,20 @@ def minhash_lsh_pairs(
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
-        # materialize the (tiny) candidate set once: truncates the
-        # signature/banding lineage so broadcast planning of the verify
-        # join can't re-execute it (measured 2-3× run-to-run variance
-        # otherwise)
-        .localCheckpoint(eager=True)
     )
+    # materialize the (tiny) candidate set once: truncates the
+    # signature/banding lineage so broadcast planning of the verify
+    # join can't re-execute it (measured 2-3× run-to-run variance
+    # otherwise)
+    cand = _stage(cand, materialize)
     # verify against the raw shingle sets, NOT the signature lineage —
     # otherwise the (expensive) signature expressions are re-evaluated
     # for both sides of the join
-    sets = (
-        shingle_sets(spread(df, id_col), id_col, text_col, n)
-        .withColumn("ns", F.size("sh"))
-        .localCheckpoint(eager=True)
+    sets = _stage(
+        shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
+            "ns", F.size("sh")
+        ),
+        materialize,
     )
     verified = (
         cand.join(

@@ -46,6 +46,23 @@ def test_minhash_lsh_recall_is_total_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_minhash_lsh_runs_without_materialization(spark, sf_dir):
+    """materialize=None keeps the whole plan lazy (no localCheckpoint —
+    the 100 TB posture where signatures must not pin executor storage)
+    and must yield the identical pair set."""
+    import pytest
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eager = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(d, threshold=0.8).collect()}
+    lazy = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d, threshold=0.8, materialize=None).collect()
+    }
+    assert lazy == eager
+    with pytest.raises(ValueError, match="materialize"):
+        minhash_lsh_pairs(d, materialize="bogus")
+
+
 def test_shingles_edges(spark):
     df = spark.createDataFrame([("a b c d",), ("a b",), ("a a a a",)], "text string")
     out = df.select(shingles(tokens("text"), 3).alias("s")).collect()
