@@ -30,4 +30,9 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     ml,
 )
 
+# Two rows-only queries (driver signal = "ran clean", which pytest
+# already guarantees) yield their window slots to the oracle-backed
+# TPC-H Q4/Q16 added this round.
+registry.demote("scalar_hash_spark_native", "streaming_dedup_live")
+
 __all__ = ["registry", "QUERIES", "ORACLE"]

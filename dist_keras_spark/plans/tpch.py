@@ -420,3 +420,61 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", oracle=_Q4_SQL)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (§4.2 decorrelation): correlated EXISTS with a
+    RANGE predicate on the outer column (l_shipdate > o_orderdate + 60
+    days — the fixture has no commit/receipt dates, so "late shipment"
+    stands in for "late commit"). Catalyst decorrelates to a left-semi
+    join; the identical text runs on DuckDB as the oracle.
+
+    Scale: the date filter prunes orders at the scan; the semi join
+    shuffles on l_orderkey/o_orderkey and carries only the join key +
+    the two compared columns — no payload."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q4_SQL)
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+@query("tpch_q16_supplier_cnt", oracle=_Q16_SQL)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN subquery (→ null-aware anti join) +
+    count(DISTINCT) over a selective dimension filter (the fixture has
+    no partsupp, so lineitem supplies the part↔supplier pairs and
+    s_acctbal < 0 stands in for the complaints predicate).
+
+    Scale: p_size IN (1,4,7) + brand filter prune part at the scan
+    (~6% selectivity); the excluded-supplier set is tiny and
+    broadcast; the distinct-agg shuffles (brand, size, suppkey) only."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("part", "lineitem", "supplier"))
+    return spark.sql(_Q16_SQL)
