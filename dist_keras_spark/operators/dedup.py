@@ -145,69 +145,109 @@ def jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
-) -> DataFrame:
-    """MinHash signature of the n-shingle set: each shingle is hashed
-    ONCE (xxhash64), then the k hash functions are affine rehashes
-    hᵢ(x) = (aᵢ·x + bᵢ) mod p over the precomputed hash array — k·|S|
-    multiply-adds instead of k·|S| string concat+hash (≈20× cheaper;
-    this is the scan-stage hot loop of near-dedup at 100 TB). Seeded
-    literal coefficient arrays keep it deterministic."""
-    import numpy as np
-
-    rng = np.random.RandomState(42)
-    a = rng.randint(1, _MINHASH_PRIME, size=k).tolist()
-    b = rng.randint(0, _MINHASH_PRIME, size=k).tolist()
-
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """id → array of shingle hashes in [0, p). The base shingle hash
+    stays JVM-side (xxhash64 reduced mod p): a < p < 2^31 ⇒
+    a·h' + b < 2^62 — matters for the numpy uint64 arithmetic in the
+    signature UDF, which must agree with exact integer math."""
     sets = shingle_sets(spread(df, id_col), id_col, text_col, n)
-    # Base shingle hash stays JVM-side (xxhash64 reduced into [0, p):
-    # a < p < 2^31 ⇒ a·h' + b < 2^62 — matters for the numpy uint64
-    # arithmetic below, which must agree with exact integer math).
-    # The k affine rehashes + min-reduction run as ONE Arrow-batched
-    # pandas_udf over the hash arrays: numpy does the whole batch as a
-    # (k × Σ|S|) broadcasted matrix with segment-mins. Alternatives
-    # measured at sf0.1: k unrolled array_min(transform(...))
-    # expressions are 3.7s warm but generate a huge codegen class that
-    # drops out of Spark's generated-class cache in long sessions and
-    # recompiles (~10s spikes); a relational explode×seeds+min-agg is
-    # stable but 20s (19M-row expansion). This path is ~1-2s and flat,
-    # PROVIDED the input is spread across partitions (see spread()).
-    hashed = sets.withColumn(
+    return sets.withColumn(
         "hs",
         F.transform(
             F.col("sh"), lambda sh: F.pmod(F.xxhash64(sh), F.lit(_MINHASH_PRIME))
         ),
     )
 
+
+def _minhash_udf(k: int, band_count: int | None = None):
+    """Arrow-batched minhash kernel: k affine rehashes
+    hᵢ(x) = (aᵢ·x + bᵢ) mod p over the precomputed shingle-hash array —
+    k·|S| multiply-adds instead of k·|S| string concat+hash (≈20×
+    cheaper; this is the scan-stage hot loop of near-dedup at 100 TB).
+    numpy does the whole batch as a (k × Σ|S|) broadcasted matrix with
+    segment-mins. Alternatives measured at sf0.1: k unrolled
+    array_min(transform(...)) expressions are 3.7s warm but generate a
+    huge codegen class that recompiles (~10s spikes) in long sessions;
+    a relational explode×seeds+min-agg is stable but 20s (19M-row
+    expansion). This path is ~1s warm and flat, PROVIDED the input is
+    spread across partitions (see spread()).
+
+    band_count=None → emit the k signature minima.
+    band_count=b → fold each band of r=k/b minima into ONE 64-bit
+    band hash inside the same numpy pass (seeded odd multipliers,
+    wrap-around sum): equal band slices ⇒ equal hash, so LSH recall is
+    unchanged, and the per-row payload shrinks k/b× while the separate
+    banding expression stage disappears entirely.
+    """
     from pyspark.sql.types import ArrayType, LongType
 
-    a_np = np.asarray(a, dtype=np.uint64)[:, None]
-    b_np = np.asarray(b, dtype=np.uint64)[:, None]
-    empty_sig = np.full(k, _MINHASH_PRIME, dtype=np.int64)
+    rng = np.random.RandomState(42)
+    a_np = rng.randint(1, _MINHASH_PRIME, size=k).astype(np.uint64)[:, None]
+    b_np = rng.randint(0, _MINHASH_PRIME, size=k).astype(np.uint64)[:, None]
+
+    if band_count is not None:
+        r = k // band_count
+        mix = (
+            np.random.RandomState(7)
+            .randint(1, 2**62, size=(band_count, r), dtype=np.uint64)
+            | np.uint64(1)
+        )
+
+        def rows(mins: np.ndarray) -> np.ndarray:  # (k × m) → (b × m)
+            prod = mins.reshape(band_count, r, -1) * mix[:, :, None]
+            s = prod.sum(axis=1, dtype=np.uint64)  # wrap mod 2^64: deterministic
+            return (s & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+    else:
+
+        def rows(mins: np.ndarray) -> np.ndarray:
+            return mins.astype(np.int64)
+
+    empty_row = rows(np.full((k, 1), _MINHASH_PRIME, dtype=np.uint64))[:, 0]
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(hs: pd.Series) -> pd.Series:
         lengths = hs.map(len).to_numpy()
         if lengths.sum() == 0:
-            return pd.Series([empty_sig] * len(hs))
+            return pd.Series([empty_row] * len(hs))
         flat = np.concatenate([np.asarray(x, dtype=np.uint64) for x in hs])
         mat = (a_np * flat[None, :] + b_np) % np.uint64(_MINHASH_PRIME)  # k × N
         starts = np.zeros(len(hs), dtype=np.int64)
         starts[1:] = np.cumsum(lengths)[:-1]
         nonzero = lengths > 0
-        mins = np.minimum.reduceat(mat, starts[nonzero], axis=1)
+        vals = rows(np.minimum.reduceat(mat, starts[nonzero], axis=1))
         out: list[np.ndarray] = []
         j = 0
         for nz in nonzero:
             if nz:
-                out.append(mins[:, j].astype(np.int64))
+                out.append(vals[:, j])
                 j += 1
             else:
-                out.append(empty_sig)
+                out.append(empty_row)
         return pd.Series(out)
 
-    return hashed.select("id", "sh", _sig("hs").alias("sig"))
+    return _sig
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """MinHash signature (k minima) of the n-shingle set; seeded
+    coefficient arrays keep it deterministic. See _minhash_udf for the
+    kernel design."""
+    return _hashed_shingles(df, id_col, text_col, n).select(
+        "id", "sh", _minhash_udf(k)("hs").alias("sig")
+    )
+
+
+def minhash_band_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64, bands: int = 16
+) -> DataFrame:
+    """id → array of `bands` LSH band hashes, computed in one Arrow
+    pass (signature minima never leave the UDF)."""
+    return _hashed_shingles(df, id_col, text_col, n).select(
+        "id", _minhash_udf(k, bands)("hs").alias("bh")
+    )
 
 
 def minhash_lsh_pairs(
@@ -236,31 +276,33 @@ def minhash_lsh_pairs(
     for cluster-scale corpora with a checkpoint dir, None to keep the
     plan fully lazy (no materialization at all).
     """
-    r = k // bands
-    # Eager checkpoints truncate the expression-heavy lineage: the
-    # signature/shingle subtrees otherwise re-enter planning + codegen
-    # for every downstream stage (banding, bucketing, both verify-join
-    # sides), which measured 14s of pure overhead at sf0.1 on data
-    # that computes in <0.5s. Cost: materializing |docs| signature
-    # rows — the operator is .fit()-like eager, by design. At 100 TB
-    # pass materialize='storage' (or None); 'local' pins the signature
-    # set to executor block storage.
-    sigs = _stage(
-        minhash_signatures(df, id_col, text_col, n, k).select("id", "sig"),
+    # ONE pass computes the shingle sets; both the LSH candidate side
+    # (→ xxhash64 → Arrow band-hash kernel) and the exact-Jaccard
+    # verify side derive from it. The tokenize/shingle chain is
+    # interpreted-HOF (Spark doesn't codegen higher-order functions)
+    # and dominates fresh-plan cost, so evaluating it once instead of
+    # twice — and at 100 TB, ONE scan of the corpus instead of two —
+    # is the main structural win. Band hashes come straight out of the
+    # Arrow kernel (signature minima never leave the UDF): no separate
+    # banding expression stage, and the shuffled payload is `bands`
+    # longs per doc instead of k. `materialize` (see _stage) sizes the
+    # lineage truncation: 'local' for single-node, 'storage' at
+    # cluster scale, None for fully-lazy (recompute instead of pin).
+    sets = _stage(
+        shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
+            "ns", F.size("sh")
+        ),
         materialize,
     )
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.hash(F.slice("sig", bi * r + 1, r)).alias("bh"),
-                ),
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bh")
+    hashed = sets.withColumn(
+        "hs",
+        F.transform(
+            F.col("sh"), lambda sh: F.pmod(F.xxhash64(sh), F.lit(_MINHASH_PRIME))
+        ),
+    )
+    banded = hashed.select(
+        "id", _minhash_udf(k, bands)("hs").alias("bh")
+    ).select("id", F.posexplode("bh").alias("band", "bh"))
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_set("id").alias("ids"))
@@ -273,19 +315,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # materialize the (tiny) candidate set once: truncates the
-    # signature/banding lineage so broadcast planning of the verify
-    # join can't re-execute it (measured 2-3× run-to-run variance
-    # otherwise)
+    # banding lineage so broadcast planning of the verify join can't
+    # re-execute it (measured 2-3× run-to-run variance otherwise)
     cand = _stage(cand, materialize)
-    # verify against the raw shingle sets, NOT the signature lineage —
-    # otherwise the (expensive) signature expressions are re-evaluated
-    # for both sides of the join
-    sets = _stage(
-        shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
-            "ns", F.size("sh")
-        ),
-        materialize,
-    )
     verified = (
         cand.join(
             sets.select(

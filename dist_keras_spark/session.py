@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Generated-class cache: the default 100 entries evicts hot
+        # codegen classes in long many-query sessions, and re-Janino-
+        # compiling a wide plan costs seconds (measured 5-35s spikes on
+        # the LSH pipeline after ~11 unrelated queries). Classes are
+        # small; 1000 entries removes the compilation storms.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
     )
     if extra_conf:
         for k, v in extra_conf.items():
