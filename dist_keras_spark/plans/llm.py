@@ -173,6 +173,19 @@ def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=4, tables=8, seed=42)
 
 
+@query("knn_ivf_top5")  # approximate: rows-only + pytest recall gate
+def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 second scale path: IVF coarse quantizer (16 sampled cells,
+    probe 8), exact re-rank within probed cells — scans ~half the
+    corpus per query instead of all of it (n_probe/n_cells tunes the
+    fraction; the near-orthogonal fixture needs a generous probe)."""
+    from dist_keras_spark.operators.similarity import knn_ivf
+
+    e = _lt(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    return knn_ivf(e, q, "vec_id", "embedding", k=5, n_cells=16, n_probe=8, seed=42)
+
+
 @query(
     "cosine_pairs_threshold",
     oracle="""
