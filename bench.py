@@ -54,7 +54,9 @@ def main() -> None:
         fn = QUERIES[name]
         fn(spark, WARM_DIR).count()  # warm: codegen + broadcast paths
         best = float("inf")
-        for _ in range(2):  # steady-state: JIT/GC noise dominates run 1
+        for _ in range(3):  # steady-state: fresh-plan codegen + JIT/GC
+            # noise dominates the first 1-2 runs (see
+            # spark.sql.codegen.cache notes in session.py)
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

@@ -174,3 +174,151 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return e.join(dup_of_earlier, "vec_id", "left_anti").select("vec_id")
+
+
+_NATION_ORDER_SQL = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
+@query("csv_roundtrip", oracle=_NATION_ORDER_SQL)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A5 hash-verified: nation → CSV sink → CSV scan (explicit
+    schema — inference would read the data twice at 100 TB) must be
+    byte-identical to the parquet source, proven against the DuckDB
+    oracle on the ORIGINAL parquet. Exercises the writer and reader,
+    header handling, and int/string round-tripping."""
+    import tempfile
+
+    from dist_keras_spark.sources.readers import read_csv
+
+    n = _lt(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = f"{tempfile.gettempdir()}/spark_graft_csv_roundtrip"
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(
+        spark, path, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    return back.orderBy("n_nationkey")
+
+
+@query("json_roundtrip", oracle=_NATION_ORDER_SQL)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A5 hash-verified: nation → line-delimited JSON sink → JSON
+    scan with explicit schema, compared to the DuckDB oracle on the
+    ORIGINAL parquet."""
+    import tempfile
+
+    from dist_keras_spark.sources.readers import read_json
+
+    n = _lt(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = f"{tempfile.gettempdir()}/spark_graft_json_roundtrip"
+    n.write.mode("overwrite").json(path)
+    back = read_json(
+        spark, path, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    return back.orderBy("n_nationkey")
+
+
+@query(
+    "inmemory_dim_join",
+    oracle="""
+WITH tiers(r_name, tier) AS (VALUES
+    ('AFRICA', 'emerging'), ('AMERICA', 'core'), ('ASIA', 'core'),
+    ('EUROPE', 'core'), ('MIDDLE EAST', 'emerging'))
+SELECT n.n_name, r.r_name, t.tier
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN tiers t ON t.r_name = r.r_name
+ORDER BY n.n_name
+""",
+)
+def inmemory_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 hash-verified: an in-memory literal dimension (from_rows,
+    Arrow path) broadcast-joined against the star schema — the classic
+    'tiny config table in code' pattern. Oracle expresses the same
+    literal as a VALUES CTE."""
+    from dist_keras_spark.sources.readers import from_rows
+
+    tiers = from_rows(
+        spark,
+        [
+            ("AFRICA", "emerging"),
+            ("AMERICA", "core"),
+            ("ASIA", "core"),
+            ("EUROPE", "core"),
+            ("MIDDLE EAST", "emerging"),
+        ],
+        "r_name string, tier string",
+    )
+    n = _lt(spark, sf_dir, "nation")
+    r = _lt(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(tiers), "r_name")
+        .select("n_name", "r_name", "tier")
+        .orderBy("n_name")
+    )
+
+
+_SUPPLIER_SQL = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+@query("parquet_sink_roundtrip", oracle=_SUPPLIER_SQL)
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 hash-verified: supplier → parquet sink → parquet scan must be
+    value-identical to the ORIGINAL table (DuckDB oracle reads the
+    source; ints/strings/doubles all round-trip exactly)."""
+    import tempfile
+
+    from dist_keras_spark.sources.sinks import write_parquet
+
+    s = _lt(spark, sf_dir, "supplier")
+    path = f"{tempfile.gettempdir()}/spark_graft_parquet_roundtrip"
+    write_parquet(s, path)
+    return spark.read.parquet(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@query(
+    "partitioned_sink_prune",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type = 'click'
+""",
+)
+def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 hash-verified: events written hive-partitioned by event_type,
+    read back with a partition filter (scans only the matching
+    directory — partition pruning is asserted in tests/test_sources);
+    values must match the DuckDB oracle on the ORIGINAL parquet.
+    ts/props excluded: ns-precision timestamps don't survive the
+    Spark↔DuckDB comparison (see README gotchas)."""
+    import tempfile
+
+    from dist_keras_spark.sources.sinks import write_partitioned
+
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = f"{tempfile.gettempdir()}/spark_graft_partitioned_sink"
+    write_partitioned(e, path, ["event_type"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@query("random_shuffle_multiset", oracle=_SUPPLIER_SQL)
+def random_shuffle_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 hash-verified: seeded random shuffle returns the SAME
+    multiset of rows — the driver's order-insensitive value hash
+    against the unshuffled oracle is exactly the multiset-preservation
+    invariant."""
+    from dist_keras_spark.operators.utils import shuffle
+
+    s = _lt(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    return shuffle(s, seed=7)

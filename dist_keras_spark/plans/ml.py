@@ -71,6 +71,24 @@ def ml_train_distributed_adag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ml_train_elastic_easgd")
+def ml_train_elastic_easgd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5/I6 capability: elastic averaging (easgd mode) with the
+    default multi-step local-SGD window — per-partition local models
+    drift for communication_window steps, then the center absorbs
+    rho-weighted movement. Returns center loss per round plus the
+    averaged history (I12 `get_averaged_history` parity helper)."""
+    t = SyncDistributedTrainer(
+        *_DIMS, mode="easgd", num_workers=8, rounds=8, learning_rate=0.1
+    )
+    t.train(_train_df(spark, sf_dir))
+    avg = float(round(t.get_averaged_history("loss"), 6))
+    return spark.createDataFrame(
+        [(h["round"], float(round(h["loss"], 6)), avg) for h in t.history],
+        "round int, loss double, avg_loss double",
+    )
+
+
 @query("ml_predict_eval")
 def ml_predict_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I9+D1: train briefly, batch-predict with the Arrow predictor,
