@@ -85,3 +85,40 @@ def test_column_pruning_documents(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents").select("doc_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """Catalyst must rewrite the correlated EXISTS (range predicate on
+    the outer column) to a semi join — no nested-loop re-execution of
+    the subquery per outer row."""
+    plan = (
+        QUERIES["tpch_q4_order_priority"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a left-semi join"
+    assert "InSubquery" not in plan
+
+
+def test_q16_not_in_is_null_aware_anti_join(spark, sf_dir):
+    """NOT IN over a subquery must become a null-aware anti join (and
+    with the tiny supplier side, a broadcast one)."""
+    plan = (
+        QUERIES["tpch_q16_supplier_cnt"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan, "NOT IN must decorrelate to an anti join"
+
+
+def test_ivf_corpus_is_not_globally_sorted(spark, sf_dir):
+    """knn_ivf's centroid sample uses orderBy().limit() which must
+    compile to TakeOrderedAndProject (per-partition top-k + merge),
+    never a full corpus sort."""
+    from dist_keras_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = e.select("vec_id", "embedding").orderBy(
+        F.xxhash64(F.col("vec_id").cast("string"), F.lit(42))
+    ).limit(16)
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
