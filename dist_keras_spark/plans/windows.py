@@ -164,3 +164,45 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _lt(spark, sf_dir, "orders")
     w = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
+
+
+@query(
+    "win_distribution_funcs",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(pr, 6) AS pr, round(cd, 6) AS cd, nth
+FROM (SELECT o_custkey, o_orderkey,
+             percent_rank() OVER w AS pr,
+             cume_dist()    OVER w AS cd,
+             nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                     AND UNBOUNDED FOLLOWING) AS nth
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey))
+WHERE o_custkey % 10 = 0
+""",
+)
+def win_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 extension: percent_rank / cume_dist / nth_value — the
+    distribution family over the same single per-customer shuffle.
+    nth_value needs the full-frame (DuckDB default frame for nth_value
+    is the whole partition only with the explicit ROWS clause)."""
+    o = _lt(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wf = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("nth"),
+        )
+        .filter(F.col("o_custkey") % 10 == 0)
+    )
