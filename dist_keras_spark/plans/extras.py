@@ -322,3 +322,22 @@ def random_shuffle_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
     return shuffle(s, seed=7)
+
+
+@query(
+    "cached_scan_reuse",
+    oracle="""
+SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag
+""",
+)
+def cached_scan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 hash-verified: precache (cache + forced materialization)
+    followed by an aggregate over the cached relation — the plan reads
+    InMemoryTableScan instead of re-scanning parquet, and the result
+    must equal the oracle on the source table. The projected single
+    column keeps the cache footprint trivial."""
+    from dist_keras_spark.operators.utils import precache
+
+    li = _lt(spark, sf_dir, "lineitem").select("l_returnflag")
+    precache(li)
+    return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))

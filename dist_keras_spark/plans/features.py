@@ -195,3 +195,28 @@ def feature_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.transform("embedding", lambda x: x.cast("double"))
         ).cast("int").alias("roundtrip_ok"),
     )
+
+
+@query(
+    "feature_reshape",
+    oracle="""
+SELECT vec_id, embedding AS image, 8 AS d0, 8 AS d1 FROM embeddings
+""",
+)
+def feature_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 hash-verified: ReshapeTransformer records the target shape
+    (8×8) for the flat 64-dim embedding — metadata-only in a columnar
+    engine (the actual reshape is a zero-copy numpy view inside the
+    Arrow batch at the model boundary, see ConvNet1D/trainers). The
+    values must pass through untouched and the shape columns must be
+    the declared literals."""
+    from dist_keras_spark.operators.transformers import ReshapeTransformer
+
+    e = _lt(spark, sf_dir, "embeddings")
+    out = ReshapeTransformer("embedding", "image", (8, 8)).transform(e)
+    return out.select(
+        "vec_id",
+        "image",
+        F.element_at("image_shape", 1).alias("d0"),
+        F.element_at("image_shape", 2).alias("d1"),
+    )

@@ -101,6 +101,43 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fake_decode_features(d, dim=8)
 
 
+@query(
+    "streaming_foreachbatch_sink",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 foreachBatch path, hash-verified: readStream over events is
+    drained through foreachBatch into a parquet sink (the standard
+    pattern for sinks without native streaming writers), then the sink
+    is aggregated and compared to the batch oracle on the ORIGINAL
+    table — availableNow replays every event exactly once, so the sink
+    must hold the same multiset. ts excluded (ns-precision gotcha)."""
+    import shutil
+    import tempfile
+
+    from dist_keras_spark.streaming.pipelines import (
+        run_foreach_batch_to_parquet,
+        stream_events,
+    )
+
+    path = f"{tempfile.gettempdir()}/spark_graft_foreachbatch_sink"
+    shutil.rmtree(path, ignore_errors=True)  # append-mode sink: start clean
+    run_foreach_batch_to_parquet(
+        stream_events(spark, sf_dir).select("event_id", "event_type", "value"), path
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 @query("mllib_minhash_neardup")  # MLlib hash functions: rows-only + pytest recall
 def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 alternative path: MLlib MinHashLSH approxSimilarityJoin over
