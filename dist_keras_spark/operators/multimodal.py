@@ -26,16 +26,23 @@ from pyspark.sql import functions as F
 MEDIA_META_SCHEMA = "struct<kind string, width int, height int, n_frames int>"
 
 
-def attach_blob(df: DataFrame, text_col: str = "text", blob_col: str = "blob") -> DataFrame:
+def attach_blob(
+    df: DataFrame,
+    text_col: str = "text",
+    blob_col: str = "blob",
+    width: int = 8,
+    height: int = 8,
+    n_frames: int = 1,
+) -> DataFrame:
     """Demo media source: utf-8 bytes of the text column as the opaque
     blob + synthetic metadata (the fixtures ship no real media)."""
     return df.withColumn(blob_col, F.encode(F.col(text_col), "utf-8")).withColumn(
         f"{blob_col}_meta",
         F.struct(
             F.lit("image/fake").alias("kind"),
-            F.lit(8).alias("width"),
-            F.lit(8).alias("height"),
-            F.lit(1).alias("n_frames"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.lit(n_frames).alias("n_frames"),
         ),
     )
 
@@ -81,3 +88,88 @@ def fake_decode_features(
             )
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def _fake_frame(blob: bytes, w: int, h: int, frame: int) -> np.ndarray:
+    """Deterministic stand-in decode of ONE frame to an h×w pixel grid."""
+    seed = int.from_bytes(
+        hashlib.sha256(blob + frame.to_bytes(4, "big")).digest()[:4], "big"
+    )
+    return np.random.RandomState(seed).rand(h, w)
+
+
+def resize_media(
+    df: DataFrame,
+    blob_col: str = "blob",
+    meta_col: str | None = None,
+    id_col: str = "doc_id",
+    out_w: int = 4,
+    out_h: int = 4,
+) -> DataFrame:
+    """J9 resize: decode → nearest-neighbor resample → re-encode.
+
+    The RESIZE math is real (numpy index-mapped nearest-neighbor over
+    the pixel grid — swap for cv2/PIL interpolation by replacing one
+    line); only the decode of the fake blob is the stand-in. Output is
+    the production shape: resized pixels as a binary column (float32
+    row-major) plus the new dimensions, one row per input row.
+    """
+    meta_col = meta_col or f"{blob_col}_meta"
+    schema = f"{id_col} long, pixels binary, width int, height int"
+
+    def run(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            out_px = []
+            for blob, meta in zip(pdf[blob_col], pdf["__w_h"]):
+                w, h = int(meta[0]), int(meta[1])
+                px = _fake_frame(blob, w, h, 0)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized = px[np.ix_(rows, cols)]
+                out_px.append(resized.astype(np.float32).tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pixels": out_px,
+                    "width": np.full(len(pdf), out_w, dtype="int32"),
+                    "height": np.full(len(pdf), out_h, dtype="int32"),
+                }
+            )
+
+    prepped = df.select(
+        id_col,
+        blob_col,
+        F.array(f"{meta_col}.width", f"{meta_col}.height").alias("__w_h"),
+    )
+    return prepped.mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str = "blob",
+    meta_col: str | None = None,
+    id_col: str = "doc_id",
+    every: int = 2,
+    dim: int = 8,
+) -> DataFrame:
+    """J9 frame sampling: one output row per kept frame (indices
+    0, every, 2·every, … below the metadata's n_frames) with a
+    per-frame feature vector — the mapInPandas batch loop emits a
+    DIFFERENT row count than its input, the shape a video pipeline
+    needs. Deterministic fake per-frame decode; real codecs drop into
+    `_fake_frame`."""
+    meta_col = meta_col or f"{blob_col}_meta"
+    schema = f"{id_col} long, frame_idx int, feature array<double>"
+
+    def run(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, fidx, feats = [], [], []
+            for rid, blob, nf in zip(pdf[id_col], pdf[blob_col], pdf["__nf"]):
+                for fi in range(0, int(nf), every):
+                    ids.append(rid)
+                    fidx.append(fi)
+                    feats.append(_fake_frame(blob, dim, 1, fi)[0])
+            yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "feature": feats})
+
+    prepped = df.select(id_col, blob_col, F.col(f"{meta_col}.n_frames").alias("__nf"))
+    return prepped.mapInPandas(run, schema)

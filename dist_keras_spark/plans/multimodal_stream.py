@@ -161,3 +161,33 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         streaming_dedup(stream_events(spark, sf_dir)), output_mode="append"
     ).select("event_id", "user_id", "event_type")
+
+
+@query("multimodal_frame_sample")  # fake per-frame decode: rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 video-shaped path: every-2nd-frame sampling over the blob
+    column — one output row per kept frame (mapInPandas emitting a
+    different row count than its input), per-frame feature vectors.
+    Deterministic fake decode; schema/row semantics pytest-gated."""
+    from dist_keras_spark.operators.multimodal import attach_blob, sample_frames
+
+    d = attach_blob(_lt(spark, sf_dir, "documents"), n_frames=5)
+    return sample_frames(d, every=2)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id, 4 AS width, 3 AS height FROM documents
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 resize path: nearest-neighbor resample of every decoded blob
+    to 4×3. The pixel bytes are fake-decode-dependent (not oracle-able)
+    but the id/dimension contract is — the oracle checks one row per
+    doc with the declared output dims; pixel math is pytest-gated
+    (identity-resize equality, determinism)."""
+    from dist_keras_spark.operators.multimodal import attach_blob, resize_media
+
+    d = attach_blob(_lt(spark, sf_dir, "documents"), width=8, height=6)
+    return resize_media(d, out_w=4, out_h=3).select("doc_id", "width", "height")

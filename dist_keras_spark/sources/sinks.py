@@ -55,6 +55,12 @@ def compact_parquet(
     Hive partitioning is preserved: partition columns are detected from
     `key=value` directory levels and re-applied with `partitionBy`, so
     compaction never flattens the layout or loses partition pruning.
+
+    Scope: local/POSIX filesystems (os.rename atomicity + os.walk
+    sizing). On HDFS/object stores run the same rewrite through the
+    FileSystem API instead — on S3-like stores "rename" is a copy, so
+    the atomic-promote step should become a catalog/manifest swap
+    (Iceberg/Delta-style) rather than a directory rename.
     """
     import math
     import shutil
