@@ -341,3 +341,90 @@ def cached_scan_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lt(spark, sf_dir, "lineitem").select("l_returnflag")
     precache(li)
     return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "udtf_token_explode",
+    oracle="""
+SELECT doc_id, token, CAST(pos AS INT) AS pos
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             unnest(range(len(string_split(text, ' ')))) AS pos
+      FROM documents)
+WHERE doc_id % 10 = 0
+""",
+)
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.L Python UDTF, hash-verified: TokenExplode laterally joined
+    in SQL — one (token, pos) row per token. The built-in
+    explode(split()) is the production path (JVM-side); the UDTF is
+    the extension point for arbitrary-Python tokenizers, proven here
+    against the same SQL semantics."""
+    from dist_keras_spark.operators.grouped import TokenExplode
+
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("token_explode", TokenExplode)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM documents d, LATERAL token_explode(d.text) t
+        WHERE d.doc_id % 10 = 0
+        """
+    )
+
+
+@query(
+    "barrier_allreduce_dims",
+    oracle="""
+SELECT CAST(dim AS INT) AS dim, round(avg(v), 6) AS mean_v
+FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings)
+GROUP BY dim
+""",
+)
+def barrier_allreduce_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.L barrier mode, hash-verified: allGather all-reduce of the
+    per-dimension embedding mean across barrier tasks, compared to the
+    plain SQL column mean — the all-reduce must agree with the
+    shuffle-free aggregate it replaces."""
+    from dist_keras_spark.operators.barrier import barrier_allreduce_mean
+
+    e = _lt(spark, sf_dir, "embeddings")
+    mean = barrier_allreduce_mean(e, "embedding")
+    return spark.createDataFrame(
+        [(i, float(round(v, 6))) for i, v in enumerate(mean)],
+        "dim int, mean_v double",
+    )
+
+
+@query("approx_ntile_buckets")  # approximate boundaries: rows-only
+def approx_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 scale path: ntile-style bucketing WITHOUT a global
+    single-reducer sort — approxQuantile boundaries + scan-side CASE.
+    Returns per-bucket counts; equal-population property is
+    pytest-gated (>98% agreement with exact ntile)."""
+    from dist_keras_spark.operators.similarity import approx_quantile_buckets
+
+    o = _lt(spark, sf_dir, "orders")
+    b = approx_quantile_buckets(o, "o_totalprice", n_buckets=4, id_cols=["o_orderkey"])
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).orderBy("bucket")
+
+
+@query("ml_train_ensemble")  # iterative training: rows-only
+def ml_train_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2: N independent models on N shards in ONE mapInPandas pass —
+    one (part_id, n, loss) row per trained model."""
+    from dist_keras_spark.operators.trainers import EnsembleTrainer
+
+    t = EnsembleTrainer(64, 32, 10, num_models=4, num_epoch=2, learning_rate=0.1)
+    e = _lt(spark, sf_dir, "embeddings").select(
+        F.col("embedding").alias("features"), "label"
+    )
+    t.train(e)
+    return spark.createDataFrame(
+        [
+            (int(h["part_id"]), int(h["n"]), float(round(h["loss"], 6)))
+            for h in t.history
+        ],
+        "part_id int, n int, loss double",
+    )
