@@ -53,10 +53,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         fn(spark, WARM_DIR).count()  # warm: codegen + broadcast paths
+        fn(spark, SF_DIR).count()  # untimed steady-state warm at the
+        # measured size: the first full-size execution pays fresh-plan
+        # codegen + JIT that later executions of the same query don't
+        # (see spark.sql.codegen.cache notes in session.py)
         best = float("inf")
-        for _ in range(3):  # steady-state: fresh-plan codegen + JIT/GC
-            # noise dominates the first 1-2 runs (see
-            # spark.sql.codegen.cache notes in session.py)
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
