@@ -187,3 +187,33 @@ def test_get_averaged_history(train_df):
     assert t.get_averaged_history("loss") == pytest.approx(sum(losses) / len(losses))
     with pytest.raises(ValueError, match="no history"):
         t.get_averaged_history("nope")
+
+
+def test_mnist_style_reshape_convnet_pipeline(train_df):
+    """Replay of the reference's examples/mnist.ipynb shape:
+    ReshapeTransformer declares the 2-D view of the flat features, a
+    convnet consumes them through the SAME distributed trainer, and
+    the shared predictor + evaluator close the loop. (The reshape is
+    metadata in a columnar engine — ConvNet1D reads the flat vector,
+    exactly as the Arrow boundary would hand a real conv the buffer.)"""
+    from dist_keras_spark.operators.models import ConvNet1D
+    from dist_keras_spark.operators.transformers import ReshapeTransformer
+
+    shaped = ReshapeTransformer("features", "image", (8, 8)).transform(train_df)
+    row = shaped.select("image_shape").first()
+    assert list(row["image_shape"]) == [8, 8]
+
+    factory = lambda: ConvNet1D(64, n_filters=4, n_out=10, kernel=9, seed=42)  # noqa: E731
+    t = SyncDistributedTrainer(
+        *DIMS, mode="adag", num_workers=4, rounds=10, learning_rate=0.05,
+        features_col="image", model_factory=factory,
+    )
+    ws = t.train(shaped)
+    losses = [h["loss"] for h in t.history]
+    assert losses[-1] < losses[0]
+
+    pred = ModelPredictor(
+        ConvNet1D.serialize(ws), *DIMS, features_col="image", model_factory=factory
+    ).predict(shaped.withColumn("label", F.col("label")))
+    acc = AccuracyEvaluator(argmax=True).evaluate(pred)
+    assert acc >= 0.1  # trained-better-than-nothing on 10 classes

@@ -102,3 +102,50 @@ def test_fingerprint_is_order_sensitive(spark):
     df = spark.createDataFrame([("alpha beta",), ("beta alpha",)], "text string")
     fps = [r["fp"] for r in df.select(doc_fingerprint(tokens("text")).alias("fp")).collect()]
     assert fps[0] != fps[1]
+
+
+def test_minhash_lsh_storage_checkpoint(spark, sf_dir, tmp_path):
+    """materialize='storage' (reliable checkpoint dir — the 100 TB
+    cluster path) must produce the identical pair set."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    local = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(d, threshold=0.8).collect()}
+    stored = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(d, threshold=0.8, materialize="storage").collect()
+    }
+    assert stored == local
+
+
+def test_band_fold_hash_properties():
+    """The in-kernel band fold: equal band slices ⇒ equal hash
+    (recall-preserving), and distinct slices collide only negligibly."""
+    import numpy as np
+
+    from dist_keras_spark.operators.dedup import _MINHASH_PRIME, _minhash_udf  # noqa: F401
+
+    bands, r = 16, 4
+    mix = (
+        np.random.RandomState(7).randint(1, 2**62, size=(bands, r), dtype=np.uint64)
+        | np.uint64(1)
+    )
+
+    def fold(mins):
+        prod = mins.reshape(bands, r, -1) * mix[:, :, None]
+        s = prod.sum(axis=1, dtype=np.uint64)
+        return (s & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, _MINHASH_PRIME, size=(64, 1)).astype(np.uint64)
+    b = a.copy()
+    np.testing.assert_array_equal(fold(a), fold(b))  # determinism / equality
+    # flip one value in band 3: only band 3's hash may change, and must
+    b[3 * r + 1, 0] += np.uint64(1)
+    fa, fb = fold(a)[:, 0], fold(b)[:, 0]
+    assert fa[3] != fb[3]
+    mask = np.ones(bands, dtype=bool); mask[3] = False
+    np.testing.assert_array_equal(fa[mask], fb[mask])
+    # distinct random slices: no collisions across 10k trials
+    xs = rng.randint(0, _MINHASH_PRIME, size=(64, 10000)).astype(np.uint64)
+    hashes = fold(xs)
+    assert all(len(np.unique(hashes[i])) > 9990 for i in range(bands))
