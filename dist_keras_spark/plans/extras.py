@@ -428,3 +428,46 @@ def ml_train_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "part_id int, n int, loss double",
     )
+
+
+@query(
+    "salted_join_skew",
+    oracle="""
+SELECT o_orderkey, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew valve, hash-verified: the salted equi-join (left side gets
+    a random salt, right side replicates salt_n×, join key becomes
+    (key, salt)) must equal the plain join — the order-insensitive
+    hash against the unsalted oracle is exactly that equivalence.
+    AQE's skew-join split is the first line of defense; this explicit
+    form handles the hot-key cases AQE can't re-plan (e.g. a single
+    key larger than any split)."""
+    from dist_keras_spark.operators.skew import salted_join
+
+    o = _lt(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("ck")
+    )
+    c = _lt(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_name"
+    )
+    return salted_join(o, c, "ck", salt_n=4).select("o_orderkey", "c_name")
+
+
+@query(
+    "salted_count_hotkey",
+    oracle="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def salted_count_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count for hot group keys (the explicit form of
+    map-side combine, needed for custom aggregates without it) — must
+    equal the plain GROUP BY."""
+    from dist_keras_spark.operators.skew import salted_count
+
+    li = _lt(spark, sf_dir, "lineitem")
+    return salted_count(li, "l_returnflag", salt_n=16)
