@@ -22,6 +22,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     windows,
     scalars,
     multimodal_stream,
+    tpch2,
     aggregates,
     events_time,
     extras,

@@ -1,0 +1,181 @@
+"""Second TPC-H batch (Q7 / Q17 / Q19 / Q22 shapes), adapted to the
+fixture's columns. Registered AFTER the curated first-50 window
+(plans/__init__.py import order) so round 2's driver coverage is
+untouched; these rotate in next round. All hash-verified locally via
+tools/verify_local.py at sf0.01 and sf0.1.
+
+Like plans/tpch.py these exist to prove distinctive optimizer shapes:
+two-sided dimension chains (Q7), correlated scalar aggregates (Q17),
+disjunctive multi-column predicates (Q19), and scalar-subquery +
+anti-join combination (Q22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_nation_volume", oracle=_Q7_SQL)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between a nation PAIR by year — the
+    supplier-side and customer-side dimension chains meet at lineitem.
+
+    Scale: nation joins broadcast (hinted, SF-invariant); supplier/
+    customer/orders join hint-free; the pair filter prunes after the
+    (broadcast) nation joins so only matching rows reach the agg."""
+    li, s, o, c = (
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@query("tpch_q17_small_quantity", oracle=_Q17_SQL)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AGGREGATE subquery — revenue
+    of orders below half the part's average quantity. Submitted as SQL
+    text; Catalyst decorrelates the per-part average into an aggregate
+    + join (one pass over lineitem for the averages, no per-row
+    re-execution), which is the only viable plan at 100 TB."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q17_SQL)
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@query("tpch_q19_disjunctive", oracle=_Q19_SQL)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three OR'd conjunctions mixing columns from
+    both join sides. Catalyst extracts the common join key and pushes
+    the single-side disjuncts (brand/size to the part scan, quantity
+    to lineitem) while the cross-side residual evaluates post-join —
+    the pattern naive planners turn into a cartesian filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 30)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 40)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+_Q22_SQL = """
+SELECT n_nationkey AS cntry, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM (SELECT c.c_nationkey AS n_nationkey, c.c_acctbal
+      FROM customer c
+      WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')) rich_idle
+GROUP BY n_nationkey
+ORDER BY n_nationkey
+"""
+
+
+@query("tpch_q22_global_sales", oracle=_Q22_SQL)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average —
+    one tiny aggregate broadcast as a literal) combined with NOT
+    EXISTS (anti join with an extra ON-side predicate) —
+    above-average-balance customers with no urgent order, grouped by
+    nation."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q22_SQL)
