@@ -1,13 +1,13 @@
-"""Second TPC-H batch (Q7 / Q17 / Q19 / Q22 shapes), adapted to the
-fixture's columns. Registered AFTER the curated first-50 window
+"""Second TPC-H batch (Q7 / Q8 / Q17 / Q19 / Q22 shapes), adapted to
+the fixture's columns. Registered AFTER the curated first-50 window
 (plans/__init__.py import order) so round 2's driver coverage is
 untouched; these rotate in next round. All hash-verified locally via
 tools/verify_local.py at sf0.01 and sf0.1.
 
 Like plans/tpch.py these exist to prove distinctive optimizer shapes:
-two-sided dimension chains (Q7), correlated scalar aggregates (Q17),
-disjunctive multi-column predicates (Q19), and scalar-subquery +
-anti-join combination (Q22).
+two-sided dimension chains (Q7), a 7-table conditional-share join
+(Q8), correlated scalar aggregates (Q17), disjunctive multi-column
+predicates (Q19), and scalar-subquery + anti-join combination (Q22).
 """
 
 from __future__ import annotations
@@ -179,3 +179,64 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q22_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA') all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("tpch_q8_market_share", oracle=_Q8_SQL)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier market share inside one
+    region's customer demand, by order year — a 7-table join where the
+    conditional share is two CASE-folded partial sums.
+
+    Scale: region/nation broadcast (hinted, SF-invariant); lineitem ⋈
+    orders ⋈ customer ⋈ supplier hint-free; the region filter prunes
+    the customer side right after its broadcast joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rk")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rk") == F.col("r_regionkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
