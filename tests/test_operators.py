@@ -189,3 +189,60 @@ class TestSetOpEdges:
         b = spark.createDataFrame([(1,), (1,), (3,)], "v int")
         assert a.intersectAll(b).count() == 2
         assert a.intersect(b).count() == 1
+
+
+class TestAsofRandomizedDifferential:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Differential oracle for C8: on seeded random tables the
+        union+window asof_join must agree with pandas.merge_asof
+        (backward, allow_exact_matches) — an independent reference
+        implementation, not our own logic restated."""
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(0)
+        for trial in range(3):
+            nl, nr = 120, 80
+            left_pd = pd.DataFrame(
+                {
+                    "k": rng.randint(0, 5, nl).astype("int64"),
+                    "t": pd.to_datetime(
+                        rng.randint(0, 1_000_000, nl), unit="s"
+                    ),
+                    "tag": np.arange(nl).astype("int64"),
+                }
+            )
+            right_pd = pd.DataFrame(
+                {
+                    "k": rng.randint(0, 5, nr).astype("int64"),
+                    "rt": pd.to_datetime(
+                        rng.randint(0, 1_000_000, nr), unit="s"
+                    ),
+                    "v": rng.randint(0, 1000, nr).astype("int64"),
+                }
+            )
+            # merge_asof needs global sort on the time keys
+            expected = pd.merge_asof(
+                left_pd.sort_values("t"),
+                right_pd.sort_values("rt"),
+                left_on="t",
+                right_on="rt",
+                by="k",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            exp = {int(r.tag): (None if pd.isna(r.v) else int(r.v))
+                   for r in expected.itertuples()}
+
+            out = asof_join(
+                spark.createDataFrame(left_pd),
+                spark.createDataFrame(right_pd),
+                key="k",
+                left_ts="t",
+                right_ts="rt",
+                value_cols=["v"],
+                how="left",
+            ).collect()
+            got = {int(r["tag"]): (None if r["v"] is None else int(r["v"]))
+                   for r in out}
+            assert got == exp, f"trial {trial}: asof_join != pandas.merge_asof"
