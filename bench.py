@@ -3,7 +3,7 @@
 Runs representative queries from every operator family at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], times each end-to-end (plan + execute +
-collect), and prints:
+full materialization), and prints:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
 
@@ -47,20 +47,30 @@ BENCH_QUERIES = [
 ]
 
 
+def _materialize(df) -> None:
+    """Execute the FULL query, all columns. `.count()` is the wrong
+    probe: Catalyst prunes computed columns nothing consumes, so a
+    projection-only query (e.g. ml_linear_scorer's scoring expression)
+    would time scan + planning instead of the operator. The `noop`
+    sink evaluates every output column and discards rows executor-side
+    — no driver collect skewing the number either."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        fn(spark, WARM_DIR).count()  # warm: codegen + broadcast paths
-        fn(spark, SF_DIR).count()  # untimed steady-state warm at the
+        _materialize(fn(spark, WARM_DIR))  # warm: codegen + broadcast paths
+        _materialize(fn(spark, SF_DIR))  # untimed steady-state warm at the
         # measured size: the first full-size execution pays fresh-plan
         # codegen + JIT that later executions of the same query don't
         # (see spark.sql.codegen.cache notes in session.py)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            _materialize(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -82,9 +82,11 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     cheap no-op-sized shuffle. Compute-heavy per-row operators
     (signatures, pairwise scoring) call this first.
     """
+    # Plan-free guard: building df.rdd just to read its partition count
+    # materializes the RDD lineage on every query construction. A plain
+    # repartition to default parallelism is a no-op-sized shuffle when
+    # the scan is already split, so just always ask for it.
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
     return df.repartition(target, key)
 
 
@@ -181,6 +183,13 @@ def _minhash_udf(k: int, band_count: int | None = None):
     """
     from pyspark.sql.types import ArrayType, LongType
 
+    if band_count is not None and k % band_count != 0:
+        # fail at plan time, not as a cryptic reshape ValueError on
+        # executors mid-job (the pre-Arrow F.slice banding silently
+        # ignored the tail minima; explicit beats silent degradation)
+        raise ValueError(
+            f"minhash: k={k} must be divisible by band_count={band_count}"
+        )
     rng = np.random.RandomState(42)
     a_np = rng.randint(1, _MINHASH_PRIME, size=k).astype(np.uint64)[:, None]
     b_np = rng.randint(0, _MINHASH_PRIME, size=k).astype(np.uint64)[:, None]

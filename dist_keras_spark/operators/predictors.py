@@ -53,7 +53,10 @@ class ModelPredictor:
             from dist_keras_spark.operators.models import MLP
 
             model = factory() if factory is not None else MLP(*dims)
-            model.set_weights(MLP.deserialize(weights))
+            # decode the payload with the constructed model's OWN class:
+            # a factory model with its own serialization format must not
+            # be routed through MLP.deserialize
+            model.set_weights(type(model).deserialize(weights))
             for s in batches:
                 x = np.stack(s.to_numpy())
                 p = model.forward(x)

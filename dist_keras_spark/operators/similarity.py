@@ -175,6 +175,81 @@ def knn_lsh(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """All (id_lo, id_hi, cosine) pairs with exact cosine >= threshold,
+    found through BUCKETED candidates — never an all-pairs self-join.
+
+    Banding scheme (SimHash-style sign-random-projection, same shape as
+    the MinHash band kernel in operators/dedup.py): one Arrow kernel
+    computes `tables` independent `n_planes`-bit codes per vector; a
+    pair is a candidate iff it shares any full code. Candidates carry
+    only ids through the band shuffle; embeddings are joined back by id
+    for the exact cosine verify, so at 100 TB the wide vector column
+    crosses the wire O(candidates), not O(rows × tables).
+
+    Recall math (p = 1 - θ/π per plane): with the 8-bit × 16-table
+    default, a pair at exactly cos 0.90 (p≈0.856) is missed with
+    prob (1-p⁸)¹⁶ ≈ 0.4%; a true near-dup at cos 0.98 (p≈0.936) with
+    prob ≈ 7e-7. Random near-orthogonal pairs collide in ≈ tables/2^planes
+    ≈ 6% of cases — the pairwise exact-verify work drops ~16× vs
+    all-pairs while keeping dedup-grade recall. Raise `tables` for
+    stricter recall, `n_planes` for sparser buckets.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from dist_keras_spark.functions.arrays import dot, l2_norm
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, tables * n_planes, seed)  # (tables*n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_codes(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (x @ planes.T > 0).astype(np.int64)  # (batch, tables*n_planes)
+        codes = bits.reshape(len(x), tables, n_planes) @ weights  # (batch, tables)
+        return pd.Series(list(codes.astype(np.int32)))
+
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(band_codes(vec_col)).alias("table", "bucket"),
+    )
+    a = sig.select(F.col("_id").alias("id_lo"), "table", "bucket")
+    b = sig.select(F.col("_id").alias("id_hi"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .select("id_lo", "id_hi")
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(vec_col).alias("_n"),
+    )
+    lo = vecs.select(
+        F.col("_vid").alias("id_lo"), F.col("_v").alias("_vlo"), F.col("_n").alias("_nlo")
+    )
+    hi = vecs.select(
+        F.col("_vid").alias("id_hi"), F.col("_v").alias("_vhi"), F.col("_n").alias("_nhi")
+    )
+    return (
+        cand.join(lo, "id_lo")
+        .join(hi, "id_hi")
+        .withColumn("cosine", dot("_vlo", "_vhi") / (F.col("_nlo") * F.col("_nhi")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_lo", "id_hi", "cosine")
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -209,6 +284,8 @@ def knn_ivf(
 
     from dist_keras_spark.operators.dedup import spread
 
+    if n_cells < 1 or n_probe < 1:
+        raise ValueError(f"knn_ivf: n_cells={n_cells} and n_probe={n_probe} must be >= 1")
     corpus = spread(corpus, id_col)
     # Deterministic sample for the coarse quantizer: order by a hash of
     # the id so the choice is stable across runs/partitionings.
@@ -218,6 +295,8 @@ def knn_ivf(
         .limit(n_cells)
         .collect()
     )
+    if not sample:
+        raise ValueError("knn_ivf: corpus is empty")
     cents = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 

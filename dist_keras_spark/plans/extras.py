@@ -157,20 +157,21 @@ ANTI JOIN (
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-dedup by embedding: drop any vector with cosine ≥ 0.9 to a
-    lower-id vector (semantic near-dup removal). Implemented as
-    pair-scan → left-anti join; at scale the pair scan swaps for the
-    LSH-bucketed candidate generator (same downstream)."""
-    from dist_keras_spark.functions.arrays import dot, l2_norm
+    lower-id vector (semantic near-dup removal). Candidates come from
+    the SimHash-banded bucket join in
+    `operators.similarity.embedding_neardup_pairs` (ids-only band
+    shuffle, exact cosine verify on candidates) — NEVER an all-pairs
+    self-join, so the plan survives 100 TB; tests assert no
+    CartesianProduct/NestedLoop appears. The pair (id_lo, id_hi) drops
+    the HIGHER id, matching the oracle's `b.vec_id < a.vec_id` drop-a
+    semantics; recall of the band scheme vs brute force is pinned by
+    the planted-dup test in tests/test_similarity.py."""
+    from dist_keras_spark.operators.similarity import embedding_neardup_pairs
 
     e = _lt(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"),
-                 l2_norm("embedding").alias("na"))
-    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"),
-                 l2_norm("embedding").alias("nb"))
     dup_of_earlier = (
-        a.join(b, F.col("idb") < F.col("ida"))
-        .filter(dot("va", "vb") / (F.col("na") * F.col("nb")) >= 0.9)
-        .select(F.col("ida").alias("vec_id"))
+        embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.9)
+        .select(F.col("id_hi").alias("vec_id"))
         .distinct()
     )
     return e.join(dup_of_earlier, "vec_id", "left_anti").select("vec_id")

@@ -38,6 +38,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def promote(*names: str) -> None:
+    """Move queries to the FRONT of registration order, in the given
+    order (dicts preserve insertion order; the driver's correctness
+    harness checks the first 50). Used to rotate a chosen set of
+    queries into the driver-checked window each round; everything else
+    keeps its relative order after them."""
+    missing = [n for n in names if n not in QUERIES]
+    if missing:
+        raise KeyError(f"promote: unknown queries {missing!r}")
+    front = {n: QUERIES[n] for n in names}
+    rest = {k: v for k, v in QUERIES.items() if k not in front}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(rest)
+
+
 def demote(*names: str) -> None:
     """Move queries to the END of registration order (dicts preserve
     insertion order; the driver's correctness harness checks the first

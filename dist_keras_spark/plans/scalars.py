@@ -86,7 +86,8 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_funcs",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice, 1)                 AS price_1dp,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE)
+                                                 AS price_1dp,
        round(abs(l_discount - 0.05), 4)          AS disc_dev,
        ceil(l_extendedprice)                     AS price_ceil,
        floor(l_extendedprice)                    AS price_floor,
@@ -107,7 +108,13 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_1dp"),
+        # 1-dp round of 2-dp doubles is a cross-engine trap: Spark rounds
+        # the exact binary value (63058.349999… → .3) while DuckDB rounds
+        # the apparent decimal (.35 → .4). Decimal HALF_UP is engine-exact;
+        # cast back to double so both engines stringify identically.
+        F.round(F.col("l_extendedprice").cast("decimal(12,2)"), 1)
+        .cast("double")
+        .alias("price_1dp"),
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         F.ceil("l_extendedprice").alias("price_ceil"),
         F.floor("l_extendedprice").alias("price_floor"),

@@ -108,12 +108,14 @@ ORDER BY revenue DESC, n_name
 )
 def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join where supplier and customer must
-    share a nation. Only the SF-invariant dims (region 5 rows, nation
-    25, supplier ~SF·10k) carry broadcast hints; orders and customer
-    are fact-sized (they scale linearly with SF) so AQE decides their
-    join strategy from observed size — broadcast at toy SF, shuffle
-    join at 100 TB. lineitem is scanned once with the orderdate filter
-    reducing the orders side first."""
+    share a nation. Only the truly SF-invariant dims (region 5 rows,
+    nation 25) carry broadcast hints. supplier, like customer and
+    orders, scales linearly with SF (SF·10k rows — at 100 TB lineitem
+    ≈ SF 1e5 that's ~1e9 rows, hundreds of GB), so it must NOT be
+    hint-broadcast: AQE already broadcasts it at any SF where its
+    observed size fits, and the hint only removes that safety net.
+    lineitem is scanned once with the orderdate filter reducing the
+    orders side first."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     nation = _t(spark, sf_dir, "nation")
     customer = _t(spark, sf_dir, "customer")
@@ -126,7 +128,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )

@@ -66,6 +66,21 @@ def compact_parquet(
     import shutil
     import os
 
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    # Recovery from a hard kill (SIGKILL/power loss) in a previous run,
+    # BEFORE touching the live path: a stale `old` with no live `path`
+    # means the crash hit between the two renames — restore it. A stale
+    # `old` WITH a live path (or a stale tmp) is leftover garbage that
+    # would make the renames below fail confusingly — clear it now.
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     df = spark.read.parquet(path)
     # Detect hive partition columns from the first key=value dir chain.
     partition_cols: list[str] = []
@@ -87,8 +102,6 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
     if partition_cols:
         # Hash on the partition cols so each hive partition is written
         # by exactly one task — otherwise every task can emit a file

@@ -29,13 +29,14 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Tables that are safe to ALWAYS broadcast: SF-invariant (region 5
-# rows, nation 25) or sub-percent of the fact tables (supplier is
-# SF·10k rows — ~1 GB at 100 TB lineitem, within executor budget).
-# customer and part scale linearly with SF (SF·150k / SF·200k rows) and
-# are NOT here: hint-broadcasting them OOMs at large SF. AQE still
-# broadcasts them at runtime when their observed size fits.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+# Tables that are safe to ALWAYS broadcast: only the SF-invariant dims
+# (region 5 rows, nation 25). Everything else — supplier (SF·10k),
+# customer (SF·150k), part (SF·200k) — scales linearly with SF: at
+# 100 TB lineitem (≈ SF 1e5) supplier alone is ~1e9 rows / hundreds of
+# GB, so a broadcast hint OOMs. AQE still broadcasts any of them at
+# runtime when the observed size fits — the hint would only remove
+# that safety net.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

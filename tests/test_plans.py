@@ -45,13 +45,21 @@ def test_flagship_plan_shape(spark, sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["revenue_by_nation", "tpch_q5_local_supplier", "tpch_q10_returned_items"]
+    "name,n_hinted",
+    [
+        ("revenue_by_nation", 1),  # nation
+        ("tpch_q5_local_supplier", 2),  # nation + region (NOT supplier)
+        ("tpch_q10_returned_items", 1),  # nation
+    ],
 )
-def test_fact_joins_carry_no_broadcast_hint(spark, sf_dir, name):
-    """100 TB guard: with size-based broadcast disabled, SF-scaling join
-    sides (orders/customer) must degrade to SortMergeJoin — an explicit
-    F.broadcast hint would force BroadcastHashJoin regardless and OOM at
-    scale. SF-invariant dims (nation/region/supplier) keep their hints."""
+def test_fact_joins_carry_no_broadcast_hint(spark, sf_dir, name, n_hinted):
+    """100 TB guard: with size-based broadcast disabled, every
+    SF-scaling join side (orders/customer/supplier) must degrade to
+    SortMergeJoin — an explicit F.broadcast hint would force
+    BroadcastHashJoin regardless and OOM at scale. Pinning the exact
+    BroadcastHashJoin count proves ONLY the SF-invariant dims
+    (nation/region) carry hints; a stray hint on supplier would raise
+    the count."""
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = (
@@ -63,7 +71,9 @@ def test_fact_joins_carry_no_broadcast_hint(spark, sf_dir, name):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "SortMergeJoin" in plan, "fact-side joins must not be hint-broadcast"
-    assert "BroadcastHashJoin" in plan, "dim hints must survive"
+    assert plan.count("BroadcastHashJoin") == n_hinted, (
+        f"expected exactly {n_hinted} hinted dim broadcasts, plan:\n{plan[:2000]}"
+    )
 
 
 def test_filter_pushdown(spark, sf_dir):

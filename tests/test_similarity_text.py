@@ -149,3 +149,55 @@ def test_band_fold_hash_properties():
     xs = rng.randint(0, _MINHASH_PRIME, size=(64, 10000)).astype(np.uint64)
     hashes = fold(xs)
     assert all(len(np.unique(hashes[i])) > 9990 for i in range(bands))
+
+
+def test_embedding_neardup_pairs_planted_recall(spark):
+    """Planted near-dups (noisy copies, cosine >= ~0.97) must ALL be
+    recovered by the banded candidate path — set-equal to the exact
+    all-pairs answer, proving the bucketed rewrite of
+    dedup_embedding_cosine loses nothing the exact verify would keep."""
+    import numpy as np
+
+    from dist_keras_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 64)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 12 noisy copies: id 100+i duplicates id i
+    for i in range(12):
+        noisy = base[i] + 0.05 * rng.randn(64)
+        rows.append((100 + i, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>").repartition(4)
+
+    got = {
+        (r["id_lo"], r["id_hi"])
+        for r in embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    # exact reference (driver-side numpy over the 72-vector toy set)
+    mat = {i: np.asarray(v) for i, v in rows}
+    ids = sorted(mat)
+    exact = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            va, vb = mat[ids[a]], mat[ids[b]]
+            cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if cos >= 0.9:
+                exact.add((ids[a], ids[b]))
+    assert len(exact) >= 12
+    assert got == exact
+
+
+def test_embedding_neardup_plan_is_bucketed_not_allpairs(spark, sf_dir):
+    """100 TB guard: the dedup_embedding_cosine plan must contain no
+    cartesian/nested-loop pair scan — candidates come from the banded
+    equi-join on (table, bucket)."""
+    from dist_keras_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

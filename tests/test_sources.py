@@ -105,9 +105,13 @@ def test_compact_parquet_preserves_hive_partitioning(spark, sf_dir, tmp_path):
     assert flags_after == flags_before, "hive key=value layout preserved"
     after = spark.read.parquet(p)
     assert after.count() == n_before
-    # pruning still works: a partition filter reads only that directory
+    # pruning still works: the scan must carry a PartitionFilter on the
+    # hive key (plan-level assert — no row-count escape hatch)
     one = after.filter(F.col("l_returnflag") == "N")
-    assert "l_returnflag=N" in one._jdf.queryExecution().executedPlan().toString() or one.count() > 0
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_returnflag" in pf and "= N" in pf, f"no partition filter: {pf}"
     # each partition dir compacted to a single file (one task per value)
     for d in flags_after:
         assert len(glob.glob(f"{p}/{d}/*.parquet")) == 1

@@ -31,7 +31,13 @@ def _norm_cell(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # 12 significant digits: strict enough to catch decimal-rounding
+        # cross-engine bugs (>=1e-7 relative, e.g. the price_1dp HALF_UP
+        # mismatch the 6-sig-digit normalizer masked in r2) while still
+        # tolerating float-sum associativity noise (~1e-15 relative) that
+        # the driver's own hash demonstrably tolerates (double-sum
+        # aggregates are driver-hash-green).
+        return f"{v:.12g}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.") + f"{v.microsecond // 1000:03d}"
     if isinstance(v, (list, tuple)):
