@@ -164,13 +164,71 @@ def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_lsh_top5")  # approximate: rows-only + pytest recall gate
+def _knn_lsh_oracle_sql(
+    n_planes: int = 4, tables: int = 8, seed: int = 42, dim: int = 64, k: int = 5
+) -> str:
+    """Generate DuckDB SQL that replays knn_lsh EXACTLY: the seeded
+    hyperplanes are embedded as full-precision literals (repr round-
+    trips doubles), so bucketing, candidate union, and the exact
+    re-rank are all reproduced — a SHARP hash oracle for an
+    approximate-ANN path, not a rows-only check. Both engines fold the
+    projection dot products left-to-right over doubles (see
+    functions/arrays.py docstring), so sign bits agree except on
+    measure-zero |proj| < 1e-15 boundaries."""
+    from dist_keras_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(tables):
+        for j, w in enumerate(_hyperplanes(dim, n_planes, seed + t)):
+            lit = "[" + ", ".join(repr(float(x)) for x in w) + "]::DOUBLE[]"
+            rows.append(f"({t}, {1 << j}, {lit})")
+    values = ",\n  ".join(rows)
+    cos = """round(
+             list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6)"""
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(tbl, pw, w) AS (VALUES
+  {values}),
+sig AS (
+    SELECT c.vec_id, p.tbl,
+           CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                              i -> c.v[i] * p.w[i])) > 0
+                         THEN p.pw ELSE 0 END) AS BIGINT) AS bucket
+    FROM corpus c CROSS JOIN planes p
+    GROUP BY c.vec_id, p.tbl),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {cos} AS cosine
+    FROM cand
+    JOIN corpus a ON a.vec_id = cand.query_id
+    JOIN corpus b ON b.vec_id = cand.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS knn_rank
+           FROM scored)
+SELECT query_id, neighbor_id, knn_rank, cosine FROM ranked WHERE knn_rank <= {k}
+"""
+
+
+@query("knn_lsh_top5", oracle=_knn_lsh_oracle_sql())
 def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 scale path: random-hyperplane LSH (4 planes × 8 tables),
-    exact re-rank within buckets."""
+    exact re-rank within buckets. Hash-verified against a generated
+    DuckDB oracle that replays the same seeded hyperplanes as SQL
+    literals (see _knn_lsh_oracle_sql) — the approximate candidate
+    structure itself is deterministic, so the check is exact."""
     e = _lt(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
-    return knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=4, tables=8, seed=42)
+    out = knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=4, tables=8, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
+    )
 
 
 @query("knn_ivf_top5")  # approximate: rows-only + pytest recall gate

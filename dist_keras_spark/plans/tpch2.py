@@ -240,3 +240,106 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+_Q12_SQL = """
+SELECT l_linestatus AS shipmode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@query("tpch_q12_shipmode_priority", oracle=_Q12_SQL)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two-branch conditional counts (urgent vs other
+    order priority) per ship mode inside a one-year ship window.
+    Fixture adaptation: lineitem carries no l_shipmode/commit/receipt
+    dates, so l_linestatus stands in as the mode and the window is on
+    l_shipdate — the distinctive CASE-folded dual-count aggregate over
+    an orders⋈lineitem join is what the shape exercises.
+
+    Scale: the date window pushes to the lineitem scan; the join is
+    hint-free (both sides SF-scaling); the agg is two map-side partial
+    CASE sums over a 2-value group key."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+_Q9_AMOUNT = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(12,2)))"
+    " - CAST('0.6' AS DECIMAL(2,1))"
+    " * CAST(p_retailprice AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(12,2))"
+)
+
+_Q9_SQL = f"""
+SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_Q9_AMOUNT} AS amount
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%g%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@query("tpch_q9_product_profit", oracle=_Q9_SQL)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus cost) on a part-name
+    pattern, by supplier nation and order year, over a 5-table join.
+    Fixture adaptation: no partsupp table, so the ps_supplycost term
+    becomes 0.6·p_retailprice·l_quantity — the revenue−cost arithmetic
+    spanning three tables' columns is what the shape exercises.
+
+    Scale: the p_name LIKE filter prunes part before its join; nation
+    broadcasts (hinted, SF-invariant); supplier/part/orders joins are
+    hint-free so AQE picks broadcast vs shuffle from observed size.
+    The profit arithmetic runs in DECIMAL on both engine sides: a
+    double sum of ±cost terms lands groups near .xx5 cent boundaries
+    where engine summation order flips the rounded cent."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%g%"))
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.expr(_Q9_AMOUNT).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
