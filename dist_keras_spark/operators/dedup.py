@@ -309,24 +309,40 @@ def minhash_lsh_pairs(
             F.col("sh"), lambda sh: F.pmod(F.xxhash64(sh), F.lit(_MINHASH_PRIME))
         ),
     )
-    banded = hashed.select(
-        "id", _minhash_udf(k, bands)("hs").alias("bh")
-    ).select("id", F.posexplode("bh").alias("band", "bh"))
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.collect_set("id").alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    # The banding output is staged: THREE consumers read it (the bucket
+    # counts and both self-join sides), and without materialization
+    # each would re-run the Arrow kernel. It is `bands` longs per doc —
+    # the narrowest artifact in the pipeline, far smaller than the
+    # shingle sets.
+    banded = _stage(
+        hashed.select("id", _minhash_udf(k, bands)("hs").alias("bh")).select(
+            "id", F.posexplode("bh").alias("band", "bh")
+        ),
+        materialize,
     )
+    # Candidate pairs via bucket COUNT pre-prune + self-join — not
+    # collect_set. count() partial-aggregates map-side (the shuffle
+    # carries one row per bucket, not every id), the prune drops the
+    # singleton buckets (the vast majority) BEFORE any join, and
+    # max_bucket is the degenerate-bucket skew valve. collect_set was
+    # also measured 4-8× slower locally: it shuffles full id lists into
+    # single reducers and its object-hash aggregate falls back to
+    # sort-based on wide key counts. (id, band) is unique by
+    # construction, so count(*) per (band, bh) == distinct ids.
+    good = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bh")
+    )
+    pruned = banded.join(good, ["band", "bh"])
     cand = (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
+        pruned.select(F.col("id").alias("id_a"), "band", "bh")
+        .join(pruned.select(F.col("id").alias("id_b"), "band", "bh"), ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
-    # materialize the (tiny) candidate set once: truncates the
-    # banding lineage so broadcast planning of the verify join can't
-    # re-execute it (measured 2-3× run-to-run variance otherwise)
-    cand = _stage(cand, materialize)
     verified = (
         cand.join(
             sets.select(

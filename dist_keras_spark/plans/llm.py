@@ -392,17 +392,23 @@ WHERE rn = 1
 )
 def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: TF-IDF (explode → tf, df, idf=ln(N/df)) and the top-scoring
-    term per document. N computed as a broadcast scalar, not a collect."""
+    term per document. N computed as a broadcast scalar, not a collect.
+
+    df comes from a count window over tf — tf already holds exactly one
+    row per (doc, token), so rows-per-token == distinct docs per token.
+    The window form keeps ONE lineage: a separate groupBy(token)+join
+    re-evaluates the whole explode subtree (Catalyst only reuses
+    identical exchanges) and costs an extra shuffle of the token
+    stream."""
     d = _lt(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(df_, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("token")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
