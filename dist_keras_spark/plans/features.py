@@ -200,7 +200,14 @@ def feature_vector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "feature_reshape",
     oracle="""
-SELECT vec_id, embedding AS image, 8 AS d0, 8 AS d1 FROM embeddings
+SELECT vec_id,
+       array_to_string(
+           list_transform(embedding,
+                          x -> CAST(CAST(round(CAST(x AS DOUBLE), 4)
+                                         AS DECIMAL(10,4)) AS VARCHAR)), ',')
+           AS image_csv,
+       8 AS d0, 8 AS d1
+FROM embeddings
 """,
 )
 def feature_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,14 +216,25 @@ def feature_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine (the actual reshape is a zero-copy numpy view inside the
     Arrow batch at the model boundary, see ConvNet1D/trainers). The
     values must pass through untouched and the shape columns must be
-    the declared literals."""
+    the declared literals.
+
+    The pass-through values are serialized per the repo's array
+    convention (round→decimal→string, see scalar_array_funcs) — a raw
+    array<float> column crashes the driver canonicalizer
+    (CORRECTNESS_r03: unhashable type 'list')."""
     from dist_keras_spark.operators.transformers import ReshapeTransformer
 
     e = _lt(spark, sf_dir, "embeddings")
     out = ReshapeTransformer("embedding", "image", (8, 8)).transform(e)
     return out.select(
         "vec_id",
-        "image",
+        F.array_join(
+            F.transform(
+                "image",
+                lambda x: F.round(x.cast("double"), 4).cast("decimal(10,4)").cast("string"),
+            ),
+            ",",
+        ).alias("image_csv"),
         F.element_at("image_shape", 1).alias("d0"),
         F.element_at("image_shape", 2).alias("d1"),
     )

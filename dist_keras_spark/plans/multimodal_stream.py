@@ -96,9 +96,22 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 decode path: Arrow-batched mapInPandas over the blob column →
     fixed-dim feature vectors (deterministic fake decoder; real codec
-    is a drop-in — see operators/multimodal.py)."""
+    is a drop-in — see operators/multimodal.py).
+
+    The driver-facing projection is SCALAR (dim + checksum of the
+    vector), not the raw array<double> — raw containers crash the
+    driver canonicalizer (CORRECTNESS_r03). The checksum pins the
+    decoded values; pytest asserts the full vectors."""
     d = attach_blob(_lt(spark, sf_dir, "documents"))
-    return fake_decode_features(d, dim=8)
+    out = fake_decode_features(d, dim=8)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.size("feature").alias("dim"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feature_sum"),
+    )
 
 
 @query(
@@ -168,11 +181,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 video-shaped path: every-2nd-frame sampling over the blob
     column — one output row per kept frame (mapInPandas emitting a
     different row count than its input), per-frame feature vectors.
-    Deterministic fake decode; schema/row semantics pytest-gated."""
+    Deterministic fake decode; schema/row semantics pytest-gated.
+
+    Driver projection is scalar (frame index + vector checksum), per
+    the canonicalizer convention — see multimodal_fake_decode."""
     from dist_keras_spark.operators.multimodal import attach_blob, sample_frames
 
     d = attach_blob(_lt(spark, sf_dir, "documents"), n_frames=5)
-    return sample_frames(d, every=2)
+    out = sample_frames(d, every=2)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.size("feature").alias("dim"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("feature_sum"),
+    )
 
 
 @query(

@@ -116,8 +116,11 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_1dp"),
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
-        F.ceil("l_extendedprice").alias("price_ceil"),
-        F.floor("l_extendedprice").alias("price_floor"),
+        # type trap (red r1-r3): Spark ceil/floor(DOUBLE) → BIGINT, DuckDB
+        # → DOUBLE; the driver hash is type-sensitive (68424 ≠ 68424.0).
+        # Cast to double to match the oracle's native return type.
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
         F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
         F.round(F.exp("l_discount"), 6).alias("disc_exp"),
         F.round(F.log("l_extendedprice"), 6).alias("price_ln"),

@@ -23,6 +23,19 @@ def test_query_runs_and_schema_stable(spark, sf_dir, name):
     schema1 = df.schema
     assert df.count() >= 0
     assert fn(spark, sf_dir).schema == schema1
+    # Driver-hashability gate: the driver canonicalizes EVERY query
+    # (rows-only included) through pandas sort_values, which crashes
+    # with `unhashable type` on array/map/struct cells
+    # (CORRECTNESS_r03: feature_reshape, multimodal_*). Containers must
+    # be serialized (array_join / to_json / checksum) before return.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in schema1.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: driver-unhashable result columns {bad}"
 
 
 def test_entry_smoke(spark):
