@@ -55,11 +55,24 @@ def decode_image(blob: bytes) -> np.ndarray:
     )
 
 
+def _hash_bytes(payload: bytes, n: int) -> np.ndarray:
+    """`n` deterministic pseudo-random bytes via counter-mode sha256:
+    digest(payload + b":0") ++ digest(payload + b":1") ++ … truncated.
+    Byte k/256.0 is an exact binary fraction, so engines agree bit-for-
+    bit — this is what makes the fake decoders ORACLE-REPLAYABLE in
+    DuckDB (`sha256()` + hex-pair parsing), unlike an RNG stream."""
+    out = bytearray()
+    block = 0
+    while len(out) < n:
+        out += hashlib.sha256(payload + f":{block}".encode()).digest()
+        block += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+
+
 def _fake_pixels(blob: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in decode: sha256-seeded pseudo-pixels."""
-    h = hashlib.sha256(blob).digest()
-    seed = int.from_bytes(h[:4], "big")
-    return np.random.RandomState(seed).rand(dim)
+    """Deterministic stand-in decode: sha256 byte-map pseudo-pixels in
+    [0, 1). SQL replay (dim<=32): byte i of sha256(text || ':0') / 256."""
+    return _hash_bytes(blob, dim) / 256.0
 
 
 def fake_decode_features(
@@ -91,11 +104,12 @@ def fake_decode_features(
 
 
 def _fake_frame(blob: bytes, w: int, h: int, frame: int) -> np.ndarray:
-    """Deterministic stand-in decode of ONE frame to an h×w pixel grid."""
-    seed = int.from_bytes(
-        hashlib.sha256(blob + frame.to_bytes(4, "big")).digest()[:4], "big"
-    )
-    return np.random.RandomState(seed).rand(h, w)
+    """Deterministic stand-in decode of ONE frame to an h×w pixel grid.
+    SQL replay (w*h<=32): byte i of sha256(text || ':' || frame || ':0')
+    / 256 — the frame index rides in the hash payload as ASCII so
+    DuckDB can rebuild it with VARCHAR concat (its sha256 is
+    VARCHAR-only; NUL-byte payloads would be unrepresentable)."""
+    return (_hash_bytes(blob + f":{frame}".encode(), w * h) / 256.0).reshape(h, w)
 
 
 def resize_media(

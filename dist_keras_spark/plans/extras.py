@@ -170,7 +170,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _lt(spark, sf_dir, "embeddings")
     dup_of_earlier = (
-        embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.9)
+        embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.9, dim=64)
         .select(F.col("id_hi").alias("vec_id"))
         .distinct()
     )

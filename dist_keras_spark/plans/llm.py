@@ -225,23 +225,86 @@ def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure itself is deterministic, so the check is exact."""
     e = _lt(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
-    out = knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=4, tables=8, seed=42)
+    out = knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=4, tables=8, seed=42, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
     )
 
 
-@query("knn_ivf_top5")  # approximate: rows-only + pytest recall gate
+def _knn_ivf_oracle_sql(
+    n_cells: int = 16, n_probe: int = 8, seed: int = 42, dim: int = 64, k: int = 5
+) -> str:
+    """DuckDB SQL that replays knn_ivf end-to-end — the same technique
+    as _knn_lsh_oracle_sql, but the quantizer is DATA-derived, so the
+    oracle recomputes it from the table instead of embedding literals:
+    the centroid sample orders by md5(vec_id || ':seed') (portable —
+    this is exactly why knn_ivf samples by md5, not xxhash64), cell
+    assignment ranks cosine-to-centroid with ties toward the lower
+    cell (Spark side uses a stable argsort for the same reason), the
+    corpus keeps its top cell, queries probe the top n_probe, and the
+    exact re-rank folds the same left-to-right double arithmetic as
+    Spark's F.aggregate kernel. Residual risk (documented, accepted):
+    Spark's assignment sims come from numpy matmul (pairwise/SIMD
+    summation), so a near-tie between two cells can assign differently
+    — measure-zero on continuous data, same class of risk as the
+    knn_lsh fold-order note."""
+    cos = """round(
+             list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6)"""
+    centsim = """(list_sum(list_transform(range(1, 65), i -> c.v[i] * ct.v[i]))
+             / (greatest(sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))), 1e-12)
+              * greatest(sqrt(list_sum(list_transform(range(1, 65), i -> ct.v[i] * ct.v[i]))), 1e-12)))"""
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id) - 1 AS cell,
+           v
+    FROM corpus
+    QUALIFY row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id) <= {n_cells}),
+assign AS (
+    SELECT c.vec_id, ct.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {centsim} DESC, ct.cell) AS pr
+    FROM corpus c CROSS JOIN cent ct),
+corpus_cell AS (SELECT vec_id, cell FROM assign WHERE pr = 1),
+query_cell  AS (SELECT vec_id, cell FROM assign
+                WHERE pr <= {n_probe} AND vec_id % 20 = 0),
+cand AS (
+    SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id
+    FROM query_cell q JOIN corpus_cell cc USING (cell)
+    WHERE cc.vec_id <> q.vec_id),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+    FROM cand
+    JOIN corpus a ON a.vec_id = cand.query_id
+    JOIN corpus b ON b.vec_id = cand.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS knn_rank
+           FROM scored)
+SELECT query_id, neighbor_id, knn_rank, cosine FROM ranked WHERE knn_rank <= {k}
+"""
+
+
+@query("knn_ivf_top5", oracle=_knn_ivf_oracle_sql())
 def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 second scale path: IVF coarse quantizer (16 sampled cells,
     probe 8), exact re-rank within probed cells — scans ~half the
     corpus per query instead of all of it (n_probe/n_cells tunes the
-    fraction; the near-orthogonal fixture needs a generous probe)."""
+    fraction; the near-orthogonal fixture needs a generous probe).
+    Hash-verified: the md5-ordered centroid sample is replayed by the
+    generated DuckDB oracle (see _knn_ivf_oracle_sql)."""
     from dist_keras_spark.operators.similarity import knn_ivf
 
     e = _lt(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
-    return knn_ivf(e, q, "vec_id", "embedding", k=5, n_cells=16, n_probe=8, seed=42)
+    out = knn_ivf(e, q, "vec_id", "embedding", k=5, n_cells=16, n_probe=8, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
+    )
 
 
 @query(

@@ -92,16 +92,29 @@ def streaming_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_fake_decode")  # mapInPandas plumbing: rows-only
+@query(
+    "multimodal_fake_decode",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       8 AS dim,
+       round(list_sum(list_transform(range(1, 9),
+           i -> ('0x' || substr(sha256(text || ':0'), 2*i - 1, 2))::INT / 256.0)),
+           6) AS feature_sum
+FROM documents
+""",
+)
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 decode path: Arrow-batched mapInPandas over the blob column →
     fixed-dim feature vectors (deterministic fake decoder; real codec
     is a drop-in — see operators/multimodal.py).
 
-    The driver-facing projection is SCALAR (dim + checksum of the
-    vector), not the raw array<double> — raw containers crash the
-    driver canonicalizer (CORRECTNESS_r03). The checksum pins the
-    decoded values; pytest asserts the full vectors."""
+    SHARP oracle (VERDICT r4 #5): the fake decoder is a counter-mode
+    sha256 byte map (operators/multimodal._hash_bytes), so DuckDB
+    replays pixel i as hex-pair i of sha256(text || ':0') / 256 —
+    byte/256 is an exact binary fraction, so the checksum matches
+    bit-for-bit. The driver-facing projection is SCALAR (dim + checksum
+    of the vector); pytest asserts the full vectors."""
     d = attach_blob(_lt(spark, sf_dir, "documents"))
     out = fake_decode_features(d, dim=8)
     return out.select(
@@ -162,9 +175,19 @@ def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mllib_minhash_pairs(d, jaccard_distance=0.2)
 
 
-@query("streaming_dedup_live")  # append-mode stream: rows-only
+@query(
+    "streaming_dedup_live",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+)
 def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K5 as real streaming: watermarked dropDuplicates on event_id."""
+    """K5 as real streaming: watermarked dropDuplicates on event_id.
+
+    Hash-verified: fixture event_ids are unique (checked at sf0.01),
+    so the deduped availableNow replay must equal the full table — the
+    oracle pins that the stream delivers every event EXACTLY once
+    (duplicate or dropped deliveries both hash-mismatch)."""
     from dist_keras_spark.streaming.pipelines import (
         run_available_now,
         stream_events,
@@ -176,15 +199,29 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
-@query("multimodal_frame_sample")  # fake per-frame decode: rows-only
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       f.frame_idx,
+       8 AS dim,
+       round(list_sum(list_transform(range(1, 9),
+           i -> ('0x' || substr(sha256(text || ':' || f.frame_idx || ':0'),
+                                2*i - 1, 2))::INT / 256.0)),
+           6) AS feature_sum
+FROM documents, (VALUES (0), (2), (4)) f(frame_idx)
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 video-shaped path: every-2nd-frame sampling over the blob
     column — one output row per kept frame (mapInPandas emitting a
     different row count than its input), per-frame feature vectors.
-    Deterministic fake decode; schema/row semantics pytest-gated.
 
-    Driver projection is scalar (frame index + vector checksum), per
-    the canonicalizer convention — see multimodal_fake_decode."""
+    SHARP oracle: n_frames=5 / every=2 keeps frames {0,2,4}; each
+    frame's 8 pseudo-pixels are hex-pairs of
+    sha256(text || ':' || frame || ':0') / 256 (exact binary fractions
+    — see multimodal_fake_decode). Driver projection is scalar (frame
+    index + vector checksum), per the canonicalizer convention."""
     from dist_keras_spark.operators.multimodal import attach_blob, sample_frames
 
     d = attach_blob(_lt(spark, sf_dir, "documents"), n_frames=5)

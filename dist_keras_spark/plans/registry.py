@@ -14,23 +14,60 @@ check.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+_CONTAINER_TYPES = (T.ArrayType, T.MapType, T.StructType)
+
+
+def assert_driver_hashable(name: str, df: DataFrame) -> DataFrame:
+    """Reject result schemas the driver's value-hash canon can't handle.
+
+    The driver sorts columns by name and factorizes/hashes cell values;
+    container cells (array/map/struct) crash that canon (the r3
+    `feature_reshape` incident). House convention: serialize containers
+    to a string column suffixed `_csv`/`_json` before returning. This
+    fires at *query invocation* (schema is known without executing the
+    plan), the earliest point the schema exists.
+    """
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, _CONTAINER_TYPES)
+    ]
+    if bad:
+        raise TypeError(
+            f"query {name!r} returns container-typed column(s) {bad} — "
+            "the driver hash canon only handles scalar cells; serialize "
+            "to a *_csv/*_json string column instead"
+        )
+    return df
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a query plan and (optionally) its oracle SQL."""
+    """Decorator: register a query plan and (optionally) its oracle SQL.
+
+    The registered callable is wrapped to assert the returned schema is
+    driver-hashable (scalar columns only) — see `assert_driver_hashable`.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return assert_driver_hashable(name, fn(spark, sf_dir))
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

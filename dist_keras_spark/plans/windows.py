@@ -116,7 +116,12 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines define sec = floor(epoch), so frame membership is
     identical; RANGE includes all peers, making ties order-insensitive.
     """
-    e = _lt(spark, sf_dir, "events").withColumn("sec", F.col("ts").cast("long"))
+    # ts may read as TIMESTAMP_NTZ (µs fixtures): NTZ→long is an illegal
+    # cast, so hop through TIMESTAMP first (session tz is UTC, so the
+    # wall-clock→epoch mapping matches DuckDB's epoch()).
+    e = _lt(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("timestamp").cast("long")
+    )
     w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
     return e.select(
         "event_id", F.round(F.sum("value").over(w), 2).alias("rolling_1h")

@@ -5,9 +5,9 @@ predicate pushdown + column pruning (verify with
 ``df.explain('formatted')`` → PushedFilters / ReadSchema), so loaders
 return *lazy* DataFrames, never cached/collected.
 
-The `events.ts` column is nanosecond parquet; Spark truncates to µs on
-read — callers that compare against the DuckDB oracle should bucket or
-truncate to ms (SURVEY.md §7.3).
+The `events.ts` column has shipped as both nanosecond and microsecond
+parquet across fixture generations; `normalize_events_ts` branches on
+the observed read schema so either encoding works (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -41,26 +41,42 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one fixture table.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to a microsecond timestamp, whatever the
+    fixture generation shipped.
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    outright (PARQUET_TYPE_ILLEGAL). We read it as raw nanos
-    (legacy nanosAsLong) and truncate to µs with *integer* division —
-    ns-since-epoch (~1.7e18) overflows a double's 53-bit mantissa, so
-    a float division here would corrupt timestamps by ±0.25 µs.
-    DuckDB truncates the same file to µs `TIMESTAMP` on read, so both
-    engines agree exactly at µs precision.
+    - `timestamp[ns]` parquet: Spark 4 rejects it outright
+      (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+      is set, in which case `ts` reads as raw ns BIGINT. We truncate to
+      µs with *integer* division — ns-since-epoch (~1.7e18) overflows a
+      double's 53-bit mantissa, so float division would corrupt
+      timestamps by ±0.25 µs. DuckDB truncates the same file to µs on
+      read, so both engines agree exactly at µs precision.
+    - `timestamp[us]` parquet (current fixtures, regenerated
+      2026-08-13): Spark reads TIMESTAMP_NTZ natively and matches
+      DuckDB exactly — pass through untouched so `ts` predicates stay
+      raw-column comparisons that push down to parquet stats.
+
+    Shared by the batch loader and streaming/pipelines.stream_events so
+    the two paths can't diverge.
     """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table (events ts normalized —
+    see `normalize_events_ts`)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
+        # Harmless for µs files; required to even read a ns file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -21,8 +21,11 @@ from pyspark.sql import functions as F
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a streaming source with the same ns→µs
-    timestamp normalization as the batch loader."""
+    """events.parquet as a streaming source with the same ts
+    normalization as the batch loader (sources.tables.normalize_events_ts
+    — schema-guarded, handles both ns and µs fixture generations)."""
+    from ..sources.tables import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource needs a directory; glob-filter down to the table
@@ -31,7 +34,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = normalize_events_ts(raw)
+    # Watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # on TIMESTAMP_NTZ). Session tz is UTC, so the cast is wall-clock
+    # identity; batch keeps NTZ pass-through for raw-column pushdown.
+    if dict(out.dtypes).get("ts") == "timestamp_ntz":
+        out = out.withColumn("ts", F.col("ts").cast("timestamp"))
+    return out
 
 
 def streaming_tumbling_counts(events: DataFrame) -> DataFrame:

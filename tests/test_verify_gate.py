@@ -10,11 +10,12 @@ These tests pin the gate's sensitivity so it can't regress quietly.
 
 from __future__ import annotations
 
+import pathlib
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
 
 from verify_local import _driver_canon, _norm_cell  # noqa: E402
 
@@ -48,3 +49,36 @@ def test_norm_cell_rejects_containers():
         _norm_cell([1, 2])
     with pytest.raises(TypeError):
         _norm_cell({"k": 1})
+
+
+def test_registry_rejects_container_result_schema(spark):
+    """VERDICT r4 #6: the registration wrapper must refuse raw
+    array/map/struct result columns at query *invocation* (before the
+    driver's pandas canon can crash on them)."""
+    from dist_keras_spark.plans import registry
+
+    @registry.query("_test_raw_array_query")
+    def _raw(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        return spark.range(3).select(F.array(F.lit(1), F.lit(2)).alias("xs"))
+
+    try:
+        with pytest.raises(TypeError, match="container-typed"):
+            registry.QUERIES["_test_raw_array_query"](spark, "/unused")
+    finally:
+        del registry.QUERIES["_test_raw_array_query"]
+
+
+def test_registry_accepts_scalar_result_schema(spark):
+    from dist_keras_spark.plans import registry
+
+    @registry.query("_test_scalar_query")
+    def _scalar(spark, sf_dir):
+        return spark.range(3)
+
+    try:
+        df = registry.QUERIES["_test_scalar_query"](spark, "/unused")
+        assert df.count() == 3
+    finally:
+        del registry.QUERIES["_test_scalar_query"]

@@ -26,13 +26,15 @@ Usage:  python tools/verify_local.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
+import pathlib
 import sys
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from dist_keras_spark.session import get_spark  # noqa: E402
 from dist_keras_spark.sources.tables import TABLE_NAMES  # noqa: E402
@@ -60,6 +62,11 @@ def _norm_cell(v: object) -> str:
         return f"d:{v.isoformat()}"
     if isinstance(v, (bytes, bytearray)):
         return f"y:{bytes(v).hex()}"
+    if isinstance(v, decimal.Decimal):
+        # own tag: DuckDB returns Decimal for DECIMAL columns (TPC-H
+        # aggregates); without this a DECIMAL-vs-VARCHAR split would
+        # stringify identically under the generic s: fallback.
+        return f"n:{v.normalize()}"
     if isinstance(v, (list, tuple, dict, set)):
         # the driver canon crashes on these; reaching here means the
         # pandas canon below failed to reproduce that — hard error.
@@ -71,9 +78,14 @@ def _driver_canon(cols: list[str], rows: list[tuple]) -> None:
     """Replicate the driver's pandas canonicalization closely enough to
     crash where it crashes: DataFrame → columns sorted by name →
     sort_values over every column. Raw list/dict cells raise
-    `TypeError: unhashable type` exactly as the driver's canon does."""
+    `TypeError: unhashable type` when sort_values hits the
+    lexsort/factorize path — which pandas only takes with >=2 sort
+    columns (a single column argsorts by comparison and does NOT
+    raise), so we append a synthetic constant column to force the
+    multi-column path regardless of the result's column count."""
     pdf = pd.DataFrame(rows, columns=cols)
     pdf = pdf[sorted(cols)]
+    pdf["__canon_pad__"] = 0
     pdf.sort_values(by=list(pdf.columns), inplace=False)
 
 
@@ -126,8 +138,13 @@ def main() -> int:
             print(f"✗ {name}: duckdb/canon error: {e}")
             continue
 
-        sn, sc, sh = _fingerprint(scols, srows)
-        dn, dc, dh = _fingerprint(dcols, drows)
+        try:
+            sn, sc, sh = _fingerprint(scols, srows)
+            dn, dc, dh = _fingerprint(dcols, drows)
+        except Exception as e:  # noqa: BLE001 — one bad query must not mask the rest
+            failures.append(f"{name}: FINGERPRINT ERROR {type(e).__name__}: {e}")
+            print(f"✗ {name}: fingerprint error: {e}")
+            continue
         ok = True
         if sn != dn:
             ok = False
