@@ -89,8 +89,10 @@ registry.promote(
     "data_quality_summary",
     "deterministic_hash_sample",
     "ml_linear_scorer",
-    "win_rank_orders",
-    "win_running_sum",
+    # new this round (displace r2-evidence windows backfill — those stay
+    # cumulative-green from r2 and nothing touching them changed)
+    "join_range_binned",
+    "join_asof_tolerance",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

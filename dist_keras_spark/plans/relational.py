@@ -270,6 +270,105 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
 
 
+@query(
+    "join_asof_tolerance",
+    oracle="""
+SELECT event_id, o_orderkey AS asof_orderkey
+FROM (
+    SELECT e.event_id, o.o_orderkey, o.o_orderdate, CAST(e.ts AS DATE) AS ed,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e
+    JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1 AND date_diff('day', o_orderdate, ed) <= 8400
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 variant: as-of join with a max-staleness tolerance (pandas
+    merge_asof(tolerance=...) semantics) — the latest order at-or-before
+    the event only counts if it is at most 8400 days old (fixture
+    orders are 1992-1998, events 2024+, so per-event staleness spans
+    8190-9799 days — 8400 keeps roughly the freshest quarter, making
+    the tolerance path discriminating rather than all-or-nothing). For
+    inner
+    semantics this equals restricting the match window to
+    [ts - tol, ts]: the latest match is the same row either way, so the
+    tolerance is a post-filter on the one matched row — the union+window
+    plan (ONE shuffle, no range-join explosion) is unchanged."""
+    e = _lt(spark, sf_dir, "events").withColumnRenamed("user_id", "custkey")
+    o = _lt(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    joined = asof_join(
+        e,
+        o,
+        key="custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        how="inner",
+        tiebreak="o_orderkey",
+    )
+    return joined.filter(
+        F.datediff(F.col("ts").cast("date"), F.col("o_orderdate")) <= 8400
+    ).select("event_id", F.col("o_orderkey").alias("asof_orderkey"))
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+SELECT a.event_id AS eid_a, b.event_id AS eid_b,
+       CAST(floor(epoch(b.ts)) AS BIGINT)
+     - CAST(floor(epoch(a.ts)) AS BIGINT) AS dt_sec
+FROM events a JOIN events b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND abs(CAST(floor(epoch(b.ts)) AS BIGINT)
+       - CAST(floor(epoch(a.ts)) AS BIGINT)) <= 120
+""",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 scale path: |Δt| <= 2 min same-type event pairs via BIN
+    bucketing instead of a raw range join.
+
+    The naive plan equi-joins on event_type alone (5 distinct values →
+    giant skewed hash groups with the range check as a post-filter, the
+    classic 100 TB hot-key explosion). Binning floors each event into a
+    120-second bucket, explodes the LEFT side to its 3 adjacent bins
+    (|Δt| <= width ⇒ |Δbin| <= 1), and equi-joins on (event_type, bin):
+    the shuffle key becomes fine-grained and time-uniform, candidate
+    pairs are only same/adjacent-bin, and the exact |Δt| filter runs on
+    the tiny candidate set. Each qualifying pair appears exactly once
+    (the right side carries its single home bin; eid_a < eid_b kills
+    the mirror). Epoch seconds are floored identically in the oracle
+    (win_range_frame convention, UTC session)."""
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+    )
+    width = 120
+    bin_col = F.floor(F.col("sec") / width)
+    a = e.select(
+        F.col("event_id").alias("eid_a"),
+        "event_type",
+        F.col("sec").alias("sec_a"),
+        F.explode(F.array(bin_col - 1, bin_col, bin_col + 1)).alias("bin"),
+    )
+    b = e.select(
+        F.col("event_id").alias("eid_b"),
+        "event_type",
+        F.col("sec").alias("sec_b"),
+        bin_col.alias("bin"),
+    )
+    return (
+        a.join(b, ["event_type", "bin"])
+        .filter(
+            (F.col("eid_a") < F.col("eid_b"))
+            & (F.abs(F.col("sec_b") - F.col("sec_a")) <= width)
+        )
+        .select("eid_a", "eid_b", (F.col("sec_b") - F.col("sec_a")).alias("dt_sec"))
+    )
+
+
 # -- G: set operations ------------------------------------------------------
 
 

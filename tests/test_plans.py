@@ -145,3 +145,26 @@ def test_ivf_corpus_is_not_globally_sorted(spark, sf_dir):
     ).limit(16)
     plan = sample._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_binned_join_is_equi_on_bin(spark, sf_dir):
+    """join_range_binned must compile to a HASH-partitioned equi-join
+    whose keys include the time bin — never a cartesian/BNLJ with a
+    range post-filter (the 100 TB hot-key explosion it exists to
+    avoid). With broadcast disabled the join must survive as
+    SortMergeJoin/ShuffledHashJoin on (event_type, bin)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            QUERIES["join_range_binned"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "bin" in plan.split("Join")[1][:300], (
+        "join keys must include the time bin:\n" + plan[:1500]
+    )
