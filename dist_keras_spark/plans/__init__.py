@@ -87,12 +87,12 @@ registry.promote(
     "grouped_zscore",
     "sql_entry_q3",
     "data_quality_summary",
-    "deterministic_hash_sample",
     "ml_linear_scorer",
-    # new this round (displace r2-evidence windows backfill — those stay
-    # cumulative-green from r2 and nothing touching them changed)
+    # new this round (displace r1/r2-evidence backfill — those stay
+    # cumulative-green and nothing touching them changed)
     "join_range_binned",
     "join_asof_tolerance",
+    "bucketed_join_colocated",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

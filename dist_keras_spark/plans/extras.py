@@ -324,6 +324,52 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+""",
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/C-scale: bucketed tables → co-located join with NO shuffle.
+
+    Both sides are written `bucketBy(8, join_key)` (catalog tables with
+    external parquet paths), so the sort-merge join reads matching
+    buckets directly — the executed plan carries ZERO Exchange nodes
+    under the join (pytest-asserted with broadcast disabled). This is
+    the standard 100 TB pattern for a fact table joined repeatedly on
+    the same key: pay the bucketing shuffle once at write time, never
+    again at read time. The merge hint keeps the demonstration honest
+    at fixture scale (AQE would otherwise just broadcast the small
+    side, hiding the bucketing)."""
+    import tempfile
+
+    base = f"{tempfile.gettempdir()}/spark_graft_bucketed"
+    o = _lt(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _lt(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    (
+        o.write.mode("overwrite")
+        .option("path", f"{base}/orders_bkt")
+        .bucketBy(8, "o_custkey")
+        .saveAsTable("graft_orders_bkt")
+    )
+    (
+        c.write.mode("overwrite")
+        .option("path", f"{base}/customer_bkt")
+        .bucketBy(8, "c_custkey")
+        .saveAsTable("graft_customer_bkt")
+    )
+    ob = spark.table("graft_orders_bkt").hint("merge")
+    cb = spark.table("graft_customer_bkt").hint("merge")
+    return ob.join(cb, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "c_name"
+    )
+
+
+@query(
     "partitioned_sink_prune",
     oracle="""
 SELECT event_id, user_id, event_type, value

@@ -168,3 +168,25 @@ def test_range_binned_join_is_equi_on_bin(spark, sf_dir):
     assert "bin" in plan.split("Join")[1][:300], (
         "join keys must include the time bin:\n" + plan[:1500]
     )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """bucketed_join_colocated exists to prove the write-once-shuffle-
+    never pattern: with broadcast disabled, the sort-merge join over
+    the two bucketed tables must contain ZERO Exchange nodes — the
+    buckets themselves are the partitioning."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            QUERIES["bucketed_join_colocated"](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, (
+        "bucketed join must not shuffle:\n" + plan[:2000]
+    )
+    assert plan.count("Bucketed: true") == 2, plan[:2000]
