@@ -143,3 +143,50 @@ def test_compact_parquet_failure_leaves_live_data(spark, sf_dir, tmp_path, monke
     monkeypatch.undo()
     assert os.path.isdir(p), "live path restored after failed promotion"
     assert spark.read.parquet(p).count() == n_before
+
+
+def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
+    """Fixture generations have shipped events.ts as BOTH nanosecond
+    int64 parquet (rounds 1-3) and native microsecond timestamp
+    (round 4+). normalize_events_ts branches on the observed read
+    schema; this pins both branches to the same wall-clock result so a
+    future fixture regeneration (or revert) cannot silently break one
+    path again."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dist_keras_spark.sources.tables import load_table
+
+    stamps = [
+        dt.datetime(2024, 3, 1, 12, 0, 0, 123456),
+        dt.datetime(2024, 3, 1, 12, 30, 59, 999999),
+    ]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+
+    def write(dirname: str, ts_type) -> str:
+        d = tmp_path / dirname
+        d.mkdir()
+        table = pa.table(
+            {**{"event_id": base["event_id"]}, "ts": pa.array(stamps, type=ts_type),
+             **{k: v for k, v in base.items() if k != "event_id"}}
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        return str(d)
+
+    us_dir = write("us", pa.timestamp("us"))
+    ns_dir = write("ns", pa.timestamp("ns"))
+
+    got_us = {r["event_id"]: r["ts"] for r in load_table(spark, us_dir, "events").collect()}
+    got_ns = {r["event_id"]: r["ts"] for r in load_table(spark, ns_dir, "events").collect()}
+    assert got_us == got_ns, f"encodings diverged: {got_us} vs {got_ns}"
+    # wall-clock must survive exactly at µs precision
+    assert got_us[2].microsecond == 999999
+    assert got_us[1] == stamps[0]
