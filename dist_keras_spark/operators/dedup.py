@@ -363,56 +363,73 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash of the token multiset as a 64-char binary string:
-    position p is '1' iff Σ_tokens (±1 by bit p of xxhash64(token)) > 0.
+SIMHASH_BITS = 60  # 15 hex chars of md5 — fits BIGINT on both engines
+SIMHASH_BANDS = 4  # pigeonhole: radius 3 ⇒ one of 4 bands matches exactly
 
-    String representation because Spark's shiftleft/shiftright take
-    only literal ints, not lambda-bound columns. Scan-side expressions,
-    no shuffle; a throughput-tuned variant would bit-pack per Arrow
-    batch in a pandas_udf, but signature computation is not the
-    bottleneck (the bucket join is).
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash of the token multiset as a BIGINT: bit p is set
+    iff Σ_tokens (±1 by bit p of the token hash) > 0.
+
+    The token hash is the first 15 hex chars of md5 parsed as an
+    integer — PORTABLE: DuckDB computes the identical value via
+    ('0x' || substr(md5(t),1,15))::BIGINT, which is what lets
+    simhash_neardup carry a sharp replayed oracle (xxhash64, the
+    previous hash, exists only in Spark). Token hashes are computed
+    ONCE per token into an array; the per-bit ±1 fold shifts by a
+    Python-literal p (Spark's shiftright requires literal shift
+    amounts — the reason this is a generate-60-expressions loop, not a
+    lambda over sequence()). Scan-side expressions, no shuffle.
     """
     toks = tokens(F.col(text_col))
-
-    def hbin(t: Column) -> Column:
-        # 64-char two's-complement binary of the token hash
-        return F.lpad(F.bin(F.xxhash64(t)), 64, "0")
-
-    bit_sums = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda p: F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(hbin(t).substr(p, F.lit(1)) == "1", F.lit(1)).otherwise(F.lit(-1)),
-        ),
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    sig = F.array_join(
-        F.transform(bit_sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))),
-        "",
-    )
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+    tmp = df.select(F.col(id_col).alias("id"), hashed.alias("__th"))
+
+    def _bit_sum(p: int):
+        # closure factory: Spark introspects lambda arity, so the bit
+        # index must be captured by closure, not a defaulted third arg
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(F.col("__th"), F.lit(0), merge)
+
+    sig = F.lit(0).cast("long")
+    for p in range(SIMHASH_BITS):
+        sig = sig + F.when(_bit_sum(p) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return tmp.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", radius: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs within a Hamming radius: band the 64-bit
-    signature into 4×16-bit sub-keys (pigeonhole: ≤3 differing bits →
+    """SimHash near-dup pairs within a Hamming radius: band the 60-bit
+    signature into 4×15-bit sub-keys (pigeonhole: ≤3 differing bits →
     at least one band matches exactly), bucket-join on each band, then
     verify bit_count(xor) <= radius."""
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
     sigs = simhash(spread(df, id_col), id_col, text_col)
     banded = sigs.select(
         "id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.col("simhash").substr(bi * 16 + 1, F.lit(16)).alias("bkey"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("simhash"), bi * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for bi in range(SIMHASH_BANDS)
+                ]
             )
         ).alias("b"),
     ).select("id", "simhash", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey"))
@@ -428,15 +445,7 @@ def simhash_pairs(
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
-    # Hamming distance = # of differing positions in the two bit strings.
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split("sig_a", ""), F.split("sig_b", ""), lambda x, y: x != y
-            ),
-            lambda d: d,
-        )
-    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= radius)

@@ -87,18 +87,17 @@ registry.promote(
     "grouped_zscore",
     "sql_entry_q3",
     "data_quality_summary",
-    "ml_linear_scorer",
     # new this round (displace r1/r2-evidence backfill — those stay
     # cumulative-green and nothing touching them changed)
     "join_range_binned",
     "join_asof_tolerance",
     "bucketed_join_colocated",
+    "simhash_neardup",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out
 # of the driver's 50-slot window permanently.
 registry.demote(
-    "simhash_neardup",
     "mllib_minhash_neardup",
     "approx_ntile_buckets",
     "ml_train_ensemble",

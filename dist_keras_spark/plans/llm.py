@@ -121,11 +121,44 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@query("simhash_neardup")  # xxhash64-based signature: no DuckDB equivalent
+_SIMHASH_ORACLE_SQL = """
+WITH tok AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+),
+bits AS (
+    SELECT doc_id, p.p,
+           CASE WHEN sum(CASE WHEN (h >> p.p) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+    FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS p) p
+    GROUP BY doc_id, p.p
+),
+sig AS (SELECT doc_id, CAST(sum(b << p) AS BIGINT) AS s FROM bits GROUP BY doc_id),
+banded AS (
+    SELECT doc_id, s, bi.bi AS band, (s >> (bi.bi * 15)) & 32767 AS bkey
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bi) bi
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.s AS sa, b.s AS sb
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@query("simhash_neardup", oracle=_SIMHASH_ORACLE_SQL)
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit signature, Hamming radius 3 via
-    4×16-bit pigeonhole bands). Rows-only here; pytest checks it finds
-    the same near-dup clusters as exact Jaccard."""
+    """SimHash near-dup pairs (60-bit md5-derived signature, Hamming
+    radius 3 via 4×15-bit pigeonhole bands). SHARP oracle: the token
+    hash is the first 15 hex chars of md5 — DuckDB computes the
+    identical BIGINT, so the oracle replays signature construction
+    (per-bit ±1 majority over the token multiset), banding, candidate
+    join, and the bit_count(xor) verify exactly. Integer arithmetic
+    end-to-end: no float divergence is possible. pytest additionally
+    checks it finds the same near-dup clusters as exact Jaccard."""
     d = _lt(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", radius=3)
 
