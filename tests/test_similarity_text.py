@@ -4,6 +4,7 @@ functions (SURVEY.md §5.2.5 invariants)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from dist_keras_spark.functions.arrays import cosine_similarity
 from dist_keras_spark.functions.text import doc_fingerprint, shingles, tokens
@@ -201,3 +202,35 @@ def test_embedding_neardup_plan_is_bucketed_not_allpairs(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_empty_corpus_raises_clear_errors(spark):
+    """VERDICT r4 #7: plan construction on an empty corpus must fail
+    with an explanatory ValueError, not a bare TypeError from
+    `.first()[0]`, on every similarity entry point that peeks the
+    input."""
+    from dist_keras_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        knn_lsh(empty, empty)
+    with pytest.raises(ValueError, match="empty"):
+        embedding_neardup_pairs(empty)
+    with pytest.raises(ValueError, match="empty"):
+        knn_ivf(empty, empty)
+
+
+def test_dim_param_skips_input_peek(spark):
+    """With dim= supplied, plan construction must not run a Spark job
+    (an empty corpus would otherwise raise) — the lazy path the plans
+    use (dim=64)."""
+    from dist_keras_spark.operators.similarity import embedding_neardup_pairs, knn_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    # constructing the plan must succeed; executing it yields zero rows
+    assert knn_lsh(empty, empty, dim=8).count() == 0
+    assert embedding_neardup_pairs(empty, dim=8).count() == 0
