@@ -77,6 +77,26 @@ def main() -> None:
             t0 = time.perf_counter()
             _materialize(fn(spark, SF_DIR))
             runs.append(round(time.perf_counter() - t0, 3))
+        # Adaptive noise guard: a >3× spread means co-tenant load hit
+        # the whole batch (observed: a 2.2s query reporting 7.7s when
+        # system load spiked to 11) — take up to 3 extra runs so one
+        # quiet window can surface the real number. Bounded cost, only
+        # triggers under interference.
+        def _min_unconfirmed() -> bool:
+            # the min is trustworthy once a second run lands within 20%
+            # of it; until then a >3× overall spread says keep probing
+            lo = sorted(runs)
+            return (
+                max(runs) / max(min(runs), 1e-9) > 3.0
+                and lo[1] / max(lo[0], 1e-9) > 1.2
+            )
+
+        extra = 0
+        while extra < 3 and _min_unconfirmed():
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t0, 3))
+            extra += 1
         timings[name] = min(runs)
         trace[name] = {
             "warm_sf0.001": round(t_warm_small, 3),
