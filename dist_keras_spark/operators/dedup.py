@@ -381,41 +381,61 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     amounts — the reason this is a generate-60-expressions loop, not a
     lambda over sequence()). Scan-side expressions, no shuffle.
     """
+    from pyspark.sql.types import LongType
+
     toks = tokens(F.col(text_col))
+    # Token hashes stay JVM-side (md5 + conv are codegen'd built-ins);
+    # only the 60-bit majority vote runs in the Arrow kernel below. An
+    # all-expression version (60 fold-aggregates) was measured at
+    # ~3.5s of pure analysis/codegen constant for the giant tree — the
+    # kernel does the identical INTEGER math vectorized, so oracle
+    # parity is exact (no float anywhere).
     hashed = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    tmp = df.select(F.col(id_col).alias("id"), hashed.alias("__th"))
 
-    def _bit_sum(p: int):
-        # closure factory: Spark introspects lambda arity, so the bit
-        # index must be captured by closure, not a defaulted third arg
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.int64)
 
-        return F.aggregate(F.col("__th"), F.lit(0), merge)
+    @F.pandas_udf(LongType())
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        lengths = hs.map(len).to_numpy()
+        if lengths.sum() == 0:
+            return pd.Series(out)
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs])
+        pm = (((flat[:, None] >> bit_idx) & 1) * 2 - 1).astype(np.int64)  # N×60 ±1
+        starts = np.zeros(len(hs), dtype=np.int64)
+        starts[1:] = np.cumsum(lengths)[:-1]
+        nonzero = lengths > 0
+        sums = np.add.reduceat(pm, starts[nonzero], axis=0)  # docs×60
+        sigs = ((sums > 0).astype(np.int64) << bit_idx).sum(axis=1)
+        out[nonzero] = sigs
+        return pd.Series(out)
 
-    sig = F.lit(0).cast("long")
-    for p in range(SIMHASH_BITS):
-        sig = sig + F.when(_bit_sum(p) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return tmp.select("id", sig.alias("simhash"))
+    return df.select(F.col(id_col).alias("id"), _sig(hashed).alias("simhash"))
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", radius: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    radius: int = 3,
+    materialize: str | None = "local",
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius: band the 60-bit
     signature into 4×15-bit sub-keys (pigeonhole: ≤3 differing bits →
     at least one band matches exactly), bucket-join on each band, then
-    verify bit_count(xor) <= radius."""
+    verify bit_count(xor) <= radius.
+
+    `materialize` stages the signatures (one long per doc) before the
+    band explode and the self-join — without it the md5+Arrow signature
+    subtree re-evaluates once per join side and the runtime blows up
+    ~6× (same reason minhash_lsh_pairs stages its band hashes; see
+    `_stage` for the local/storage/None trade at scale)."""
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_bits) - 1
-    sigs = simhash(spread(df, id_col), id_col, text_col)
+    sigs = _stage(simhash(spread(df, id_col), id_col, text_col), materialize)
     banded = sigs.select(
         "id",
         "simhash",
