@@ -83,7 +83,6 @@ registry.promote(
     "feature_string_index",
     "feature_vector_assemble",
     "feature_onehot_argmax_identity",
-    "feature_vector_roundtrip",
     "grouped_zscore",
     "sql_entry_q3",
     "data_quality_summary",
@@ -93,6 +92,7 @@ registry.promote(
     "join_asof_tolerance",
     "bucketed_join_colocated",
     "simhash_neardup",
+    "bm25_topk_docs",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

@@ -121,6 +121,102 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+_BM25_TERMS = ("join", "scan", "vector")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def _bm25_oracle_sql() -> str:
+    """Replays the BM25 scoring SQL with the same formula structure as
+    the Spark expression (association order preserved) so doubles agree
+    to the last few ulps; ordering is on the ROUNDED score + doc_id so
+    sub-1e-4 float noise can never reorder the top-k across engines."""
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_K
+    per_doc = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"ln((s.n - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1)"
+        f" * (d.tf_{t} * ({k1} + 1))"
+        f" / (d.tf_{t} + {k1} * (1 - {b} + {b} * d.dl / s.avgdl))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id, len(toks) AS dl, {per_doc}
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+stats AS (
+    SELECT count(*) AS n, avg(dl) AS avgdl, {dfs} FROM docs
+),
+scored AS (
+    SELECT d.doc_id, round({score}, 4) AS bm25
+    FROM docs d CROSS JOIN stats s
+)
+SELECT doc_id, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS bm25_rank
+FROM scored
+QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= {k}
+"""
+
+
+@query("bm25_topk_docs", oracle=_bm25_oracle_sql())
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 retrieval path: BM25 (k1=1.2, b=0.75, Lucene-style idf) of a
+    fixed 3-term query over the corpus, top-10 docs.
+
+    Scale shape: term frequencies and doc length are SCAN-SIDE array
+    expressions (size(filter(tokens, …)) — no explode, no shuffle of
+    token rows); corpus stats (N, avgdl, per-term df) are one tiny
+    aggregate broadcast back via a 1-row cross join; the top-k is
+    TakeOrderedAndProject on the rounded score. Two corpus scans total,
+    zero wide shuffles — at 100 TB the stats row is the only thing that
+    moves. Ordering is on the ROUNDED score (4dp) + doc_id so the
+    cross-engine top-k set is deterministic despite last-ulp ln/division
+    noise."""
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_K
+    toks = F.split(F.col("text"), " ")
+
+    def _tf(term: str) -> F.Column:
+        # closure, not a defaulted lambda arg — Spark introspects
+        # higher-order-function arity (see operators/dedup.py simhash)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    d = _lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1
+        )
+        part = idf * (F.col(f"tf_{t}") * (k1 + 1)) / (
+            F.col(f"tf_{t}") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    scored = d.crossJoin(F.broadcast(stats)).select(
+        "doc_id", F.round(score, 4).alias("bm25")
+    )
+    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("bm25_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("bm25_rank") <= k)
+        .select("doc_id", "bm25", "bm25_rank")
+    )
+
+
 _SIMHASH_ORACLE_SQL = """
 WITH tok AS (
     SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
