@@ -190,3 +190,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         "bucketed join must not shuffle:\n" + plan[:2000]
     )
     assert plan.count("Bucketed: true") == 2, plan[:2000]
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """The driver checks the FIRST 50 registered queries; a rows-only
+    query in that window burns the slot for zero signal (r4 burned 8).
+    Pin the invariant so a future registration/promotion edit can't
+    regress it silently."""
+    from dist_keras_spark.plans import ORACLE, QUERIES
+
+    window = list(QUERIES)[:50]
+    missing = [n for n in window if n not in ORACLE]
+    assert not missing, f"rows-only queries in the driver window: {missing}"
