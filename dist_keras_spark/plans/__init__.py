@@ -81,7 +81,6 @@ registry.promote(
     "feature_one_hot",
     "feature_label_index",
     "feature_string_index",
-    "feature_vector_assemble",
     "feature_onehot_argmax_identity",
     "grouped_zscore",
     "sql_entry_q3",
@@ -93,6 +92,7 @@ registry.promote(
     "bucketed_join_colocated",
     "simhash_neardup",
     "bm25_topk_docs",
+    "events_sessionize_rows",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

@@ -206,3 +206,55 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(W.partitionBy()), 6).alias("share"),
     )
+
+
+@query(
+    "events_sessionize_rows",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS INT) AS session_seq
+FROM (
+    SELECT event_id, user_id, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events))
+""",
+)
+def events_sessionize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 row-level twin: gaps-and-islands sessionization — every event
+    gets its user-local session NUMBER (new session when >30 min since
+    the previous event), the assignment shape `session_window` can't
+    produce (it aggregates; this labels rows for downstream joins).
+    Gap arithmetic runs on integer epoch-microseconds (unix_micros /
+    epoch_us) so both engines compare exactly. ONE shuffle on user_id;
+    both windows share the same partitioning, so Catalyst plans a
+    single Exchange + sort."""
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w_ord = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(w_ord).isNull()
+            | ((F.col("us") - F.lag("us").over(w_ord)) > 1_800_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_new").over(w_run).cast("int").alias("session_seq"),
+    )
