@@ -70,8 +70,6 @@ registry.promote(
     "minhash_lsh_neardup",
     "knn_bruteforce_top5",
     "cosine_pairs_threshold",
-    "text_stats_by_lang",
-    "quality_filter",
     "lang_id_fingerprint",
     "tfidf_top_term",
     "token_count_bpeish",
@@ -93,6 +91,8 @@ registry.promote(
     "simhash_neardup",
     "bm25_topk_docs",
     "events_sessionize_rows",
+    "decontaminate_vs_benchmark",
+    "data_mix_token_budget",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

@@ -121,6 +121,104 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query(
+    "decontaminate_vs_benchmark",
+    oracle="WITH "
+    + _SHINGLES_CTE
+    + """,
+bench AS (
+    SELECT DISTINCT unnest(s) AS shingle FROM shingle_sets WHERE doc_id % 50 = 0
+),
+hits AS (
+    SELECT DISTINCT p.doc_id
+    FROM (SELECT doc_id, unnest(s) AS shingle FROM shingle_sets
+          WHERE doc_id % 50 <> 0) p
+    JOIN bench USING (shingle)
+)
+SELECT d.doc_id,
+       CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+)
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-pipeline decontamination: flag training documents that share
+    any 3-shingle with a held-out benchmark set (docs with
+    doc_id % 50 == 0 stand in for the benchmark).
+
+    Scale shape: the benchmark side is SMALL by construction, so its
+    distinct shingles BROADCAST — the corpus side explodes shingles
+    scan-side and left-semi-joins the broadcast set with no shuffle of
+    corpus data at all; the flagged-id set (tiny) joins back to the
+    corpus the same way. At 100 TB this is two corpus scans and zero
+    wide shuffles — the standard decontamination topology."""
+    from dist_keras_spark.operators.dedup import shingle_sets
+
+    d = _lt(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", 3)
+    bench_sh = (
+        sets.filter(F.col("id") % 50 == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    corpus = sets.filter(F.col("id") % 50 != 0)
+    hits = (
+        corpus.select("id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        corpus.select("id")
+        .join(F.broadcast(hits), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("__hit", F.lit(0)).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "data_mix_token_budget",
+    oracle="""
+SELECT doc_id, lang, n_tokens
+FROM (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM (SELECT doc_id, lang, n_chars,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          FROM documents))
+WHERE cum <= 2000
+""",
+)
+def data_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-pipeline mixture curation: per-language token budget — keep
+    the longest documents per lang (n_chars DESC, doc_id tiebreak)
+    until a 2000-token budget fills. The running-sum window shuffles
+    once on lang; at 100 TB the per-lang sort is the cost, and a
+    two-phase approx-quantile cutoff (approx_ntile_buckets pattern)
+    is the documented scale fallback when lang cardinality is tiny
+    and groups are huge."""
+    d = _lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= 2000)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
 _BM25_TERMS = ("join", "scan", "vector")
 _BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
 
