@@ -73,8 +73,6 @@ registry.promote(
     "lang_id_fingerprint",
     "tfidf_top_term",
     "token_count_bpeish",
-    "multimodal_join",
-    "multimodal_blob_features",
     "feature_minmax",
     "feature_one_hot",
     "feature_label_index",
@@ -93,6 +91,8 @@ registry.promote(
     "events_sessionize_rows",
     "decontaminate_vs_benchmark",
     "data_mix_token_budget",
+    "quality_repetition_ratio",
+    "dataset_split_assign",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

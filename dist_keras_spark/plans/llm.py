@@ -122,6 +122,74 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_repetition_ratio",
+    oracle="""
+SELECT doc_id,
+       CAST(len(t) AS INT)                AS total_tokens,
+       CAST(len(list_distinct(t)) AS INT) AS distinct_tokens,
+       round(1.0 - len(list_distinct(t)) * 1.0 / len(t), 6) AS rep_ratio,
+       CASE WHEN 1.0 - len(list_distinct(t)) * 1.0 / len(t) > 0.6
+            THEN 1 ELSE 0 END AS too_repetitive
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+""",
+)
+def quality_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 repetition filter (Gopher/C4-style quality rule): the
+    duplicate-token ratio 1 - distinct/total flags degenerate repeated
+    text. Pure scan-side array expressions — at 100 TB this is a
+    zero-shuffle pass like the other quality predicates."""
+    toks = F.split(F.col("text"), " ")
+    d = _lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("int").alias("total_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("distinct_tokens"),
+    )
+    ratio = 1.0 - F.col("distinct_tokens") / F.col("total_tokens")
+    return d.select(
+        "doc_id",
+        "total_tokens",
+        "distinct_tokens",
+        F.round(ratio, 6).alias("rep_ratio"),
+        F.when(ratio > 0.6, F.lit(1)).otherwise(F.lit(0)).alias("too_repetitive"),
+    )
+
+
+@query(
+    "dataset_split_assign",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT
+             % 10 AS b
+      FROM documents)
+""",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-pipeline deterministic train/val/test split: bucket 0-7 →
+    train, 8 → val, 9 → test by a salted md5 of the id — stable across
+    runs, partitionings, AND engines (the md5 prefix parses to the
+    identical integer in DuckDB, unlike xxhash64). Scan-side
+    expression, no shuffle, no RNG state — the property a reproducible
+    data pipeline needs from its split."""
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return _lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
     "decontaminate_vs_benchmark",
     oracle="WITH "
     + _SHINGLES_CTE
