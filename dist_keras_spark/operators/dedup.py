@@ -471,3 +471,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def neardup_clusters(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id),
+    cluster_id = the smallest doc id reachable through the pair graph.
+
+    Algorithm: iterative min-label propagation — every vertex starts
+    labeled with itself; each round takes the min of its own label and
+    its neighbors' labels; stop when a round changes nothing. This is
+    the standard large-scale CC algorithm (label propagation over an
+    edge list): each round is one shuffle-join keyed on vertex id, and
+    the round count is the graph diameter (near-dup clusters are
+    shallow — pairs/chains — so 2-3 rounds in practice). Labels are
+    staged per round (`localCheckpoint`) to truncate the growing
+    lineage; at cluster scale swap for `checkpoint` to reliable
+    storage. The fixpoint is unique regardless of execution order, so
+    the result is deterministic and SQL-replayable (recursive CTE).
+
+    `max_iter` bounds a pathological path-graph; hitting it raises
+    rather than returning a half-converged labeling.
+    """
+    und = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.src == labels.vid)
+            .groupBy(F.col("dst").alias("vid2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vid == neighbor_min.vid2, "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("vid").alias(id_col), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"neardup_clusters: no fixpoint after {max_iter} rounds — "
+        "graph diameter exceeds max_iter; raise it for path-like graphs"
+    )

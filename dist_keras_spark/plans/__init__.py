@@ -66,7 +66,6 @@ registry.promote(
     "dedup_embedding_cosine",
     # (c) r1/r2-only evidence backfill
     "dedup_exact_priority",
-    "jaccard_neardup_pairs",
     "minhash_lsh_neardup",
     "knn_bruteforce_top5",
     "cosine_pairs_threshold",
@@ -93,6 +92,8 @@ registry.promote(
     "data_mix_token_budget",
     "quality_repetition_ratio",
     "dataset_split_assign",
+    "neardup_cluster_assign",
+    "pack_docs_into_contexts",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

@@ -122,6 +122,100 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_cluster_assign",
+    oracle="""
+WITH RECURSIVE pairs AS (
+    WITH """
+    + _SHINGLES_CTE.strip()
+    + """,
+    postings AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM shingle_sets),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+               any_value(a.ns) AS na, any_value(b.ns) AS nb
+        FROM postings a JOIN postings b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b FROM shared WHERE c * 1.0 / (na + nb - c) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+""",
+)
+def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-dedup clustering: connected components over exact-Jaccard≥0.5
+    near-dup pairs — every document labeled with the smallest doc id
+    reachable through the pair graph (the cluster representative a
+    keep-one-per-cluster dedup then selects).
+
+    The Spark side runs iterative min-label propagation
+    (operators/dedup.neardup_clusters — one shuffle-join per round,
+    rounds = graph diameter); the oracle computes the identical unique
+    fixpoint with a recursive CTE. Integer labels only, so the
+    hash-check is exact despite the completely different execution
+    strategies — an ITERATIVE algorithm with a sharp oracle."""
+    from dist_keras_spark.operators.dedup import jaccard_pairs, neardup_clusters
+
+    d = _lt(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    verts = d.select(F.col("doc_id").alias("id"))
+    return neardup_clusters(verts, pairs, id_col="id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
+    "pack_docs_into_contexts",
+    oracle="""
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((cum - n_tokens) / 512.0) AS INT) AS bin_id
+FROM (
+    SELECT doc_id, lang, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM (SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+          FROM documents))
+""",
+)
+def pack_docs_into_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-pipeline sequence packing: assign each document to the
+    512-token context bin where it STARTS (bin = floor(tokens-before /
+    512), per lang, deterministic doc_id order) — the standard
+    pretraining packing layout, computed as one running-sum window.
+    ONE shuffle on lang; integer token counts both engines, float only
+    in the final floor-divide where both compute the identical value."""
+    d = _lt(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 512.0).cast("int").alias("bin_id"),
+    )
+
+
+@query(
     "quality_repetition_ratio",
     oracle="""
 SELECT doc_id,

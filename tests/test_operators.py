@@ -246,3 +246,34 @@ class TestAsofRandomizedDifferential:
             got = {int(r["tag"]): (None if r["v"] is None else int(r["v"]))
                    for r in out}
             assert got == exp, f"trial {trial}: asof_join != pandas.merge_asof"
+
+
+class TestNeardupClusters:
+    def test_chain_graph_converges_to_min_label(self, spark):
+        """a-b, b-c, d-e chains: {1,2,3} → cluster 1, {4,5} → cluster 4,
+        isolated 6 → itself. Requires 2 propagation rounds (diameter 2)."""
+        from dist_keras_spark.operators.dedup import neardup_clusters
+
+        verts = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in neardup_clusters(verts, pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+    def test_max_iter_raises_on_long_path(self, spark):
+        import pytest
+
+        from dist_keras_spark.operators.dedup import neardup_clusters
+
+        n = 8
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        # path graph 0-1-2-...-7 labeled from the high end needs ~n rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            neardup_clusters(verts, pairs, max_iter=1)
