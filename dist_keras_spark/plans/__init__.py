@@ -27,6 +27,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     features,
     llm,
     ml,
+    analytics,
 )
 
 # Round-5 window (VERDICT r4 #3): (a) the repaired events family — every
@@ -64,24 +65,25 @@ registry.promote(
     "multimodal_frame_sample",
     "knn_lsh_top5",
     "dedup_embedding_cosine",
-    # (c) r1/r2-only evidence backfill
+    # (c) r1/r2-only evidence backfill (3 slots — the heaviest-used
+    # LLM ops whose only hash-green evidence is r1; the rest of the
+    # old backfill block stays cumulative-green, nothing touched it)
     "dedup_exact_priority",
     "minhash_lsh_neardup",
     "knn_bruteforce_top5",
-    "cosine_pairs_threshold",
-    "lang_id_fingerprint",
-    "tfidf_top_term",
-    "token_count_bpeish",
-    "feature_minmax",
-    "feature_one_hot",
-    "feature_label_index",
-    "feature_string_index",
-    "feature_onehot_argmax_identity",
-    "grouped_zscore",
-    "sql_entry_q3",
-    "data_quality_summary",
-    # new this round (displace r1/r2-evidence backfill — those stay
-    # cumulative-green and nothing touching them changed)
+    # (d) new operators this round — every one oracle-backed
+    "events_funnel_steps",
+    "events_hourly_gapfill",
+    "events_ewma_last",
+    "events_anomaly_trailing_z",
+    "grouped_mode_event_type",
+    "histogram_fixed_width",
+    "sample_stratified_hash",
+    "merge_upsert_scd",
+    "orc_roundtrip",
+    "text_source_scan",
+    "quality_ttr_hapax",
+    # (e) new last session (displace r1/r2-evidence backfill)
     "join_range_binned",
     "join_asof_tolerance",
     "bucketed_join_colocated",

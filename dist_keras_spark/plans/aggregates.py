@@ -241,3 +241,59 @@ def agg_accuracy_evaluator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(((F.col("vec_id") % 10) == F.col("label")).cast("double")), 6
         ).alias("accuracy")
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 completion: explicit GROUPING SETS (the general form rollup
+    and cube sugar over) — per-flag totals, per-status totals, and the
+    grand total in ONE pass, with grouping() flags disambiguating real
+    NULLs from subtotal rows. Spark executes this as a single Expand +
+    hash aggregate: the input is scanned once and each row is expanded
+    to its 3 grouping combinations map-side, so the shuffle carries
+    3× keys but the scan cost (the dominant term at 100 TB) is paid
+    once — strictly better than 3 separate aggregates unioned."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem)
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+""",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 inverse: unpivot/melt — wide measure columns to long
+    (measure, value) rows, the reshape every metrics store ingest
+    needs (and the exact inverse of agg_pivot). Spark's native
+    `DataFrame.unpivot` expands rows map-side with NO shuffle and no
+    UDF — at 100 TB it's a pure narrow transform that pipelines into
+    whatever aggregation follows."""
+    li = _lt(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val_raw",
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("val_raw", 2).alias("val")
+    )

@@ -1,0 +1,410 @@
+"""Round-5 analytics operators: funnels, time-series resample/gap-fill,
+EWMA smoothing, trailing-window anomaly flags, deterministic sampling,
+fixed-width histograms, and a merge/upsert (SCD) pattern.
+
+These extend SURVEY.md §2 families E (windows), K (event time), and
+the training-data-pipeline set with the event-analytics shapes a
+warehouse user expects (funnel/retention/resample are the classic
+product-analytics trio; dist-keras has no analogue — this is the
+"beyond the reference" surface the brief asks for).
+
+Scale notes are per-query; the common rules: every window partitions
+on a key whose cardinality scales with the data (user_id, or
+(event_type, day) — never a constant-cardinality global sort), spines
+are dimension-sized (hours × types), and sampling/merge are pure
+column expressions with one key-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+WITH s AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t1
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.t0
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t1
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s) AS step_signup,
+       (SELECT count(*) FROM c) AS step_click,
+       (SELECT count(*) FROM p) AS step_purchase
+""",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (signup → click → purchase): how many
+    users completed each prefix IN ORDER (a later click counts only
+    after the first signup, a purchase only after that click).
+
+    Shape: three aggregate-then-join rounds, ALL keyed on user_id — at
+    scale that is three hash shuffles on the same key (AQE coalesces;
+    a pre-bucketed events table would make them co-located). No
+    windows, no state: min(ts) per step is enough because steps are
+    monotone (first qualifying timestamp dominates)."""
+    e = _lt(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("step_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase")))
+    )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo,
+           date_trunc('hour', max(ts)) AS hi
+    FROM events
+), hours AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), spine AS (
+    SELECT hour, event_type FROM hours, types
+), hourly AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, sum(value) AS sv
+    FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.hour,
+       coalesce(h.n, 0) AS n,
+       round(last_value(h.sv IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.hour
+           ROWS UNBOUNDED PRECEDING), 2) AS sum_value_filled
+FROM spine s LEFT JOIN hourly h
+  ON s.hour = h.hour AND s.event_type = h.event_type
+""",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (the hypertable `time_bucket_gapfill`
+    / `locf` shape): a dense hour × event_type spine, hourly aggregates
+    left-joined on, missing hours carried forward with
+    last-observation-carried-forward.
+
+    Scale: the spine is DIMENSION-sized (hours-in-range × #types — a
+    year of hourly buckets for 1000 types is 8.8M rows, trivial), so
+    the crossJoin of two tiny derived frames is sanctioned; the one
+    data-sized shuffle is the hourly groupBy. The LOCF window
+    partitions by event_type over the SPINE (not the raw events), so
+    its sort is spine-sized. Raw events are never sorted globally."""
+    e = _lt(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    spine = hours.crossJoin(types)  # dim-sized × dim-sized: sanctioned
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    joined = spine.join(hourly, ["hour", "event_type"], "left")
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.last("sv", ignorenulls=True).over(
+            W.partitionBy("event_type").orderBy("hour")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ), 2).alias("sum_value_filled"),
+    )
+
+
+@query(
+    "events_ewma_last",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+           count(*)    OVER (PARTITION BY user_id)                        AS n
+    FROM events
+)
+SELECT user_id,
+       max(n) AS n_events,
+       round(sum(CASE WHEN i = 1 THEN power(0.7, n - 1)
+                      ELSE 0.3 * power(0.7, n - i) END * value), 2) AS ewma
+FROM seq GROUP BY user_id
+""",
+)
+def events_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing (α=0.3, s1=x1, s_n = α·x_n + (1-α)·s_{n-1}) per
+    user, reporting the final smoothed value. The recurrence is
+    rewritten to its closed form — a weighted sum with weights
+    α·(1-α)^(n-i) (and (1-α)^(n-1) for the seed) — so the whole thing
+    is ONE window pass (row_number + per-key count) plus ONE groupBy:
+    no iterative driver loop, no applyInPandas. Scale: both the window
+    and the aggregate key on user_id, whose cardinality scales with
+    the data; per-key history length is what bounds the float
+    underflow ((1-α)^k vanishes past k≈200, which is also why the
+    closed form is numerically fine for bounded sessions)."""
+    e = _lt(spark, sf_dir, "events")
+    wk = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(wk).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+    )
+    weight = F.when(
+        F.col("i") == 1, F.pow(F.lit(0.7), F.col("n") - 1)
+    ).otherwise(F.lit(0.3) * F.pow(F.lit(0.7), F.col("n") - F.col("i")))
+    return seq.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.round(F.sum(weight * F.col("value")), 2).alias("ewma"),
+    )
+
+
+@query(
+    "events_anomaly_trailing_z",
+    oracle="""
+WITH scored AS (
+    SELECT event_type, value,
+           avg(value) OVER w AS m,
+           stddev_samp(value) OVER w AS s,
+           count(*) OVER w AS k
+    FROM events
+    WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       count(*) AS n_scored,
+       CAST(sum(CASE WHEN k >= 10 AND s > 0 AND abs(value - m) / s > 3.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM scored GROUP BY event_type
+""",
+)
+def events_anomaly_trailing_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event is z-scored
+    against the 20 events BEFORE it (never itself — no leakage) within
+    its (event_type, day) partition; |z| > 3 with ≥10 trailing samples
+    flags an anomaly. Output is the per-type anomaly count.
+
+    Scale: the window partitions on (event_type, day) — cardinality
+    grows with the data's time span, so no partition exceeds one
+    type-day of events (vs. partitioning on event_type alone, which
+    would serialize ALL history for a hot type through one task). The
+    day boundary reset is the standard trade for unbounded streams."""
+    e = _lt(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type", F.date_trunc("day", "ts"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("m"),
+        F.stddev_samp("value").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    is_anom = (
+        (F.col("k") >= 10)
+        & (F.col("s") > 0)
+        & (F.abs(F.col("value") - F.col("m")) / F.col("s") > 3.0)
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies"),
+    )
+
+
+@query(
+    "grouped_mode_event_type",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+), ranked AS (
+    SELECT user_id, event_type, cnt,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cnt DESC, event_type ASC) AS rn
+    FROM counts
+)
+SELECT user_id, event_type AS mode_type, cnt AS mode_cnt
+FROM ranked WHERE rn = 1
+""",
+)
+def grouped_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC
+    tie-break (higher count, then lexicographically smaller value) —
+    the deterministic version of the `mode()` aggregate. Shape:
+    count-per-(key,value) then top-1-per-key window; both stages
+    shuffle on user_id (the second on user_id alone — the window's
+    partition count scales with key cardinality). The map-side partial
+    aggregation of the first groupBy does the heavy lifting at scale."""
+    e = _lt(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("cnt").alias("mode_cnt"))
+    )
+
+
+@query(
+    "histogram_fixed_width",
+    oracle="""
+SELECT cast(floor(l_extendedprice * 21 / 105000) AS int) AS bucket,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY 1
+""",
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (21 buckets over [0, 105000)) of lineitem
+    prices — the single-pass, pure-column-expression histogram (vs.
+    approx_ntile_buckets' equi-depth sketch). The bucket expression
+    `floor(x·21/105000)` is identical IEEE double arithmetic in both
+    engines, so the oracle matches bit-exactly. Scale: one map-side
+    partial aggregate into ≤21 groups — the cheapest distributed shape
+    there is; bounds are compile-time literals so no extra pass."""
+    li = _lt(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") * 21 / 105000).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "sample_stratified_hash",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_sampled,
+       round(sum(o_totalprice), 2) AS sampled_total
+FROM orders
+WHERE substr(md5(cast(o_orderkey AS varchar)), 1, 2) < '1a'
+GROUP BY o_orderpriority
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% stratified sample: a row is sampled iff the
+    first md5 byte of its key is < 0x1a (26/256 ≈ 10.2%) — the
+    portable, seed-free analogue of `sampleBy` that every engine
+    reproduces bit-for-bit (same trick as `dataset_split_assign`).
+    Scale: the predicate is a pure column expression evaluated at the
+    scan (no shuffle to sample), then a tiny per-stratum aggregate.
+    Unlike rand()-based sampling it is stable across retries/stragglers
+    — a re-executed task samples the SAME rows, so speculative
+    execution can't corrupt the sample."""
+    o = _lt(spark, sf_dir, "orders")
+    sampled = o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    )
+    return sampled.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("sampled_total"),
+    )
+
+
+@query(
+    "merge_upsert_scd",
+    oracle="""
+WITH updates AS (
+    SELECT o_custkey AS key, round(max(o_totalprice) / 1000, 2) AS delta
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_custkey
+), inserts AS (
+    SELECT key + 10000000 AS key, delta FROM updates WHERE key % 7 = 0
+), source AS (
+    SELECT * FROM updates UNION ALL SELECT * FROM inserts
+)
+SELECT coalesce(c.c_custkey, s.key) AS key,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN s.key IS NULL THEN 'keep'
+            ELSE 'update' END AS action,
+       round(CASE WHEN c.c_custkey IS NULL THEN s.delta
+                  WHEN s.key IS NULL THEN c.c_acctbal
+                  ELSE c.c_acctbal + s.delta END, 2) AS new_balance
+FROM customer c FULL OUTER JOIN source s ON c.c_custkey = s.key
+""",
+)
+def merge_upsert_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert expressed Spark-first: a full-outer join of
+    the target (customer) against a change-set derived from orders,
+    classifying every output row as update / insert / keep and
+    computing the post-merge value — the exact row-level semantics of
+    `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`,
+    which plain parquet has no native statement for. Scale: one
+    key-shuffle full-outer sort-merge join; the change-set aggregate
+    shuffles on the same key, so AQE reuses the partitioning. A lake
+    deployment would feed this frame to a partition-overwrite sink
+    (see sources/sinks.py) — copy-on-write MERGE."""
+    c = _lt(spark, sf_dir, "customer")
+    updates = (
+        _lt(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        # max, not sum: max of doubles is order-insensitive and exact,
+        # so the oracle reproduces it bit-for-bit at every SF (a
+        # sum's accumulation order differs between engines and flips
+        # half-cent rounding boundaries at large row counts)
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.round(F.max("o_totalprice") / 1000, 2).alias("delta"))
+    )
+    inserts = updates.filter(F.col("key") % 7 == 0).select(
+        (F.col("key") + 10000000).alias("key"), "delta"
+    )
+    source = updates.unionAll(inserts)
+    joined = c.join(source, c.c_custkey == source.key, "full_outer")
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("key").isNull(), "keep")
+        .otherwise("update")
+    )
+    new_balance = (
+        F.when(F.col("c_custkey").isNull(), F.col("delta"))
+        .when(F.col("key").isNull(), F.col("c_acctbal"))
+        .otherwise(F.col("c_acctbal") + F.col("delta"))
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "key").alias("key"),
+        action.alias("action"),
+        F.round(new_balance, 2).alias("new_balance"),
+    )

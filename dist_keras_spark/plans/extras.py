@@ -262,6 +262,53 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.orderBy("n_nationkey")
 
 
+@query("orc_roundtrip", oracle=_NATION_ORDER_SQL)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-adjacent hash-verified: nation → ORC sink → ORC scan must be
+    value-identical to the ORIGINAL parquet (DuckDB oracle reads the
+    source). ORC is Spark's other first-class columnar format —
+    vectorized reader, predicate pushdown, splittable — so the same
+    scan-side guarantees as parquet hold at 100 TB."""
+    import tempfile
+
+    from dist_keras_spark.sources.readers import read_orc
+
+    n = _lt(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = f"{tempfile.gettempdir()}/spark_graft_orc_roundtrip"
+    n.write.mode("overwrite").orc(path)
+    return read_orc(spark, path).orderBy("n_nationkey")
+
+
+@query(
+    "text_source_scan",
+    oracle="""
+SELECT count(*) AS n_lines,
+       CAST(sum(length(c_name)) AS BIGINT) AS total_chars,
+       min(c_name) AS first_name
+FROM customer
+""",
+)
+def text_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-adjacent hash-verified: customer names → text sink (one line
+    per row) → `spark.read.text` scan; line count, total chars, and
+    lexicographic min must match the DuckDB oracle on the ORIGINAL
+    table. This is the raw-corpus ingest path (unstructured text before
+    parsing); text files are splittable so the scan parallelizes."""
+    import tempfile
+
+    from dist_keras_spark.sources.readers import read_text
+
+    c = _lt(spark, sf_dir, "customer").select(F.col("c_name").alias("value"))
+    path = f"{tempfile.gettempdir()}/spark_graft_text_scan"
+    c.write.mode("overwrite").text(path)
+    back = read_text(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min("value").alias("first_name"),
+    )
+
+
 @query(
     "inmemory_dim_join",
     oracle="""

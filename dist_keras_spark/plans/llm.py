@@ -971,3 +971,119 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(l2_norm("embedding"), 4).alias("emb_norm"),
     )
+
+
+@query(
+    "quality_ttr_hapax",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       round(count(*) * 1.0 / sum(c), 4) AS ttr,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM tf GROUP BY doc_id
+""",
+)
+def quality_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 lexical-diversity quality metrics per document: type-token
+    ratio (distinct words / words) and hapax-legomena count (words
+    occurring exactly once) — the standard diversity signals next to
+    the repetition-ratio filter (low TTR = boilerplate / spam). Shape:
+    explode → per-(doc, token) count → per-doc aggregate; both
+    aggregations key on doc_id so the token explosion never leaves its
+    partition chain, and map-side partial aggregation collapses
+    duplicate tokens before the shuffle. Same single-space tokenizer
+    as every other J-op (split(' '), no empty-token filtering — the
+    corpus is single-spaced)."""
+    d = _lt(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("ttr"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+
+
+@query(
+    "knn_int8_quantized_top5",
+    oracle="""
+WITH sc AS (
+    SELECT vec_id, embedding,
+           127.0 / list_max(list_transform(embedding,
+                            y -> abs(CAST(y AS DOUBLE)))) AS scale
+    FROM embeddings
+), q8 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS v
+    FROM sc
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, 65),
+               i -> CAST(c.v[i] AS BIGINT) * q.v[i])) AS BIGINT) AS dot8
+    FROM q8 c, q8 q
+    WHERE q.vec_id % 20 = 0 AND c.vec_id <> q.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot8 DESC, neighbor_id) AS knn_rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, knn_rank, dot8 FROM ranked WHERE knn_rank <= 5
+""",
+)
+def knn_int8_quantized_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 scale variant: symmetric per-vector int8 quantization
+    (scale = 127/max|x|, q = round(x·scale)) then INTEGER dot-product
+    top-5 — the memory-bandwidth play for 100 TB ANN: a quantized
+    corpus is 4× smaller than float32, and the score is exact integer
+    arithmetic, so the DuckDB oracle replays it bit-for-bit (no float
+    rounding risk anywhere — quantization is deterministic IEEE math,
+    scoring is int64). Shape: quantization is scan-side column math
+    (transform/zip_with/aggregate, no UDF), the query side (every
+    20th vector) broadcasts, the corpus never shuffles; ranking is a
+    per-query-key window."""
+    e = _lt(spark, sf_dir, "embeddings")
+    scale = F.lit(127.0) / F.array_max(
+        F.transform("embedding", lambda y: F.abs(y.cast("double")))
+    )
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+        ).alias("v"),
+    )
+    queries = q8.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot8 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q8.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot8.alias("dot8"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("dot8"), F.asc("neighbor_id"))
+    )
+    return (
+        scored.withColumn("knn_rank", rn)
+        .filter(F.col("knn_rank") <= 5)
+        .select("query_id", "neighbor_id", "knn_rank", "dot8")
+    )

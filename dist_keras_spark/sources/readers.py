@@ -42,3 +42,22 @@ def read_json(
 def from_rows(spark: SparkSession, rows: list, schema: StructType | str) -> DataFrame:
     """A4: in-memory rows → DataFrame (explicit schema, Arrow path)."""
     return spark.createDataFrame(rows, schema)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None, **options
+) -> DataFrame:
+    """A2-adjacent: ORC scan (columnar like parquet; Spark's vectorized
+    ORC reader + predicate pushdown apply the same way). Schema is
+    self-describing, so an explicit schema is only a projection hint."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, **options) -> DataFrame:
+    """A1-adjacent: raw text scan — one row per line, single `value`
+    string column. The ingest shape for unstructured corpora before
+    parsing; splittable, so it parallelizes like any file source."""
+    return spark.read.options(**options).text(path)

@@ -1,0 +1,228 @@
+"""Semantic invariants + plan-shape checks for plans/analytics.py
+(funnel, gap-fill, EWMA, anomaly flags, mode, histogram, sampling,
+merge/upsert) and the round-5 source additions (ORC, text, TTR).
+
+Oracle parity is the driver's job (tools/verify_local.py locally);
+these tests pin the properties the oracle can't express: monotonicity,
+conservation (no rows invented/lost), determinism across runs, and the
+physical-plan shapes that make each operator scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans import QUERIES
+from dist_keras_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_monotone_and_grounded(spark, sf_dir):
+    row = QUERIES["events_funnel_steps"](spark, sf_dir).collect()[0]
+    assert row.step_signup >= row.step_click >= row.step_purchase >= 0
+    e = load_table(spark, sf_dir, "events")
+    n_signup_users = (
+        e.filter(F.col("event_type") == "signup").select("user_id").distinct().count()
+    )
+    assert row.step_signup == n_signup_users
+
+
+def test_gapfill_dense_spine_and_locf(spark, sf_dir):
+    df = QUERIES["events_hourly_gapfill"](spark, sf_dir)
+    rows = df.collect()
+    e = load_table(spark, sf_dir, "events")
+    n_types = e.select("event_type").distinct().count()
+    lo, hi = e.agg(
+        F.date_trunc("hour", F.min("ts")), F.date_trunc("hour", F.max("ts"))
+    ).first()
+    n_hours = int((hi - lo).total_seconds() // 3600) + 1
+    # spine is dense: every (hour, type) cell exists exactly once
+    assert len(rows) == n_hours * n_types
+    # LOCF: after the first observed hour of a type, the filled value
+    # is never null; gap rows (n == 0) actually occur and carry the
+    # previous hour's value forward
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    saw_gap = False
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour)
+        seen = False
+        last = None
+        for r in series:
+            if r.n > 0:
+                seen = True
+                last = r.sum_value_filled
+            elif seen:
+                saw_gap = True
+                assert r.sum_value_filled == last
+    assert saw_gap or len(rows) == sum(1 for r in rows if r.n > 0)
+
+
+def test_ewma_single_event_user_equals_value(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    singles = {
+        r.user_id: r.v
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.first("value"), 2).alias("v"))
+        .filter(F.col("c") == 1)
+        .collect()
+    }
+    out = {r.user_id: r for r in QUERIES["events_ewma_last"](spark, sf_dir).collect()}
+    assert out  # one row per user
+    for uid, v in singles.items():
+        assert abs(out[uid].ewma - v) < 1e-9
+    # every user's n_events matches the raw count
+    counts = {r.user_id: r.c for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert {u: r.n_events for u, r in out.items()} == counts
+
+
+def test_anomaly_counts_conserve_rows(spark, sf_dir):
+    rows = QUERIES["events_anomaly_trailing_z"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    per_type = {r.event_type: r.c for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert {r.event_type: r.n_scored for r in rows} == per_type
+    assert all(0 <= r.n_anomalies <= r.n_scored for r in rows)
+
+
+def test_anomaly_window_partitions_by_day(spark, sf_dir):
+    """100 TB guard: the trailing window must partition on
+    (event_type, day) — event_type alone has constant cardinality and
+    would serialize a hot type's whole history through one task."""
+    plan = _plan(QUERIES["events_anomaly_trailing_z"](spark, sf_dir))
+    assert "date_trunc" in plan.lower()
+
+
+def test_mode_one_row_per_user_and_is_max(spark, sf_dir):
+    out = QUERIES["grouped_mode_event_type"](spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    assert out.count() == e.select("user_id").distinct().count()
+    counts = (
+        e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    best: dict[int, int] = {}
+    for r in counts:
+        best[r.user_id] = max(best.get(r.user_id, 0), r.c)
+    for r in out.collect():
+        assert r.mode_cnt == best[r.user_id]
+
+
+def test_histogram_conserves_rows_and_buckets_bounded(spark, sf_dir):
+    rows = QUERIES["histogram_fixed_width"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r.n for r in rows) == li.count()
+    assert all(0 <= r.bucket <= 20 for r in rows)
+
+
+def test_stratified_sample_rate_and_determinism(spark, sf_dir):
+    df = QUERIES["sample_stratified_hash"](spark, sf_dir)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, QUERIES["sample_stratified_hash"](spark, sf_dir).collect()))
+    assert a == b  # hash sampling is retry-stable, unlike rand()
+    o = load_table(spark, sf_dir, "orders")
+    total = o.count()
+    sampled = sum(r[1] for r in a)
+    assert 0.04 * total < sampled < 0.18 * total  # ~10.2% expected
+
+
+def test_merge_upsert_actions_partition_target(spark, sf_dir):
+    out = QUERIES["merge_upsert_scd"](spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    by_action = {r.action: r.n for r in out.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # every target row survives as update or keep; inserts add new keys
+    assert by_action.get("update", 0) + by_action.get("keep", 0) == c.count()
+    assert out.count() == c.count() + by_action.get("insert", 0)
+    # keep rows carry the original balance unchanged
+    kept = out.filter(F.col("action") == "keep").select(
+        F.col("key").alias("c_custkey"), "new_balance"
+    )
+    orig = c.select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+    mismatch = kept.join(orig, "c_custkey").filter(
+        F.abs(F.col("new_balance") - F.col("bal")) > 1e-6
+    )
+    assert mismatch.count() == 0
+
+
+def test_orc_roundtrip_matches_parquet_source(spark, sf_dir):
+    out = QUERIES["orc_roundtrip"](spark, sf_dir).collect()
+    src = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    assert [tuple(r) for r in out] == [tuple(r) for r in src]
+
+
+def test_text_scan_counts_match_source(spark, sf_dir):
+    row = QUERIES["text_source_scan"](spark, sf_dir).collect()[0]
+    c = load_table(spark, sf_dir, "customer")
+    agg = c.agg(
+        F.count(F.lit(1)), F.sum(F.length("c_name")), F.min("c_name")
+    ).first()
+    assert (row.n_lines, row.total_chars, row.first_name) == tuple(agg)
+
+
+def test_ttr_bounds_and_token_conservation(spark, sf_dir):
+    rows = QUERIES["quality_ttr_hapax"](spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    assert len(rows) == len(n_tokens)
+    for r in rows:
+        assert r.n_tokens == n_tokens[r.doc_id]
+        assert 1 <= r.n_hapax or r.n_hapax == 0
+        assert r.n_hapax <= r.n_types <= r.n_tokens
+        assert 0 < r.ttr <= 1.0
+
+
+def test_histogram_is_single_aggregate_no_join(spark, sf_dir):
+    plan = _plan(QUERIES["histogram_fixed_width"](spark, sf_dir))
+    assert "Join" not in plan
+    # partial (map-side) aggregation must appear before the exchange
+    assert "HashAggregate" in plan
+
+
+def test_grouping_sets_six_rows_grand_total(spark, sf_dir):
+    rows = QUERIES["agg_grouping_sets"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    # 3 returnflags + 2 linestatuses + 1 grand total
+    assert len(rows) == 6
+    grand = [r for r in rows if r.g_flag == 1 and r.g_status == 1]
+    assert len(grand) == 1 and grand[0].n == li.count()
+    # each grouping-set slice conserves the row count
+    assert sum(r.n for r in rows if r.g_status == 1 and r.g_flag == 0) == li.count()
+
+
+def test_unpivot_triples_rows_no_shuffle(spark, sf_dir):
+    df = QUERIES["unpivot_measures"](spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    assert df.count() == 3 * li.count()
+    assert set(r.measure for r in df.select("measure").distinct().collect()) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }
+    # melt is a narrow map-side transform: no exchange in the plan
+    assert "Exchange" not in _plan(df)
+
+
+def test_int8_knn_shape_and_ordering(spark, sf_dir):
+    rows = QUERIES["knn_int8_quantized_top5"](spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        rs.sort(key=lambda r: r.knn_rank)
+        assert [r.knn_rank for r in rs] == [1, 2, 3, 4, 5]
+        dots = [r.dot8 for r in rs]
+        assert dots == sorted(dots, reverse=True)
