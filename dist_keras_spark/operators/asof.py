@@ -30,8 +30,9 @@ def asof_join(
     value_cols: list[str],
     how: str = "inner",
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Join each left row to the latest right row at-or-before its timestamp.
+    """Join each left row to the nearest right row with the same key.
 
     Args:
         left/right: inputs sharing join key `key` (right key column must
@@ -41,11 +42,19 @@ def asof_join(
         how: 'inner' drops left rows with no match; 'left' keeps them
             with nulls.
         tiebreak: right column that breaks ties when several right rows
-            share right_ts (largest wins, matching
-            `row_number() over (order by ts desc, tiebreak desc) = 1`).
+            share right_ts. backward: largest wins (matching
+            `row_number() over (order by ts desc, tiebreak desc) = 1`);
+            forward: smallest wins.
+        direction: 'backward' (default) matches the LATEST right row with
+            right_ts <= left_ts; 'forward' matches the EARLIEST right row
+            with right_ts >= left_ts (pandas merge_asof directions).
+            Both run the same union+window plan — forward just flips the
+            frame to [current, +inf) with first() instead of last().
 
     Returns left columns + value_cols.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     # The right row's payload travels as ONE struct. The struct itself is
     # non-null for every right row (even when every value inside it is
@@ -77,18 +86,32 @@ def asof_join(
         F.struct(*value_cols).alias("__rvals"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
     )
-    # Right rows sort before left rows at equal timestamps (__is_left asc)
-    # so an exactly-simultaneous right row is visible to the left row (<=).
-    w = (
-        W.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # Right rows sort before left rows at equal timestamps
+        # (__is_left asc) so an exactly-simultaneous right row is
+        # visible to the left row (<=); last() takes the latest.
+        w = (
+            W.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        fill = F.last("__rvals", ignorenulls=True).over(w)
+    else:
+        # Forward: frame looks ahead; left rows sort before right rows
+        # at equal timestamps (__is_left desc, left=1 first) so an
+        # exactly-simultaneous right row is inside [current, +inf) and
+        # matchable (>=); first() takes the earliest, tiebreak asc.
+        w = (
+            W.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").desc(), F.col("__tb").asc())
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        fill = F.first("__rvals", ignorenulls=True).over(w)
     unioned = l_tagged.unionByName(r_tagged)
     filled = unioned.select(
         "__is_left",
         "__lrow",
-        F.last("__rvals", ignorenulls=True).over(w).alias("__rvals"),
+        fill.alias("__rvals"),
     ).filter(F.col("__is_left") == 1)
     if how == "inner":
         filled = filled.filter(F.col("__rvals").isNotNull())

@@ -59,18 +59,12 @@ registry.promote(
     "streaming_interval_join_live",
     "stateful_user_totals_live",
     "streaming_dedup_live",
-    # (b) new sharp oracles / changed paths this round
+    # (b) oracles that did not exist at the r4 driver run (these three
+    # reported err:no_oracle there; knn_lsh_top5/dedup_embedding_cosine
+    # hash-passed r4 and rotate OUT to make room)
     "knn_ivf_top5",
     "multimodal_fake_decode",
     "multimodal_frame_sample",
-    "knn_lsh_top5",
-    "dedup_embedding_cosine",
-    # (c) r1/r2-only evidence backfill (3 slots — the heaviest-used
-    # LLM ops whose only hash-green evidence is r1; the rest of the
-    # old backfill block stays cumulative-green, nothing touched it)
-    "dedup_exact_priority",
-    "minhash_lsh_neardup",
-    "knn_bruteforce_top5",
     # (d) new operators this round — every one oracle-backed
     "events_funnel_steps",
     "events_hourly_gapfill",
@@ -83,7 +77,14 @@ registry.promote(
     "orc_roundtrip",
     "text_source_scan",
     "quality_ttr_hapax",
-    # (e) new last session (displace r1/r2-evidence backfill)
+    "agg_grouping_sets",
+    "unpivot_measures",
+    "knn_int8_quantized_top5",
+    "join_asof_forward",
+    "win_cumulative_distinct",
+    # (e) new last session (never driver-checked — added after the r4
+    # driver run; displace r1/r2-evidence backfill, which stays
+    # cumulative-green untouched)
     "join_range_binned",
     "join_asof_tolerance",
     "bucketed_join_colocated",

@@ -408,3 +408,108 @@ def merge_upsert_scd(spark: SparkSession, sf_dir: str) -> DataFrame:
         action.alias("action"),
         F.round(new_balance, 2).alias("new_balance"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+SELECT click_id, purchase_id, gap_sec
+FROM (
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+         - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_sec,
+           row_number() OVER (PARTITION BY c.event_id
+                              ORDER BY p.ts ASC, p.event_id ASC) AS rn
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+) WHERE rn = 1
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 forward direction: each click matched to the user's EARLIEST
+    purchase at-or-after it (time-to-conversion — the product-analytics
+    twin of the backward as-of). Runs the same union+window operator as
+    `join_asof` with direction='forward': ONE shuffle on user_id, a
+    per-key sort, first()-over-forward-frame — never the quadratic
+    range join the oracle spells out. Tiebreak at equal timestamps:
+    smallest purchase event_id."""
+    from dist_keras_spark.operators.asof import asof_join
+
+    e = _lt(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["purchase_id", "p_ts"],
+        how="inner",
+        tiebreak="purchase_id",
+        direction="forward",
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        # NTZ → TIMESTAMP (UTC session: wall-clock identity) → epoch
+        # seconds; a direct NTZ→BIGINT cast is rejected by Spark.
+        (
+            F.col("p_ts").cast("timestamp").cast("long")
+            - F.col("ts").cast("timestamp").cast("long")
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS occ
+    FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+FROM flagged
+""",
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: RUNNING DISTINCT COUNT per key (how many distinct
+    event types has this user produced up to each event). Neither
+    engine supports count(DISTINCT) OVER — and the naive
+    size(collect_set() OVER) holds a per-row set in window state
+    (memory ∝ distinct values × rows — dead at scale). The scale
+    rewrite: flag each (user, type)'s FIRST occurrence with one
+    row_number window, then a plain running sum of the flag — O(1)
+    window state, two windows both partitioned on user-derived keys
+    whose cardinality scales with the data."""
+    e = _lt(spark, sf_dir, "events")
+    occ = F.row_number().over(
+        W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    )
+    running = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        e.select("user_id", "event_id", "ts", occ.alias("occ"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .over(running)
+            .alias("distinct_types_so_far"),
+        )
+    )

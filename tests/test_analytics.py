@@ -226,3 +226,54 @@ def test_int8_knn_shape_and_ordering(spark, sf_dir):
         assert [r.knn_rank for r in rs] == [1, 2, 3, 4, 5]
         dots = [r.dot8 for r in rs]
         assert dots == sorted(dots, reverse=True)
+
+
+def test_asof_forward_semantics(spark, sf_dir):
+    rows = QUERIES["join_asof_forward"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    evs = {(r.event_id): r for r in e.collect()}
+    # group purchases per user for a reference check
+    purchases: dict[int, list] = {}
+    for r in evs.values():
+        if r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append(r)
+    for r in rows:
+        c = evs[r.click_id]
+        p = evs[r.purchase_id]
+        assert c.event_type == "click" and p.event_type == "purchase"
+        assert p.user_id == c.user_id
+        assert r.gap_sec >= 0 and p.ts >= c.ts
+        # matched purchase is the EARLIEST at-or-after the click
+        earlier = [
+            x
+            for x in purchases[c.user_id]
+            if x.ts >= c.ts and (x.ts, x.event_id) < (p.ts, p.event_id)
+        ]
+        assert not earlier
+
+
+def test_asof_forward_rejects_bad_direction(spark, sf_dir):
+    import pytest as _pytest
+
+    from dist_keras_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(e, e, "user_id", "ts", "ts", ["event_id"], direction="sideways")
+
+
+def test_cumulative_distinct_monotone_and_final(spark, sf_dir):
+    rows = QUERIES["win_cumulative_distinct"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    finals = {
+        r.user_id: r.d
+        for r in e.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("d"))
+        .collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.distinct_types_so_far)
+    for uid, vals in by_user.items():
+        assert max(vals) == finals[uid]  # converges to the true distinct count
+        assert min(vals) >= 1

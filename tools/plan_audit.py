@@ -45,6 +45,17 @@ AUDITED = {
     "events_tumbling_hourly": "µs-native ts (no derived-timestamp wrapper since the ns→µs fixture fix) — window expr over a raw scan column; partial/final hash agg",
     "join_range_binned": "range join rewritten as (event_type, time-bin) equi-join — fine-grained shuffle keys instead of 5 hot event_type groups; exact |Δt| filter on adjacent-bin candidates only",
     "bucketed_join_colocated": "both sides bucketBy(8, key): sort-merge join with ZERO Exchange nodes — the write-once-shuffle-never pattern for repeatedly-joined fact tables",
+    "events_hourly_gapfill": "dense hour×type spine is dim-sized (sequence+explode of a 1-row bounds agg); the only data-sized shuffle is the hourly groupBy; LOCF window sorts the SPINE, never raw events",
+    "events_anomaly_trailing_z": "trailing z-window partitions on (event_type, day) — key cardinality grows with the time span, so no constant-key serialization of a hot type's history",
+    "events_funnel_steps": "three aggregate+join rounds all keyed on user_id — AQE coalesces the repeated same-key shuffles; no windows, no state",
+    "histogram_fixed_width": "single partial/final hash agg into ≤21 groups; bucket expression is pure scan-side column math (no extra pass for bounds — compile-time literals)",
+    "sample_stratified_hash": "md5-predicate evaluated at the scan (no shuffle to sample); retry-stable unlike rand() — speculative re-execution samples identical rows",
+    "merge_upsert_scd": "MERGE as one full-outer sort-merge join on the key; the change-set aggregate shuffles on the same key so the partitioning is reused",
+    "unpivot_measures": "melt is a narrow map-side Expand — zero Exchange nodes in the plan",
+    "agg_grouping_sets": "one scan + Expand(3 grouping combos) + single hash agg — strictly cheaper than 3 unioned aggregates at 100 TB (scan dominates)",
+    "knn_int8_quantized_top5": "int8 quantization scan-side (transform/zip_with, no UDF); query side broadcast; integer dot exact — corpus never shuffles before the per-query-key ranking window",
+    "join_asof_forward": "forward as-of via the same union+window operator (first() over [current,+inf)) — ONE key shuffle, never the quadratic range join the oracle spells out",
+    "win_cumulative_distinct": "running distinct as first-occurrence flag + running sum — O(1) window state vs collect_set-over-window's per-row set",
 }
 
 
