@@ -297,3 +297,59 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", "l_linenumber", "measure", F.round("val_raw", 2).alias("val")
     )
+
+
+@query(
+    "agg_max_by",
+    oracle="""
+SELECT o_orderpriority,
+       max_by(o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+           AS top_orderkey,
+       round(max(o_totalprice), 2) AS top_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family: top-1-per-group WITHOUT a window — max_by/arg_max
+    carries the argument of the max through a plain hash aggregate:
+    map-side partial + final, no per-group sort, no row_number. At
+    100 TB this is strictly cheaper than the window formulation when
+    only the top row is needed. Determinism: max_by is tie-arbitrary,
+    so the ordering key is made UNIQUE by packing (price-cents,
+    orderkey) into one bigint — integer-exact in both engines."""
+    o = _lt(spark, sf_dir, "orders")
+    ord_key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ord_key).alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@query(
+    "agg_boolean_conditional",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 489)  AS any_extreme
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-family: conditional and boolean aggregates — count_if,
+    bool_and (every), bool_or (any). All three fold into the same
+    partial/final hash aggregate as plain counts (a boolean partial
+    state per group), so predicates over billions of rows reduce to
+    one scan + one tiny shuffle."""
+    e = _lt(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("count_if(value > 400)").alias("n_high"),
+        F.expr("bool_and(value >= 0)").alias("all_nonneg"),
+        F.expr("bool_or(value > 489)").alias("any_extreme"),
+    )

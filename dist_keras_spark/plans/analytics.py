@@ -513,3 +513,61 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("distinct_types_so_far"),
         )
     )
+
+
+@query(
+    "scalar_regex_mask",
+    oracle="""
+SELECT event_id,
+       regexp_replace(props, '[0-9]', '#', 'g') AS props_masked,
+       length(regexp_replace(props, '[^0-9]', '', 'g')) AS n_digits
+FROM events
+""",
+)
+def scalar_regex_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-family / pipeline scrubbing: regex masking of every digit in a
+    payload column plus a digit count — the shape of PII redaction
+    (mask account numbers / phones before a corpus ships to training).
+    Pure scan-side column expressions (Spark regexp_replace is global
+    by default; the oracle passes the 'g' flag) — zero shuffles, and
+    the simple character-class pattern avoids regex-dialect divergence
+    between engines."""
+    e = _lt(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]", "#").alias("props_masked"),
+        F.length(F.regexp_replace("props", "[^0-9]", "")).alias("n_digits"),
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: counts of consecutive
+    (event → next event) pairs per user — the input to Markov-chain
+    journey models. One lead() window partitioned on user_id (key
+    cardinality scales with data) feeding a tiny #types² aggregate;
+    the heavy lifting is the same single key-shuffle every per-user
+    window op here pays, reused by AQE if composed with them."""
+    e = _lt(spark, sf_dir, "events")
+    nxt = F.lead("event_type").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    return (
+        e.select(F.col("event_type").alias("from_type"), nxt.alias("to_type"))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -277,3 +277,51 @@ def test_cumulative_distinct_monotone_and_final(spark, sf_dir):
     for uid, vals in by_user.items():
         assert max(vals) == finals[uid]  # converges to the true distinct count
         assert min(vals) >= 1
+
+
+def test_max_by_is_true_argmax(spark, sf_dir):
+    rows = QUERIES["agg_max_by"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    best = {
+        r.o_orderpriority: r.m
+        for r in o.groupBy("o_orderpriority").agg(F.max("o_totalprice").alias("m")).collect()
+    }
+    keys = {(r.o_orderkey, r.o_orderpriority, r.o_totalprice) for r in o.collect()}
+    for r in rows:
+        assert abs(r.top_price - round(best[r.o_orderpriority], 2)) < 1e-9
+        # the returned orderkey really carries the max price
+        assert any(
+            k == r.top_orderkey and p == r.o_orderpriority and abs(v - best[p]) < 1e-9
+            for (k, p, v) in keys
+        )
+
+
+def test_boolean_aggs_consistent(spark, sf_dir):
+    rows = QUERIES["agg_boolean_conditional"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    per_type = {r.event_type: r.c for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in rows:
+        assert 0 <= r.n_high <= per_type[r.event_type]
+        assert r.all_nonneg is True  # fixture values are positive
+        assert isinstance(r.any_extreme, bool)
+
+
+def test_regex_mask_masks_all_digits(spark, sf_dir):
+    df = QUERIES["scalar_regex_mask"](spark, sf_dir)
+    import re as _re
+
+    for r in df.collect():
+        assert not _re.search(r"[0-9]", r.props_masked)
+        assert r.n_digits == r.props_masked.count("#")
+
+
+def test_transition_matrix_conserves_pairs(spark, sf_dir):
+    rows = QUERIES["events_transition_matrix"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    # every user contributes (events_u - 1) transitions
+    assert sum(r.n for r in rows) == n_events - n_users
+    types = {r.event_type for r in e.select("event_type").distinct().collect()}
+    for r in rows:
+        assert r.from_type in types and r.to_type in types
