@@ -571,3 +571,58 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _zorder_oracle_sql(bits: int = 12, shift: int = 18) -> str:
+    """Replay the Morton interleave as a DuckDB bit-arithmetic sum —
+    exact integer math, so the oracle is sharp."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((((l_partkey * 2654435761) % 4096) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((((l_suppkey * 2654435761) % 4096) >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+SELECT ({z}) >> {shift} AS z_bucket,
+       count(*) AS n,
+       min((l_partkey * 2654435761) % 4096) AS min_a,
+       max((l_partkey * 2654435761) % 4096) AS max_a,
+       min((l_suppkey * 2654435761) % 4096) AS min_b,
+       max((l_suppkey * 2654435761) % 4096) AS max_b
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@query("zorder_cluster_stats", oracle=_zorder_oracle_sql())
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout: interleave the low 12 bits of
+    (l_partkey, l_suppkey) into a z-value, bucket by its top 6 bits
+    (64 z-ranges = what 64 output files would cover after
+    repartitionByRange(z) + write), and report each bucket's min/max
+    in BOTH dimensions. The clustering property this proves: every
+    bucket spans ≤ 1/8 of each dimension's range simultaneously —
+    i.e. file-level min/max stats prune scans on EITHER column (the
+    lakehouse OPTIMIZE ZORDER BY effect), vs. a single-column sort
+    that clusters one dimension and leaves the other unpruned.
+    Pure integer bit arithmetic (functions/zorder.z_value), one hash
+    aggregate — the oracle replays the interleave exactly."""
+    from dist_keras_spark.functions.zorder import z_value
+
+    li = _lt(spark, sf_dir, "lineitem")
+    # Knuth multiplicative mixing before the modulo spreads keys over
+    # the full 12-bit range at every SF (raw keys at tiny SF occupy a
+    # sliver, leaving most z-buckets empty); exact bigint math, portable.
+    a = (F.col("l_partkey") * 2654435761) % 4096
+    b = (F.col("l_suppkey") * 2654435761) % 4096
+    z = z_value(a, b, bits=12)
+    return (
+        li.select(a.alias("a"), b.alias("b"), z.alias("z"))
+        .groupBy(F.shiftright("z", 18).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("a").alias("min_a"),
+            F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+        )
+    )

@@ -43,3 +43,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def tws_available() -> bool:
+    """True when Spark 4's transformWithStateInPandas can actually run:
+    its driver↔worker state protocol is protobuf-serialized, so the
+    Python `protobuf` package must import cleanly (in this container it
+    does not — `google.protobuf.descriptor` is broken — so the operator
+    is capability-gated rather than assumed)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running (count, sum) per user on Spark 4's
+    transformWithState API — the successor to applyInPandasWithState:
+    named state variables (value/list/map state) on a
+    StatefulProcessor, RocksDB-backed, with timers and TTL available.
+    Semantically identical to `running_user_totals`; kept as the
+    forward-compatible path and capability-gated on `tws_available()`
+    (raises RuntimeError when the protobuf runtime is unusable).
+
+    At 100 TB the state story is unchanged: state partitioned by the
+    grouping key in the state store, bounded by watermark/TTL."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs a working google.protobuf; "
+            "use running_user_totals (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

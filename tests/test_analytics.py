@@ -325,3 +325,18 @@ def test_transition_matrix_conserves_pairs(spark, sf_dir):
     types = {r.event_type for r in e.select("event_type").distinct().collect()}
     for r in rows:
         assert r.from_type in types and r.to_type in types
+
+
+def test_zorder_buckets_cluster_both_dims(spark, sf_dir):
+    """The z-order property: every top-6-bit z-bucket spans at most 1/8
+    of EACH dimension's 4096 range (both dims' top 3 bits are fixed
+    within a bucket) — the simultaneous two-column clustering a
+    single-column sort cannot give."""
+    rows = QUERIES["zorder_cluster_stats"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r.n for r in rows) == li.count()
+    assert 1 < len(rows) <= 64
+    for r in rows:
+        assert 0 <= r.z_bucket < 64
+        assert r.max_a - r.min_a < 512
+        assert r.max_b - r.min_b < 512

@@ -86,3 +86,34 @@ def test_quality_summary_detects_violations(spark):
     ).collect()[0]
     assert row["n_rows"] == 3 and row["dup_violations"] == 1
     assert row["null_v"] == 1 and row["oob_v"] == 1
+
+
+def test_tws_variant_gated_or_equal(spark, sf_dir):
+    """transformWithStateInPandas twin: runs and matches batch totals
+    where the protobuf runtime works; raises the documented RuntimeError
+    where it doesn't (this container ships a broken google.protobuf)."""
+    import pytest
+
+    from dist_keras_spark.streaming.stateful import (
+        running_user_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_user_totals_tws(stream_events(spark, sf_dir))
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = run_available_now(
+        running_user_totals_tws(stream_events(spark, sf_dir)), "update"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    key = lambda df: sorted(tuple(r) for r in df.select("user_id", "n_events", "total_value").collect())
+    assert key(out) == key(batch)
