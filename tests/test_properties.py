@@ -57,3 +57,109 @@ def test_dedup_idempotent_and_distinct(spark, texts):
     lhs = df.filter(F.col("text") == "a").select("id")
     rhs = df.select("id", "text").filter(F.col("text") == "a").select("id")
     assert sorted(r["id"] for r in lhs.collect()) == sorted(r["id"] for r in rhs.collect())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 16) - 1), min_size=1, max_size=20
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 16) - 1), min_size=1, max_size=20
+    ),
+)
+def test_zorder_bijective_and_bounded(spark, xs, ys):
+    """z_value is a bijection on (a, b) pairs (interleaving loses no
+    bits) and bounded by 2^(2·bits)."""
+    from dist_keras_spark.functions.zorder import z_value
+
+    n = min(len(xs), len(ys))
+    pairs = list(dict.fromkeys(zip(xs[:n], ys[:n])))
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select("a", "b", z_value(F.col("a"), F.col("b")).alias("z")).collect()
+    assert len({r.z for r in rows}) == len(pairs)  # injective on distinct pairs
+    for r in rows:
+        assert 0 <= r.z < (1 << 32)
+        # de-interleave reproduces the inputs exactly
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ewma_bounded_by_series_range(spark, xs):
+    """A convex-combination smoother can never leave [min, max] of its
+    inputs — pins the closed-form weight algebra in events_ewma_last."""
+    rows = [(1, i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("user_id").orderBy("event_id")
+    seq = df.select(
+        "user_id",
+        "value",
+        F.row_number().over(wk).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n"),
+    )
+    weight = F.when(F.col("i") == 1, F.pow(F.lit(0.7), F.col("n") - 1)).otherwise(
+        F.lit(0.3) * F.pow(F.lit(0.7), F.col("n") - F.col("i"))
+    )
+    out = seq.groupBy("user_id").agg(F.sum(weight * F.col("value")).alias("ewma"))
+    ewma = out.collect()[0].ewma
+    assert min(xs) - 1e-9 <= ewma <= max(xs) + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=10),
+)
+def test_asof_forward_backward_duality(spark, lts, rts):
+    """Mirror symmetry: forward as-of on t equals backward as-of on -t
+    (with the tie/tiebreak conventions mirrored)."""
+    from dist_keras_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate(lts)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate(rts)], "k long, t long, rid long"
+    )
+    fwd = {
+        r.lid: r.rid
+        for r in asof_join(
+            left,
+            right.select("k", "t", "rid"),
+            key="k",
+            left_ts="t",
+            right_ts="t",
+            value_cols=["rid"],
+            how="left",
+            direction="forward",
+            tiebreak="rid",
+        ).collect()
+    }
+    neg_l = left.select("k", (-F.col("t")).alias("t"), "lid")
+    neg_r = right.select("k", (-F.col("t")).alias("t"), (-F.col("rid")).alias("rid"))
+    bwd = {
+        r.lid: (-r.rid if r.rid is not None else None)
+        for r in asof_join(
+            neg_l,
+            neg_r,
+            key="k",
+            left_ts="t",
+            right_ts="t",
+            value_cols=["rid"],
+            how="left",
+            direction="backward",
+            tiebreak="rid",
+        ).collect()
+    }
+    assert fwd == bwd
