@@ -626,3 +626,122 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").alias("max_b"),
         )
     )
+
+
+@query(
+    "share_of_total_broadcast",
+    oracle="""
+WITH per_nation AS (
+    SELECT n.n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+), total AS (SELECT sum(revenue) AS t FROM per_nation)
+SELECT n_name, revenue, round(revenue / t, 6) AS share
+FROM per_nation, total
+""",
+)
+def share_of_total_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total the SCALABLE way: aggregate per group, then
+    crossJoin the 1-row grand total back (broadcast nested loop over a
+    single row). The tempting alternative — `sum(revenue) OVER ()` —
+    is a window with an EMPTY partition clause: Spark moves EVERY row
+    into one partition on one task, which is exactly the
+    constant-cardinality serialization this engine bans. Here the
+    grand total is computed as a second tiny aggregate over the
+    already-reduced per-group frame (group-count rows, not data rows),
+    so nothing data-sized ever converges on one task."""
+    li = _lt(spark, sf_dir, "lineitem")
+    o = _lt(spark, sf_dir, "orders")
+    c = _lt(spark, sf_dir, "customer")
+    n = _lt(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    total = per_nation.agg(F.sum("revenue").alias("t"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.col("t"), 6).alias("share"),
+    )
+
+
+@query(
+    "events_session_bounce_rate",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events)
+), sessions AS (
+    SELECT user_id,
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INT) AS sid
+    FROM flagged
+), sized AS (
+    SELECT user_id, sid, count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+)
+SELECT count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS bounce_rate
+FROM sized
+""",
+)
+def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over 30-minute gap sessions: share of sessions with
+    exactly one event. Composes the gaps-and-islands sessionizer (same
+    1800s gap rule as events_sessionize_rows — lag + running sum of
+    new-session flags, both windows on user_id) with a per-session
+    size aggregate and one global 3-number reduce. The only full-data
+    shuffle is the user_id window; session ids never leave their key
+    partition."""
+    e = _lt(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wlag = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(
+            F.lag("us").over(wlag).isNull()
+            | ((F.col("us") - F.lag("us").over(wlag)) > 1_800_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    wrun = wlag.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = flagged.select(
+        "user_id", F.sum("is_new").over(wrun).cast("int").alias("sid")
+    )
+    sized = sessions.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n_events"))
+    return sized.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )

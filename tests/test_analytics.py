@@ -340,3 +340,26 @@ def test_zorder_buckets_cluster_both_dims(spark, sf_dir):
         assert 0 <= r.z_bucket < 64
         assert r.max_a - r.min_a < 512
         assert r.max_b - r.min_b < 512
+
+
+def test_share_of_total_sums_to_one_no_global_window(spark, sf_dir):
+    df = QUERIES["share_of_total_broadcast"](spark, sf_dir)
+    rows = df.collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3  # rounding at 6dp
+    # the scale guard: no window function in the plan at all — the
+    # grand total comes from a second aggregate, not sum() OVER ()
+    assert "Window" not in _plan(df)
+
+
+def test_bounce_rate_bounds_and_session_count(spark, sf_dir):
+    row = QUERIES["events_session_bounce_rate"](spark, sf_dir).collect()[0]
+    assert 0 <= row.n_bounces <= row.n_sessions
+    assert abs(row.bounce_rate - round(row.n_bounces / row.n_sessions, 6)) < 1e-9
+    # session count is consistent with the sessionizer query
+    sess = QUERIES["events_sessionize_rows"](spark, sf_dir)
+    from pyspark.sql import functions as FF
+
+    n_sessions = (
+        sess.groupBy("user_id").agg(FF.max("session_seq").alias("m")).agg(FF.sum("m")).first()[0]
+    )
+    assert row.n_sessions == n_sessions
