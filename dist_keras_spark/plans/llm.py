@@ -1087,3 +1087,88 @@ def knn_int8_quantized_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("knn_rank") <= 5)
         .select("query_id", "neighbor_id", "knn_rank", "dot8")
     )
+
+
+@query(
+    "pipeline_curation_end2end",
+    oracle="""
+WITH unioned AS (
+    SELECT doc_id, text, lang, 0 AS is_copy FROM documents
+    UNION ALL
+    SELECT doc_id, text, lang, 1 AS is_copy FROM documents WHERE doc_id % 5 = 0
+), gated AS (
+    SELECT doc_id, text, lang, is_copy,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM unioned
+    WHERE len(string_split(text, ' ')) BETWEEN 5 AND 900
+      AND regexp_matches(text, '^[a-z ]+$')
+), deduped AS (
+    SELECT doc_id, lang, n_tokens
+    FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY is_copy, doc_id) AS rn
+          FROM gated)
+    WHERE rn = 1
+), split AS (
+    SELECT lang, n_tokens,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT *,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))::BIGINT
+                 % 10 AS b
+          FROM deduped)
+)
+SELECT split, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM split GROUP BY split, lang
+""",
+)
+def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline END-TO-END in one Catalyst plan: corpus
+    (with planted every-5th-doc copies) → quality gate (token bounds +
+    charset) → exact dedup with source priority (originals beat
+    copies) → deterministic salted-md5 train/val/test split → per
+    (split, lang) dataset statistics. The point of the composite: each
+    stage is the SAME operator its standalone query verifies
+    (quality_filter, dedup_exact_priority, dataset_split_assign), and
+    chained they stay ONE declarative plan — the quality filter runs
+    scan-side BEFORE the dedup shuffle (Catalyst pushes it through),
+    the split is a zero-shuffle projection after the dedup window, and
+    the whole thing pays exactly two Exchanges (md5 dedup key, final
+    group-by). That is the 100 TB curation shape: filter early, one
+    content-hash shuffle, stats on the reduced stream."""
+    d = _lt(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 5 == 0).withColumn("is_copy", F.lit(1))
+    unioned = d.withColumn("is_copy", F.lit(0)).unionByName(copies)
+    toks = F.size(F.split("text", " "))
+    gated = unioned.filter(
+        toks.between(5, 900) & F.col("text").rlike("^[a-z ]+$")
+    ).select("doc_id", "text", "lang", "is_copy", toks.alias("n_tokens"))
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("text")).orderBy("is_copy", "doc_id")
+    )
+    deduped = gated.withColumn("rn", rn).filter(F.col("rn") == 1)
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    split = deduped.select(
+        "lang",
+        "n_tokens",
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )

@@ -363,3 +363,20 @@ def test_bounce_rate_bounds_and_session_count(spark, sf_dir):
         sess.groupBy("user_id").agg(FF.max("session_seq").alias("m")).agg(FF.sum("m")).first()[0]
     )
     assert row.n_sessions == n_sessions
+
+
+def test_curation_pipeline_one_plan_two_exchanges(spark, sf_dir):
+    """The composite must stay one declarative plan: exactly two
+    shuffles (dedup content-hash key, final group-by) — the quality
+    filter is pushed scan-side and the split adds none."""
+    df = QUERIES["pipeline_curation_end2end"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 2, plan
+    rows = df.collect()
+    d = load_table(spark, sf_dir, "documents")
+    # dedup dropped every planted copy, so docs ≤ corpus size and
+    # every (split, lang) cell is non-empty with sane stats
+    assert 0 < sum(r.n_docs for r in rows) <= d.count()
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        assert 5 <= r.avg_tokens <= 900
