@@ -745,3 +745,201 @@ def events_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "ab_test_t_stat",
+    oracle="""
+WITH assigned AS (
+    SELECT CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':ab'), 1, 8))::BIGINT
+                     % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+           value
+    FROM events
+), stats AS (
+    SELECT variant, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+    FROM assigned GROUP BY variant
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat
+FROM (SELECT * FROM stats WHERE variant = 'A') a,
+     (SELECT * FROM stats WHERE variant = 'B') b
+""",
+)
+def ab_test_t_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment analysis end-to-end: deterministic salted-md5
+    variant assignment (the same engine-portable trick as
+    dataset_split_assign — no RNG, retry-stable) and Welch's
+    t-statistic from per-variant (n, mean, variance). The statistic is
+    a closed-form over THREE aggregate values per arm, so the whole
+    analysis is one scan + one 2-group aggregate + a 1×1 crossJoin —
+    nothing resembling a per-row Python loop, and the same plan at
+    any scale."""
+    e = _lt(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":ab"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = e.select(
+        F.when(bucket == 0, "A").otherwise("B").alias("variant"), "value"
+    )
+    stats = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = stats.filter(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
+    )
+    b = stats.filter(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(
+            (F.col("m_a") - F.col("m_b"))
+            / F.sqrt(F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")),
+            4,
+        ).alias("t_stat"),
+    )
+
+
+@query(
+    "regression_trend_slope",
+    oracle="""
+WITH pts AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) / 3600.0 AS x,
+           value AS y
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       round(regr_slope(y, x), 6)     AS slope,
+       round(regr_intercept(y, x), 4) AS intercept
+FROM pts GROUP BY event_type
+""",
+)
+def regression_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend detection as pure aggregates: ordinary-least-squares slope
+    and intercept of value over time, per event type — regr_slope /
+    regr_intercept, the SQL-standard closed form (cov/var), no MLlib
+    and no iteration. One scan, one partial/final aggregate whose
+    state is five running sums per group: the cheapest possible
+    distributed regression, and exactly how you'd sweep millions of
+    per-key trends at 100 TB."""
+    e = _lt(spark, sf_dir, "events")
+    x = (F.col("ts").cast("timestamp").cast("long") / 3600.0).alias("x")
+    pts = e.select("event_type", x, F.col("value").alias("y"))
+    return pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+    )
+
+
+@query(
+    "dq_expectations_orders",
+    oracle="""
+SELECT 'orderkey_unique' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_not_null',
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderdate_in_range',
+       CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                       OR o_orderdate > TIMESTAMP '2005-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_fk_valid',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+""",
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite over orders — uniqueness,
+    positivity, null, range, and referential-integrity checks, each
+    reported as a violation COUNT (0 = pass). The four column checks
+    fold into aggregates over ONE scan; the FK check is a left-anti
+    join against customer (broadcast at dim scale, shuffle otherwise).
+    This is the pipeline-gate pattern: run the expectation frame after
+    every load, alert on any nonzero row — at 100 TB it costs one scan
+    plus one key-join, not five."""
+    o = _lt(spark, sf_dir, "orders")
+    c = _lt(spark, sf_dir, "customer")
+    col_checks = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orderkey_unique"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("totalprice_positive"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "custkey_not_null"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+                | (F.col("o_orderdate") > F.lit("2005-01-01").cast("timestamp_ntz")),
+                1,
+            ).otherwise(0)
+        ).alias("orderdate_in_range"),
+    )
+    melted = col_checks.unpivot(
+        [], list(col_checks.columns), "check_name", "n_violations"
+    )
+    fk = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("custkey_fk_valid").alias("check_name"), "n_violations")
+    )
+    return melted.unionByName(fk)
+
+
+@query(
+    "scalar_try_cast_tolerant",
+    oracle="""
+SELECT event_id,
+       try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k_num,
+       try_cast(props AS BIGINT) AS junk_num,
+       coalesce(try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT), -1)
+           AS k_or_default
+FROM events
+""",
+)
+def scalar_try_cast_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant parsing: try_cast yields NULL instead of failing
+    the job on malformed input — the difference between a 100 TB
+    ingest that quarantines bad rows and one that dies at hour nine.
+    The digit-extract parses cleanly; casting the whole JSON blob
+    deliberately fails to NULL; coalesce applies the default. All
+    scan-side expressions (ANSI-mode safe)."""
+    e = _lt(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT)").alias("k_num"),
+        F.expr("try_cast(props AS BIGINT)").alias("junk_num"),
+        F.coalesce(
+            F.expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT)"),
+            F.lit(-1),
+        ).alias("k_or_default"),
+    )

@@ -380,3 +380,50 @@ def test_curation_pipeline_one_plan_two_exchanges(spark, sf_dir):
     for r in rows:
         assert r.split in ("train", "val", "test")
         assert 5 <= r.avg_tokens <= 900
+
+
+def test_ab_split_balanced_and_t_finite(spark, sf_dir):
+    row = QUERIES["ab_test_t_stat"](spark, sf_dir).collect()[0]
+    e = load_table(spark, sf_dir, "events")
+    total = e.count()
+    assert row.n_a + row.n_b == total
+    # md5 assignment is ~uniform: neither arm below 35%
+    assert min(row.n_a, row.n_b) > 0.35 * total
+    import math
+
+    assert math.isfinite(row.t_stat)
+
+
+def test_regression_slope_recovers_planted_trend(spark):
+    """regr_slope on an exact line y = 3x + 7 must return (3, 7)."""
+    df = spark.createDataFrame(
+        [("t", float(i), 3.0 * i + 7.0) for i in range(50)], "event_type string, x double, y double"
+    )
+    out = (
+        df.groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+        )
+        .collect()[0]
+    )
+    assert abs(out.slope - 3.0) < 1e-6 and abs(out.intercept - 7.0) < 1e-3
+
+
+def test_dq_expectations_all_pass_on_clean_fixture(spark, sf_dir):
+    rows = {r.check_name: r.n_violations for r in QUERIES["dq_expectations_orders"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orderkey_unique",
+        "totalprice_positive",
+        "custkey_not_null",
+        "orderdate_in_range",
+        "custkey_fk_valid",
+    }
+    assert all(v == 0 for v in rows.values()), rows
+
+
+def test_try_cast_never_throws_and_defaults(spark, sf_dir):
+    rows = QUERIES["scalar_try_cast_tolerant"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.junk_num is None  # whole-JSON cast fails to NULL, not an error
+        assert r.k_num is not None and r.k_or_default == r.k_num
