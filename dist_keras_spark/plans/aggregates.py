@@ -353,3 +353,32 @@ def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bool_and(value >= 0)").alias("all_nonneg"),
         F.expr("bool_or(value > 489)").alias("any_extreme"),
     )
+
+
+@query(
+    "agg_string_concat_ordered",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses_csv,
+       count(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 extension: ordered string aggregation (listagg/string_agg) —
+    per-group DISTINCT values concatenated in a DETERMINISTIC order.
+    Spark-first expression: collect_set → array_sort → array_join,
+    which the house serialization convention (`*_csv`) already
+    requires for the driver hash; the explicit sort is what makes a
+    set-valued aggregate hashable at all. Group count is tiny
+    (priorities × statuses), so the collect_set state is bounded —
+    the precondition for ANY listagg at scale."""
+    o = _lt(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses_csv"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )

@@ -607,3 +607,64 @@ def salted_count_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _lt(spark, sf_dir, "lineitem")
     return salted_count(li, "l_returnflag", salt_n=16)
+
+
+@query(
+    "union_schema_evolution",
+    oracle="""
+SELECT n_nationkey, n_name, NULL AS tier FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT n_nationkey, n_name,
+       CASE WHEN n_regionkey < 2 THEN 'legacy' ELSE 'core' END AS tier
+FROM nation WHERE n_nationkey >= 10
+""",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at union time: an old-schema extract (no `tier`
+    column) unioned with a new-schema extract via
+    `unionByName(allowMissingColumns=True)` — missing columns
+    null-fill instead of erroring, the lake pattern for reading across
+    a schema migration. Pure narrow transform, no shuffle; column
+    RESOLUTION is by NAME, not position, which is what survives
+    reordered projections at 100 TB."""
+    n = _lt(spark, sf_dir, "nation")
+    old = n.filter(F.col("n_nationkey") < 10).select("n_nationkey", "n_name")
+    new = n.filter(F.col("n_nationkey") >= 10).select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_regionkey") < 2, "legacy").otherwise("core").alias("tier"),
+    )
+    return old.unionByName(new, allowMissingColumns=True)
+
+
+@query(
+    "parquet_schema_merge",
+    oracle="""
+SELECT r_regionkey, r_name, NULL AS batch_tag FROM region WHERE r_regionkey < 3
+UNION ALL
+SELECT r_regionkey, r_name, 'v2' AS batch_tag FROM region WHERE r_regionkey >= 3
+""",
+)
+def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 schema evolution on disk: two parquet batches with DIFFERENT
+    schemas (v2 adds `batch_tag`) written into one directory, read
+    back with `mergeSchema=true` — the reader unions the footers'
+    schemas and null-fills the old files' missing column. This is how
+    a 100 TB table absorbs additive schema changes without a rewrite;
+    merge-schema costs one footer read per file, so it stays a
+    metadata operation."""
+    import tempfile
+
+    r = _lt(spark, sf_dir, "region")
+    path = f"{tempfile.gettempdir()}/spark_graft_schema_merge"
+    r.filter(F.col("r_regionkey") < 3).select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).parquet(path)
+    r.filter(F.col("r_regionkey") >= 3).select(
+        "r_regionkey", "r_name", F.lit("v2").alias("batch_tag")
+    ).write.mode("append").parquet(path)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("r_regionkey", "r_name", "batch_tag")
+    )

@@ -427,3 +427,30 @@ def test_try_cast_never_throws_and_defaults(spark, sf_dir):
     for r in rows:
         assert r.junk_num is None  # whole-JSON cast fails to NULL, not an error
         assert r.k_num is not None and r.k_or_default == r.k_num
+
+
+def test_string_concat_ordered_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["agg_string_concat_ordered"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["agg_string_concat_ordered"](spark, sf_dir).collect()))
+    assert a == b
+    for r in a:
+        parts = r[1].split(",")
+        assert parts == sorted(parts) and len(parts) == r[2]
+
+
+def test_union_schema_evolution_null_fills(spark, sf_dir):
+    rows = QUERIES["union_schema_evolution"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "nation")
+    assert len(rows) == n.count()
+    for r in rows:
+        if r.n_nationkey < 10:
+            assert r.tier is None
+        else:
+            assert r.tier in ("legacy", "core")
+
+
+def test_parquet_schema_merge_reads_both_batches(spark, sf_dir):
+    rows = QUERIES["parquet_schema_merge"](spark, sf_dir).collect()
+    rg = load_table(spark, sf_dir, "region")
+    assert len(rows) == rg.count()
+    assert {r.batch_tag for r in rows} == {None, "v2"}
