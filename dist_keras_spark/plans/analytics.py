@@ -943,3 +943,81 @@ def scalar_try_cast_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).alias("k_or_default"),
     )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN NULL ELSE n_regionkey END AS rk
+    FROM nation
+), b AS (
+    SELECT r_regionkey,
+           CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END AS rk,
+           r_name
+    FROM region
+)
+SELECT a.n_nationkey, b.r_name
+FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-family semantics: NULL-safe equality join (`<=>` / IS NOT
+    DISTINCT FROM) — NULL keys MATCH each other instead of silently
+    dropping, the behavior an equi-join on nullable dimension keys
+    actually needs (plain `=` makes NULL-keyed rows vanish without a
+    trace). Region 0 is nulled on both sides, so the null-bucket
+    really joins. Still hash-partitionable (null hashes to one
+    bucket — at scale a hot NULL bucket is the classic skew case the
+    salting valve handles)."""
+    n = _lt(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_regionkey") == 0, None)
+        .otherwise(F.col("n_regionkey"))
+        .alias("rk_a"),
+    )
+    r = _lt(spark, sf_dir, "region").select(
+        F.when(F.col("r_regionkey") == 0, None)
+        .otherwise(F.col("r_regionkey"))
+        .alias("rk_b"),
+        "r_name",
+    )
+    return n.join(r, F.col("rk_a").eqNullSafe(F.col("rk_b"))).select(
+        "n_nationkey", "r_name"
+    )
+
+
+@query(
+    "win_range_numeric",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+           AS n_similar_price,
+       round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING), 2)
+           AS band_total
+FROM orders
+""",
+)
+def win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 numeric twin: RANGE frame over a NUMERIC ordering (orders
+    within ±1000 of each row's price, per customer) — the
+    similar-value neighborhood query. RANGE frames bound by VALUE, so
+    peers with equal ordering keys share one frame (unlike ROWS);
+    per-customer partitioning keeps the sort local and
+    cardinality-scaling."""
+    o = _lt(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("band_total"),
+    )

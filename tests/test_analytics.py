@@ -454,3 +454,19 @@ def test_parquet_schema_merge_reads_both_batches(spark, sf_dir):
     rg = load_table(spark, sf_dir, "region")
     assert len(rows) == rg.count()
     assert {r.batch_tag for r in rows} == {None, "v2"}
+
+
+def test_null_safe_join_keeps_null_bucket(spark, sf_dir):
+    rows = QUERIES["join_null_safe_eq"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "nation")
+    # every nation row survives: NULL keys matched the nulled region
+    assert len(rows) == n.count()
+    # the region-0 nations joined through the NULL bucket
+    nulled = n.filter(F.col("n_regionkey") == 0).count()
+    assert nulled > 0
+
+
+def test_range_numeric_frame_includes_self_and_peers(spark, sf_dir):
+    rows = QUERIES["win_range_numeric"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_similar_price >= 1  # own row always inside the band
