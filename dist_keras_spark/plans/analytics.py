@@ -1021,3 +1021,62 @@ def win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_similar_price"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("band_total"),
     )
+
+
+@query(
+    "explode_outer_empty_arrays",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x = 'customer') AS l
+    FROM documents
+)
+SELECT doc_id, unnest(l) AS tok FROM t WHERE len(l) > 0
+UNION ALL
+SELECT doc_id, NULL AS tok FROM t WHERE len(l) = 0
+""",
+)
+def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode vs explode_outer semantics: filtering each document's
+    tokens to occurrences of 'customer' leaves many EMPTY arrays —
+    plain explode silently DROPS those documents, explode_outer keeps
+    them as a NULL row. Losing rows to empty arrays is the classic
+    silent-data-loss bug in token pipelines; the oracle spells the
+    outer semantics out as a UNION of the two cases. Map-side narrow
+    transform, no shuffle."""
+    d = _lt(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x == "customer")
+    return d.select("doc_id", F.explode_outer(toks).alias("tok"))
+
+
+@query(
+    "agg_bitmap_event_types",
+    oracle="""
+SELECT user_id,
+       CAST(bit_or(1 << CASE event_type
+                        WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                        WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                        ELSE 4 END) AS BIGINT) AS type_mask,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_bitmap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap aggregation: per user, OR together one bit per event
+    type — a 5-type membership set in a single long. bit_or partial-
+    aggregates map-side like any sum, so set-membership over billions
+    of rows shuffles ONE long per key (the compact alternative to
+    collect_set for low-cardinality domains; popcount of the mask
+    must equal count distinct, which the oracle cross-checks)."""
+    e = _lt(spark, sf_dir, "events")
+    # shiftleft's bit count must be an expression here, so the whole
+    # bit column is SQL text (F.shiftleft only takes a literal int)
+    bit = F.expr(
+        "shiftleft(1L, CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+        "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END)"
+    )
+    return e.groupBy("user_id").agg(
+        F.bit_or(bit).cast("long").alias("type_mask"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

@@ -470,3 +470,24 @@ def test_range_numeric_frame_includes_self_and_peers(spark, sf_dir):
     rows = QUERIES["win_range_numeric"](spark, sf_dir).collect()
     for r in rows:
         assert r.n_similar_price >= 1  # own row always inside the band
+
+
+def test_explode_outer_conserves_documents(spark, sf_dir):
+    df = QUERIES["explode_outer_empty_arrays"](spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    distinct_docs = df.select("doc_id").distinct().count()
+    assert distinct_docs == n_docs  # no document silently dropped
+    # and the inner-explode variant WOULD drop the empty ones
+    inner = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x == "customer")),
+    )
+    assert inner.select("doc_id").distinct().count() < n_docs
+
+
+def test_bitmap_popcount_equals_distinct(spark, sf_dir):
+    rows = QUERIES["agg_bitmap_event_types"](spark, sf_dir).collect()
+    for r in rows:
+        assert bin(r.type_mask).count("1") == r.n_types
+        assert 0 < r.type_mask < 32

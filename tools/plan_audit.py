@@ -56,6 +56,11 @@ AUDITED = {
     "knn_int8_quantized_top5": "int8 quantization scan-side (transform/zip_with, no UDF); query side broadcast; integer dot exact — corpus never shuffles before the per-query-key ranking window",
     "join_asof_forward": "forward as-of via the same union+window operator (first() over [current,+inf)) — ONE key shuffle, never the quadratic range join the oracle spells out",
     "win_cumulative_distinct": "running distinct as first-occurrence flag + running sum — O(1) window state vs collect_set-over-window's per-row set",
+    "share_of_total_broadcast": "grand total via a second tiny aggregate crossJoined back — NO sum() OVER () (empty window partition = every row through one task); plan asserted window-free",
+    "pipeline_curation_end2end": "quality gate pushed scan-side, ONE content-hash dedup shuffle, split projection shuffle-free, final group-by — exactly two Exchanges for the whole curation chain (plan-asserted)",
+    "ab_test_t_stat": "one scan → 2-group aggregate → 1×1 crossJoin; Welch's t is closed-form over six aggregate values, no per-row Python",
+    "dq_expectations_orders": "four column checks fold into ONE aggregate scan; the FK check is a single left-anti join — five expectations, one scan + one join",
+    "zorder_cluster_stats": "Morton interleave as whole-stage-codegen bit math; one partial/final agg into ≤64 z-range groups",
 }
 
 
