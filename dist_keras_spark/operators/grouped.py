@@ -40,9 +40,15 @@ def zscore_per_group(
     return df.select(group_col, value_col).groupBy(group_col).applyInPandas(norm, out_schema)
 
 
-@udtf(returnType="token string, pos int")
+@udtf(returnType="token string, pos int", useArrow=True)
 class TokenExplode:
-    """text → one row per token with its position (Python UDTF)."""
+    """text → one row per token with its position (Python UDTF).
+
+    Arrow-optimized (`useArrow=True`): the plan node is
+    ArrowEvalPythonUDTF — batched Arrow transfer instead of pickled
+    row-at-a-time BatchEvalPythonUDTF, the same ~10-100× rule that
+    applies to scalar UDFs (the global plan-hygiene test bans
+    BatchEvalPython engine-wide)."""
 
     def eval(self, text: str):  # noqa: D102
         for i, t in enumerate((text or "").split(" ")):

@@ -1,0 +1,58 @@
+"""Global physical-plan hygiene gate over EVERY registered query.
+
+Two engine-wide invariants, checked on the executed plan of all ~176
+queries at sf0.001 (plan shapes are scale-independent modulo AQE):
+
+1. NO row-at-a-time Python evaluation (`BatchEvalPython`) anywhere —
+   Python must enter plans only through Arrow-vectorized nodes
+   (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas /
+   PythonMapInArrow) or Python UDTF generators. A single BatchEvalPython
+   in a hot path is a 10-100× slowdown at 100 TB.
+
+2. NO `CartesianProduct` outside the explicitly sanctioned list —
+   every sanctioned entry is a crossJoin of DIMENSION-sized derived
+   frames (1-row totals, hour spines, literal plane matrices), never
+   two data-sized inputs. Tiny sides normally plan as
+   BroadcastNestedLoopJoin; CartesianProduct appears when neither side
+   broadcasts, so any new occurrence is a red flag.
+
+Queries are built, not executed (building runs at most the small
+side-effect jobs some sources need at sf0.001).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dist_keras_spark.plans import QUERIES
+
+# crossJoins of dim-sized frames where the planner may pick
+# CartesianProduct instead of BNLJ (e.g. when broadcast is disabled by
+# a conf the query itself sets). Reviewed individually.
+SANCTIONED_CARTESIAN: set[str] = {
+    "join_cross",  # C6: the cross-join operator itself, tiny inputs
+}
+
+# Streaming queries execute a real stream at build/collect; their plans
+# are checked by the streaming tests instead.
+SKIP = {
+    name
+    for name in QUERIES
+    if name.endswith("_live") or name.startswith("streaming_")
+}
+# Trainers run mapInPandas jobs at build; plan shape covered in test_ml.
+SKIP |= {n for n in QUERIES if n.startswith("ml_train")}
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP))
+def test_plan_hygiene(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan — use pandas_udf/"
+        f"mapInPandas (Arrow) instead"
+    )
+    if name not in SANCTIONED_CARTESIAN:
+        assert "CartesianProduct" not in plan, (
+            f"{name}: unsanctioned CartesianProduct"
+        )
