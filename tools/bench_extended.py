@@ -1,0 +1,85 @@
+"""Extended benchmark: the round-5 operator families at sf0.1.
+
+NOT part of the driver contract (bench.py is — its query list stays
+stable for cross-round comparison). This suite times the new analytics
+/ layout / pipeline operators end-to-end (noop sink = full
+materialization) and writes bench_extended_trace.json, so plan-shape
+claims in the docstrings carry measured numbers.
+
+Usage: python tools/bench_extended.py  [reads $SPARK_GRAFT_SF_DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dist_keras_spark.plans import QUERIES  # noqa: E402
+from dist_keras_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_DIR = "/root/testdata/sf0.001"
+
+EXTENDED = [
+    "events_funnel_steps",
+    "events_hourly_gapfill",
+    "events_ewma_last",
+    "events_anomaly_trailing_z",
+    "events_transition_matrix",
+    "events_session_bounce_rate",
+    "grouped_mode_event_type",
+    "histogram_fixed_width",
+    "sample_stratified_hash",
+    "merge_upsert_scd",
+    "join_asof_forward",
+    "win_cumulative_distinct",
+    "win_range_numeric",
+    "agg_grouping_sets",
+    "agg_max_by",
+    "unpivot_measures",
+    "knn_int8_quantized_top5",
+    "quality_ttr_hapax",
+    "zorder_cluster_stats",
+    "share_of_total_broadcast",
+    "pipeline_curation_end2end",
+    "dq_expectations_orders",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("bench_extended")
+    timings: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = QUERIES[name]
+        _materialize(fn(spark, WARM_DIR))  # codegen warm
+        _materialize(fn(spark, SF_DIR))  # full-size warm
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+    out = {
+        "sf_dir": SF_DIR,
+        "total_sec": round(sum(timings.values()), 3),
+        "queries": timings,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_extended_trace.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
