@@ -1172,3 +1172,88 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+@query(
+    "bpe_first_merges",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pairs AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> t[i] || ' ' || t[i + 1])) AS pair
+    FROM toks
+), counted AS (
+    SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair
+), ranked AS (
+    SELECT pair, cnt,
+           row_number() OVER (ORDER BY cnt DESC, pair ASC) AS merge_rank
+    FROM counted
+)
+SELECT merge_rank, pair, cnt FROM ranked WHERE merge_rank <= 10
+""",
+)
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 tokenizer induction: the first round of BPE training — count
+    every ADJACENT token pair corpus-wide and rank the top merge
+    candidates (deterministic tie-break: count desc, pair asc). The
+    pair expansion is a pure higher-order-function projection
+    (transform over a sliced array — no UDF, no self-join), the count
+    is one partial/final hash aggregate, and the top-10 is a
+    TakeOrdered — so one full BPE training round at 100 TB is one
+    scan + one shuffle, iterated per merge."""
+    d = _lt(spark, sf_dir, "documents")
+    pairs = F.expr(
+        "transform(slice(tk, 1, size(tk) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+    )
+    counted = (
+        d.select(F.split("text", " ").alias("tk"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # TakeOrderedAndProject FIRST (per-partition top-10 then merge —
+    # never a global sort of the whole pair vocabulary), THEN rank the
+    # 10 survivors; a bare row_number() over an unpartitioned window
+    # would drag every distinct pair through one task.
+    top = counted.orderBy(F.desc("cnt"), F.asc("pair")).limit(10)
+    rn = F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("pair")))
+    return top.withColumn("merge_rank", rn).select("merge_rank", "pair", "cnt")
+
+
+@query(
+    "embedding_centroid_by_label",
+    oracle="""
+SELECT label, i - 1 AS pos,
+       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+            AS BIGINT) AS sum_milli,
+       count(*) AS n
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+GROUP BY label, i
+""",
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 building block: per-label embedding centroids (the class
+    prototype / IVF-cell seed computation) — element-wise accumulation
+    of 64-dim vectors per label as (label, pos, sum, count) rows, the
+    mergeable partial state every distributed centroid update ships.
+    Components are quantized PER ELEMENT (round(x·1000) — deterministic
+    IEEE math on each value) and summed as INTEGERS, so the result is
+    bit-exact in any engine and at any partitioning — a float sum of
+    near-zero symmetric values would differ in the last ulp by
+    accumulation order and flip rounding/sign (-0.0 vs 0.0) at the
+    boundary, which is exactly what the first draft of this oracle
+    did. posexplode is a narrow map-side transform; the aggregate
+    shuffles (label, pos) keys — 64× the group count, not the data."""
+    e = _lt(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x").cast("double") * 1000).cast("long")).alias(
+                "sum_milli"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -491,3 +491,27 @@ def test_bitmap_popcount_equals_distinct(spark, sf_dir):
     for r in rows:
         assert bin(r.type_mask).count("1") == r.n_types
         assert 0 < r.type_mask < 32
+
+
+def test_bpe_merges_ranked_and_counted(spark, sf_dir):
+    rows = QUERIES["bpe_first_merges"](spark, sf_dir).collect()
+    assert [r.merge_rank for r in sorted(rows, key=lambda r: r.merge_rank)] == list(
+        range(1, 11)
+    )
+    counts = [r.cnt for r in sorted(rows, key=lambda r: r.merge_rank)]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r.pair.split(" ")) == 2
+
+
+def test_embedding_centroid_partial_state_mergeable(spark, sf_dir):
+    rows = QUERIES["embedding_centroid_by_label"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    n_labels = e.select("label").distinct().count()
+    assert len(rows) == 64 * n_labels
+    per_label = {r.label: r.c for r in e.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in rows:
+        assert 0 <= r.pos < 64
+        assert r.n == per_label[r.label]
+        # quantized components are in [-1000·max|x|, ...]; centroid magnitude sane
+        assert abs(r.sum_milli / r.n) < 5000
