@@ -469,10 +469,14 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.crossJoin(F.broadcast(stats)).select(
         "doc_id", F.round(score, 4).alias("bm25")
     )
+    # TakeOrderedAndProject first (per-partition top-k, merged), THEN
+    # rank the k survivors — a bare row_number() over an unpartitioned
+    # window would sort the whole scored corpus through one task (the
+    # global-window rule the plan-hygiene gate enforces).
     w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(k)
     return (
-        scored.withColumn("bm25_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("bm25_rank") <= k)
+        top.withColumn("bm25_rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "bm25", "bm25_rank")
     )
 

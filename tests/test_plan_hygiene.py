@@ -33,6 +33,29 @@ SANCTIONED_CARTESIAN: set[str] = {
     "join_cross",  # C6: the cross-join operator itself, tiny inputs
 }
 
+# Unpartitioned (global) windows reviewed individually: each one's
+# input is bounded BEFORE the window reaches it.
+SANCTIONED_GLOBAL_WINDOW: set[str] = {
+    "bpe_first_merges",  # window runs AFTER limit(10) — 10-row input
+    "bm25_topk_docs",  # window runs AFTER limit(k) — k-row input
+    "feature_string_index",  # dense_rank over the DISTINCT label vocab (dim-sized)
+    "win_ntile",  # documented global-ordering demo; approx_ntile_buckets is the scale path
+}
+
+
+def _has_global_window(plan: str) -> bool:
+    """A Window node printed with only two bracket groups whose second
+    group carries sort directions has an ORDER BY but NO PARTITION BY —
+    every row flows through one task. (Partition-without-order also
+    prints two groups, but its second group has no ASC/DESC.)"""
+    for line in plan.splitlines():
+        ls = line.strip().lstrip("+-:* ")
+        if ls.startswith("Window ") and ls.count("], [") == 1:
+            tail = ls.split("], [", 1)[1]
+            if " ASC" in tail or " DESC" in tail:
+                return True
+    return False
+
 # Streaming queries execute a real stream at build/collect; their plans
 # are checked by the streaming tests instead.
 SKIP = {
@@ -55,4 +78,10 @@ def test_plan_hygiene(spark, sf_dir, name):
     if name not in SANCTIONED_CARTESIAN:
         assert "CartesianProduct" not in plan, (
             f"{name}: unsanctioned CartesianProduct"
+        )
+    if name not in SANCTIONED_GLOBAL_WINDOW:
+        assert not _has_global_window(plan), (
+            f"{name}: unpartitioned window over an unbounded input — "
+            f"every row flows through one task; partition the window, "
+            f"or bound the input (orderBy+limit) first"
         )
