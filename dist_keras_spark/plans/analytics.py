@@ -1080,3 +1080,70 @@ def agg_bitmap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(bit).cast("long").alias("type_mask"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+SELECT click_id, purchase_id
+FROM (
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                        CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END,
+                        p.event_id) AS rn
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+) WHERE rn = 1
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 completion — direction='nearest' (the third pandas
+    merge_asof mode): each click matched to the purchase with the
+    SMALLEST absolute time gap, ties broken backward-first then by
+    event id. Composed from the two directional as-of joins (each ONE
+    key-shuffle union+window — operators/asof.py) plus a comparison
+    projection: still no range-join explosion anywhere, while the
+    oracle spells out the quadratic formulation. A left row missing
+    one side falls back to the other."""
+    from dist_keras_spark.operators.asof import asof_join
+
+    e = _lt(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    common = dict(
+        key="user_id", left_ts="ts", right_ts="p_ts",
+        value_cols=["purchase_id", "p_ts"], how="left",
+    )
+    bwd = asof_join(
+        clicks, purchases, direction="backward", tiebreak="purchase_id", **common
+    ).select(
+        "click_id",
+        "ts",
+        F.col("purchase_id").alias("b_id"),
+        F.col("p_ts").alias("b_ts"),
+    )
+    fwd = asof_join(
+        clicks, purchases, direction="forward", tiebreak="purchase_id", **common
+    ).select(F.col("click_id").alias("f_click"), F.col("purchase_id").alias("f_id"), F.col("p_ts").alias("f_ts"))
+    both = bwd.join(fwd, bwd.click_id == fwd.f_click)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    gap_b = us("ts") - us("b_ts")   # >= 0 when backward match exists
+    gap_f = us("f_ts") - us("ts")   # >= 0 when forward match exists
+    pick_backward = (
+        F.col("b_id").isNotNull()
+        & (F.col("f_id").isNull() | (gap_b <= gap_f))  # tie → backward
+    )
+    return both.select(
+        "click_id",
+        F.when(pick_backward, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "purchase_id"
+        ),
+    ).filter(F.col("purchase_id").isNotNull())

@@ -515,3 +515,27 @@ def test_embedding_centroid_partial_state_mergeable(spark, sf_dir):
         assert r.n == per_label[r.label]
         # quantized components are in [-1000·max|x|, ...]; centroid magnitude sane
         assert abs(r.sum_milli / r.n) < 5000
+
+
+def test_asof_nearest_picks_smaller_gap(spark, sf_dir):
+    rows = QUERIES["join_asof_nearest"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    evs = {r.event_id: r for r in e.collect()}
+    purchases: dict[int, list] = {}
+    for r in evs.values():
+        if r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append(r)
+    n_clicks_with_purchase_user = sum(
+        1
+        for r in evs.values()
+        if r.event_type == "click" and r.user_id in purchases
+    )
+    # every click whose user has any purchase gets a match
+    assert len(rows) == n_clicks_with_purchase_user
+    for r in rows:
+        c, p = evs[r.click_id], evs[r.purchase_id]
+        gap = abs((p.ts - c.ts).total_seconds())
+        best = min(
+            abs((x.ts - c.ts).total_seconds()) for x in purchases[c.user_id]
+        )
+        assert abs(gap - best) < 1e-9
