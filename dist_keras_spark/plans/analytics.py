@@ -1,18 +1,24 @@
 """Round-5 analytics operators: funnels, time-series resample/gap-fill,
 EWMA smoothing, trailing-window anomaly flags, deterministic sampling,
-fixed-width histograms, and a merge/upsert (SCD) pattern.
+fixed-width histograms, merge/upsert (SCD), forward/nearest as-of
+joins, running-distinct and numeric-RANGE windows, A/B t-statistics,
+closed-form OLS trends, data-quality expectation suites, regex
+masking, try_cast-tolerant parsing, z-order layout stats, null-safe
+joins, bitmap set-membership aggregates, and explode_outer semantics.
 
-These extend SURVEY.md §2 families E (windows), K (event time), and
-the training-data-pipeline set with the event-analytics shapes a
-warehouse user expects (funnel/retention/resample are the classic
-product-analytics trio; dist-keras has no analogue — this is the
-"beyond the reference" surface the brief asks for).
+These extend SURVEY.md §2 families C/D/E/H/K and the
+training-data-pipeline set with the analytics shapes a warehouse user
+expects (funnel/retention/resample are the classic product-analytics
+trio; dist-keras has no analogue — this is the "beyond the reference"
+surface the brief asks for). COVERAGE.md maps each query to its
+inventory row.
 
 Scale notes are per-query; the common rules: every window partitions
 on a key whose cardinality scales with the data (user_id, or
-(event_type, day) — never a constant-cardinality global sort), spines
-are dimension-sized (hours × types), and sampling/merge are pure
-column expressions with one key-shuffle.
+(event_type, day) — never a constant-cardinality global sort; the
+plan-hygiene test enforces this engine-wide), spines are
+dimension-sized (hours × types), and sampling/merge are pure column
+expressions with one key-shuffle.
 """
 
 from __future__ import annotations

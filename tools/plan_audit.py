@@ -61,6 +61,9 @@ AUDITED = {
     "ab_test_t_stat": "one scan → 2-group aggregate → 1×1 crossJoin; Welch's t is closed-form over six aggregate values, no per-row Python",
     "dq_expectations_orders": "four column checks fold into ONE aggregate scan; the FK check is a single left-anti join — five expectations, one scan + one join",
     "zorder_cluster_stats": "Morton interleave as whole-stage-codegen bit math; one partial/final agg into ≤64 z-range groups",
+    "join_asof_nearest": "two directional union+window as-of passes + comparison projection — nearest-match semantics with zero range-join explosion",
+    "bpe_first_merges": "HOF pair expansion (no UDF) → one hash agg → TakeOrderedAndProject; ranking window runs on the bounded top-10 only",
+    "bm25_topk_docs": "scan-side tf/dl, 1-row stats broadcast, orderBy+limit(k) bounds the corpus BEFORE the ranking window (global-window rule)",
 }
 
 
