@@ -1153,3 +1153,151 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id"
         ),
     ).filter(F.col("purchase_id").isNotNull())
+
+
+@query(
+    "robust_outliers_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+), dev AS (
+    SELECT e.event_type, e.value, m.med,
+           abs(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+), mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       round(any_value(d.med), 4) AS med,
+       round(any_value(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN abs(d.value - d.med) > 3 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per
+    event type, median, MAD = median(|x − median|), and the count of
+    points beyond 3·MAD — the estimator that, unlike z-scores, isn't
+    dragged by the outliers it hunts. Two exact-median aggregation
+    passes with the medians broadcast back (group-count-sized frames);
+    exact interpolated percentiles agree across engines (the
+    agg_median_percentile parity), so the oracle is sharp."""
+    e = _lt(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "user_event_entropy",
+    oracle="""
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS k FROM events
+    GROUP BY user_id, event_type
+), tot AS (
+    SELECT user_id, sum(k) AS n FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+       round(-sum((k * 1.0 / n) * ln(k * 1.0 / n)), 4) AS entropy,
+       count(*) AS n_types
+FROM c JOIN tot USING (user_id)
+GROUP BY c.user_id
+""",
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity metric (0 = single-type bot, ln 5 ≈ 1.609 =
+    uniform across the 5 types); the same computation scores corpus
+    diversity in a data-mixing pipeline. Shape: count per (user, type),
+    per-user totals joined back (both keyed on user_id — one shuffle
+    chain), entropy as a ≤5-term sum of exact-rational p·ln p."""
+    e = _lt(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    tot = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") / F.col("n")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+
+
+@query(
+    "gini_customer_spend",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS i,
+           count(*) OVER () AS n,
+           sum(cents) OVER () AS tot
+    FROM spend
+)
+SELECT round(2.0 * sum(i * cents) / (any_value(n) * any_value(tot))
+             - (any_value(n) + 1.0) / any_value(n), 6) AS gini,
+       CAST(any_value(n) AS BIGINT) AS n_customers
+FROM ranked
+""",
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend (0 = equal, →1 = one whale):
+    the standard sorted-cumulative formula G = 2·Σᵢ i·xᵢ/(n·Σx) −
+    (n+1)/n. Everything that accumulates is INTEGER (spend quantized
+    to cents per order before summing), so Σ i·xᵢ and Σx are exact in
+    both engines and only the final division is float — no
+    sum-order divergence. The rank window IS an unpartitioned sort —
+    over the per-customer aggregate (customer-count rows, not orders),
+    which is the smallest frame the statistic can be computed on; a
+    true 100 TB deployment would bin spend and integrate the
+    histogram instead (the approx_ntile path)."""
+    o = _lt(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    wi = W.orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(wi).alias("i"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("i").cast("long") * F.col("cents")).alias("s_ix"),
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        F.round(
+            2.0 * F.col("s_ix") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.col("n").cast("long").alias("n_customers"),
+    )

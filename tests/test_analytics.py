@@ -539,3 +539,30 @@ def test_asof_nearest_picks_smaller_gap(spark, sf_dir):
             abs((x.ts - c.ts).total_seconds()) for x in purchases[c.user_id]
         )
         assert abs(gap - best) < 1e-9
+
+
+def test_mad_outliers_bounded_and_mad_nonneg(spark, sf_dir):
+    rows = QUERIES["robust_outliers_mad"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    per_type = {r.event_type: r.c for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert len(rows) == len(per_type)
+    for r in rows:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers < per_type[r.event_type] / 2  # robust by construction
+
+
+def test_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = QUERIES["user_event_entropy"](spark, sf_dir).collect()
+    for r in rows:
+        assert -1e-9 <= r.entropy <= math.log(5) + 1e-6
+        if r.n_types == 1:
+            assert abs(r.entropy) < 1e-9
+
+
+def test_gini_in_unit_interval_and_invariant(spark, sf_dir):
+    row = QUERIES["gini_customer_spend"](spark, sf_dir).collect()[0]
+    assert 0 <= row.gini < 1
+    o = load_table(spark, sf_dir, "orders")
+    assert row.n_customers == o.select("o_custkey").distinct().count()
