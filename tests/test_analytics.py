@@ -566,3 +566,14 @@ def test_gini_in_unit_interval_and_invariant(spark, sf_dir):
     assert 0 <= row.gini < 1
     o = load_table(spark, sf_dir, "orders")
     assert row.n_customers == o.select("o_custkey").distinct().count()
+
+
+def test_gini_histogram_approximates_exact(spark, sf_dir):
+    """The binned (scale-path) Gini must track the exact rank-formula
+    Gini within 0.01 absolute — the accuracy contract that justifies
+    replacing the global customer sort with a 1000-bin histogram."""
+    exact = QUERIES["gini_customer_spend"](spark, sf_dir).collect()[0]
+    hist = QUERIES["gini_histogram_binned"](spark, sf_dir).collect()[0]
+    assert hist.n_customers == exact.n_customers
+    assert abs(hist.gini_hist - exact.gini) < 0.01
+    assert 1 <= hist.n_bins_used <= 1000

@@ -41,6 +41,7 @@ SANCTIONED_GLOBAL_WINDOW: set[str] = {
     "feature_string_index",  # dense_rank over the DISTINCT label vocab (dim-sized)
     "win_ntile",  # documented global-ordering demo; approx_ntile_buckets is the scale path
     "gini_customer_spend",  # rank over the per-customer AGGREGATE (customer-count rows); histogram integration is the 100 TB path (docstring)
+    "gini_histogram_binned",  # cumulative window over the ≤1000-row BIN dimension, never the data
 }
 
 
