@@ -1384,3 +1384,71 @@ def gini_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bins_used",
         )
     )
+
+
+@query(
+    "setop_multiset_all",
+    oracle="""
+WITH a AS (SELECT l_orderkey % 100 AS k FROM lineitem),
+     b AS (SELECT o_orderkey % 100 AS k FROM orders)
+SELECT 'except_all' AS op, k, count(*) AS n FROM (
+    SELECT k FROM a EXCEPT ALL SELECT k FROM b
+) GROUP BY k
+UNION ALL
+SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+    SELECT k FROM a INTERSECT ALL SELECT k FROM b
+) GROUP BY k
+""",
+)
+def setop_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-family completion: the MULTISET set operations — exceptAll
+    keeps max(m−n, 0) copies of each row, intersectAll keeps min(m, n)
+    — vs. the DISTINCT variants already covered. Spark plans both as a
+    single aggregate computing per-row counts on each side then
+    replicating (no sort, one shuffle on the row value); the grouped
+    output keeps the driver hash small while still pinning every
+    multiplicity."""
+    li = _lt(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 100).alias("k")
+    )
+    o = _lt(spark, sf_dir, "orders").select((F.col("o_orderkey") % 100).alias("k"))
+    ex = (
+        li.exceptAll(o)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    inter = (
+        li.intersectAll(o)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    return ex.unionByName(inter)
+
+
+@query(
+    "sort_null_ordering",
+    oracle="""
+SELECT n_nationkey, rk
+FROM (SELECT n_nationkey,
+             CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS rk
+      FROM nation)
+ORDER BY rk DESC NULLS FIRST, n_nationkey ASC
+""",
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family completion: explicit NULL placement in sorts —
+    `desc_nulls_first` pins where NULL keys land instead of
+    inheriting the engine default (Spark: NULLS LAST on DESC; the
+    oracle must say NULLS FIRST explicitly or the two engines order
+    differently — exactly the portability trap this query documents).
+    The driver hash is order-insensitive, so the ORDER is pinned by a
+    rank test in pytest, and the oracle pins the same row set."""
+    n = _lt(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.when(F.col("n_regionkey") == 2, None)
+        .otherwise(F.col("n_regionkey"))
+        .alias("rk"),
+    )
+    return n.orderBy(F.col("rk").desc_nulls_first(), F.col("n_nationkey").asc())

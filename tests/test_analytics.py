@@ -577,3 +577,25 @@ def test_gini_histogram_approximates_exact(spark, sf_dir):
     assert hist.n_customers == exact.n_customers
     assert abs(hist.gini_hist - exact.gini) < 0.01
     assert 1 <= hist.n_bins_used <= 1000
+
+
+def test_multiset_ops_conserve_multiplicity(spark, sf_dir):
+    rows = QUERIES["setop_multiset_all"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    a = {r.k: r.c for r in li.groupBy((F.col("l_orderkey") % 100).alias("k")).agg(F.count(F.lit(1)).alias("c")).collect()}
+    b = {r.k: r.c for r in o.groupBy((F.col("o_orderkey") % 100).alias("k")).agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in rows:
+        if r.op == "except_all":
+            assert r.n == max(a.get(r.k, 0) - b.get(r.k, 0), 0)
+        else:
+            assert r.n == min(a.get(r.k, 0), b.get(r.k, 0))
+
+
+def test_null_ordering_rank(spark, sf_dir):
+    rows = QUERIES["sort_null_ordering"](spark, sf_dir).collect()
+    # NULLS FIRST on DESC: every NULL rk precedes every non-NULL
+    first_non_null = next(i for i, r in enumerate(rows) if r.rk is not None)
+    assert all(r.rk is None for r in rows[:first_non_null])
+    non_null = [r.rk for r in rows[first_non_null:]]
+    assert non_null == sorted(non_null, reverse=True)
