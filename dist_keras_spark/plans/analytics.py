@@ -1452,3 +1452,35 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
     )
     return n.orderBy(F.col("rk").desc_nulls_first(), F.col("n_nationkey").asc())
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 complement: the SHUFFLE_HASH join hint — builds a hash map on
+    the (smaller) customer side per partition instead of sorting both
+    sides (SMJ) or broadcasting. The right call when both sides are too
+    big to broadcast but one is much smaller than the other: it skips
+    both sort passes at the cost of the build-side hash map fitting in
+    memory per partition. Results are hint-invariant (the oracle is the
+    plain join); the pytest asserts ShuffledHashJoin actually appears
+    in the plan — hints are requests, and a silently ignored hint is
+    the bug this query guards against."""
+    o = _lt(spark, sf_dir, "orders")
+    c = _lt(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

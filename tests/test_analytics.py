@@ -599,3 +599,15 @@ def test_null_ordering_rank(spark, sf_dir):
     assert all(r.rk is None for r in rows[:first_non_null])
     non_null = [r.rk for r in rows[first_non_null:]]
     assert non_null == sorted(non_null, reverse=True)
+
+
+def test_shuffle_hash_hint_honored(spark, sf_dir):
+    """Hints are requests; assert the planner actually produced a
+    ShuffledHashJoin (with size-based broadcast disabled so the hint is
+    the deciding factor)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["join_shuffle_hash_hint"](spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "ShuffledHashJoin" in plan
