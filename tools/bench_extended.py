@@ -47,6 +47,17 @@ EXTENDED = [
     "share_of_total_broadcast",
     "pipeline_curation_end2end",
     "dq_expectations_orders",
+    "join_asof_nearest",
+    "bpe_first_merges",
+    "embedding_centroid_by_label",
+    "robust_outliers_mad",
+    "user_event_entropy",
+    "gini_customer_spend",
+    "gini_histogram_binned",
+    "ab_test_t_stat",
+    "regression_trend_slope",
+    "setop_multiset_all",
+    "join_shuffle_hash_hint",
 ]
 
 
