@@ -28,6 +28,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     llm,
     ml,
     analytics,
+    sqlx,
 )
 
 # Round-5 window (VERDICT r4 #3): (a) the repaired events family — every

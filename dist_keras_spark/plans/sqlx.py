@@ -1,0 +1,75 @@
+"""Advanced SQL surface (Spark 4): recursive CTEs and correlated
+LATERAL subqueries — submitted as SQL TEXT shared verbatim with the
+DuckDB oracle (the strongest parity check there is: same query string,
+two engines, one hash).
+
+Catalyst handles both without hand-planning: the LATERAL top-n
+decorrelates into a ranked window join, and the recursive CTE executes
+as an iterative union with AQE sizing each step — SURVEY.md §4.2's
+"decorrelation is free" claim extended to the Spark-4 surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import register_views
+
+# Genuinely sequential state: bal_m = round(bal_{m-1}·1.01 + r_m, 2)
+# — the per-step rounding pins floats bit-for-bit in both engines, and
+# r_m derives from max() (order-insensitive, exact). A window can
+# express geometric-weight sums (events_ewma_last) but not a
+# recurrence with INTERIOR rounding; recursion is the honest tool.
+_RECURSIVE_SQL = """
+WITH RECURSIVE monthly AS (
+    SELECT CAST(month(o_orderdate) AS INT) AS m,
+           round(max(o_totalprice) / 1000, 2) AS r
+    FROM orders WHERE year(o_orderdate) = 1995
+    GROUP BY month(o_orderdate)
+), bal(m, r, bal) AS (
+    SELECT m, r, round(100.0 * 1.01 + r, 2) FROM monthly WHERE m = 1
+    UNION ALL
+    SELECT x.m, x.r, round(b.bal * 1.01 + x.r, 2)
+    FROM bal b JOIN monthly x ON x.m = b.m + 1
+)
+SELECT m, r, bal FROM bal
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a compounding balance
+    rolled month-over-month through 1995 — state that must flow
+    through the recurrence (interior rounding at every step), which no
+    window rewrite expresses. The SAME SQL text runs on both engines.
+    Scale: each iteration is one dim-sized join (12 months); the
+    pattern generalizes to iterative graph/closure queries where the
+    per-step frontier, not the corpus, bounds the work (the DataFrame
+    twin is operators/dedup.neardup_clusters' min-label loop)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_mktsegment, l.o_orderkey, l.o_totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+LATERAL (
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey
+    WHERE c2.c_mktsegment = c.c_mktsegment
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 2
+) l
+"""
+
+
+@query("sql_lateral_topn", oracle=_LATERAL_SQL)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — top-2 orders
+    per market segment, written the way an analyst writes it (a
+    per-row subquery) and executed the way an engine must (Catalyst
+    decorrelates to a ranked join; DuckDB does the same) — never one
+    subquery execution per outer row. Same SQL text on both engines."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)

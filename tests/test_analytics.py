@@ -611,3 +611,32 @@ def test_shuffle_hash_hint_honored(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "ShuffledHashJoin" in plan
+
+
+def test_recursive_cte_compounds_sequentially(spark, sf_dir):
+    rows = sorted(QUERIES["sql_recursive_cte"](spark, sf_dir).collect(), key=lambda r: r.m)
+    assert [r.m for r in rows] == list(range(1, 13))
+    bal = 100.0
+    for r in rows:
+        bal = round(bal * 1.01 + r.r, 2)
+        assert abs(r.bal - bal) < 1e-9  # the recurrence, replayed in Python
+
+
+def test_lateral_topn_is_true_topn(spark, sf_dir):
+    rows = QUERIES["sql_lateral_topn"](spark, sf_dir).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.o_totalprice)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    for seg, prices in by_seg.items():
+        assert len(prices) == 2
+        true_top = [
+            round(r.o_totalprice, 2)
+            for r in joined.filter(F.col("c_mktsegment") == seg)
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(2)
+            .collect()
+        ]
+        assert sorted(prices, reverse=True) == true_top
