@@ -1484,3 +1484,45 @@ def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "observed_scan_metrics",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem WHERE l_quantity >= 10
+GROUP BY l_returnflag
+""",
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.observe: named accumulator metrics (rows scanned, rows
+    kept, revenue sum) attached to the SAME pass that answers the
+    query — production observability with ZERO extra scans (the
+    alternative, a second count() job, doubles the 100 TB read). The
+    observation rides the plan as an internal aggregate; the query
+    result is unchanged (the oracle checks it) and the metric values
+    are asserted against independent aggregates in pytest. Metrics
+    surface via the Observation handle after any action."""
+    from pyspark.sql import Observation
+
+    li = _lt(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.when(F.col("l_quantity") >= 10, 1).otherwise(0)).alias("rows_kept"),
+    )
+    out = (
+        observed.filter(F.col("l_quantity") >= 10)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+    # the Observation handle travels with the DataFrame for callers
+    # (tests) that want the metrics after an action
+    out._observation = obs  # type: ignore[attr-defined]
+    return out

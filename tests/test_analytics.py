@@ -640,3 +640,13 @@ def test_lateral_topn_is_true_topn(spark, sf_dir):
             .collect()
         ]
         assert sorted(prices, reverse=True) == true_top
+
+
+def test_observe_metrics_populated_in_same_pass(spark, sf_dir):
+    df = QUERIES["observed_scan_metrics"](spark, sf_dir)
+    result = {r.l_returnflag: r.n for r in df.collect()}  # action → metrics fire
+    obs = df._observation
+    li = load_table(spark, sf_dir, "lineitem")
+    assert obs.get["rows_scanned"] == li.count()
+    assert obs.get["rows_kept"] == li.filter(F.col("l_quantity") >= 10).count()
+    assert sum(result.values()) == obs.get["rows_kept"]
