@@ -1526,3 +1526,50 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tests) that want the metrics after an action
     out._observation = obs  # type: ignore[attr-defined]
     return out
+
+
+@query(
+    "grouped_agg_pandas_udaf",
+    oracle="""
+SELECT event_type,
+       round(exp(avg(ln(value + 1))) - 1, 4) AS geo_mean,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.L GROUPED_AGG pandas UDAF: a custom aggregate (geometric
+    mean) as an Arrow-batched vectorized function — the escape hatch
+    when no builtin aggregate composes to the statistic (here it does
+    — exp(avg(ln x)) — which is exactly what the oracle replays; the
+    point is exercising the UDAF surface with a verifiable function).
+    The UDAF receives each group's column as ONE pandas Series
+    (Arrow transfer, numpy reduction inside); Spark still plans
+    partial aggregation around it per group, and the shuffle carries
+    group keys only. Mean-of-logs in float64 matches avg(ln) to well
+    inside the 4-decimal rounding."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module's
+    # `from __future__ import annotations` stringifies signatures, so
+    # pandas_udf can't infer GROUPED_AGG from `pd.Series -> float`
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        # shifted (+1) geometric mean: defined for value = 0 rows,
+        # which appear at sf0.1 (plain ln(0) is -inf / a DuckDB error)
+        return float(np.exp(np.log(v.to_numpy() + 1.0).mean()) - 1.0)
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the count is a second
+    # pandas UDAF so both ride the same grouped Arrow batch
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def grp_count(v):
+        return len(v)
+
+    e = _lt(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(geo_mean("value"), 4).alias("geo_mean"),
+        grp_count("value").alias("n"),
+    )

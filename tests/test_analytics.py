@@ -650,3 +650,18 @@ def test_observe_metrics_populated_in_same_pass(spark, sf_dir):
     assert obs.get["rows_scanned"] == li.count()
     assert obs.get["rows_kept"] == li.filter(F.col("l_quantity") >= 10).count()
     assert sum(result.values()) == obs.get["rows_kept"]
+
+
+def test_pandas_udaf_geo_mean_between_min_and_max(spark, sf_dir):
+    rows = QUERIES["grouped_agg_pandas_udaf"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    bounds = {
+        r.event_type: (r.lo, r.hi, r.c)
+        for r in e.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi, c = bounds[r.event_type]
+        assert lo - 1e-9 <= r.geo_mean <= hi + 1e-9
+        assert r.n == c
