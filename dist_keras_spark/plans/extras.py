@@ -668,3 +668,42 @@ def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("r_regionkey", "r_name", "batch_tag")
     )
+
+
+@query(
+    "custom_datasource_scan",
+    oracle="""
+SELECT kind,
+       count(*) AS n,
+       round(sum(amount), 2) AS total
+FROM (
+    SELECT CASE range % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                          ELSE 'purchase' END AS kind,
+           (range * 37 % 1000) / 10.0 AS amount
+    FROM range(2000)
+)
+GROUP BY kind
+""",
+)
+def custom_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension: a CUSTOM CONNECTOR through Spark 4's Python
+    Data Source API (sources/pysource.py) — the public plug-in point
+    for systems Spark can't read natively. The source is PARTITIONED
+    (partitions() returns shards; Spark fans read() calls across
+    executors like file splits — a pytest asserts the parallelism),
+    and its rows are pure integer arithmetic on the row id, so DuckDB
+    replays the whole dataset from range(). Aggregating proves the
+    rows arrive correctly through the Arrow batch path."""
+    from dist_keras_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("amount"), 2).alias("total"),
+    )

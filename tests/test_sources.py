@@ -190,3 +190,26 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
     # wall-clock must survive exactly at µs precision
     assert got_us[2].microsecond == 999999
     assert got_us[1] == stamps[0]
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """Spark 4 Python Data Source API: the custom source must expose
+    real partitions (parallel scheduling, not one task) and produce
+    identical rows on re-read."""
+    from dist_keras_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 100)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b and len(a) == 100
+    # generation law replayed in Python
+    for event_id, kind, amount in a:
+        assert kind == ("view", "click", "purchase")[event_id % 3]
+        assert abs(amount - (event_id * 37 % 1000) / 10.0) < 1e-12
