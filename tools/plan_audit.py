@@ -64,6 +64,10 @@ AUDITED = {
     "join_asof_nearest": "two directional union+window as-of passes + comparison projection — nearest-match semantics with zero range-join explosion",
     "bpe_first_merges": "HOF pair expansion (no UDF) → one hash agg → TakeOrderedAndProject; ranking window runs on the bounded top-10 only",
     "bm25_topk_docs": "scan-side tf/dl, 1-row stats broadcast, orderBy+limit(k) bounds the corpus BEFORE the ranking window (global-window rule)",
+    "sql_lateral_topn": "correlated LATERAL with ORDER BY+LIMIT decorrelated by Catalyst into a ranked join — never per-outer-row re-execution",
+    "sql_recursive_cte": "WITH RECURSIVE executes as an iterative union; each step joins the dim-sized frontier (12 months), not the corpus",
+    "custom_datasource_scan": "Python Data Source with partitions() → reads fan across executors like file splits; Arrow batch path into a plain hash agg",
+    "gini_histogram_binned": "per-customer agg → ≤1000-bin histogram; cumulative window over the BIN dimension — the no-global-sort inequality statistic",
 }
 
 
