@@ -107,8 +107,14 @@ def main() -> None:
     # so environment-induced outliers (cold JVM, co-tenant load, GC) are
     # diagnosable after the fact — the driver only records the one-line
     # best-of-3 summary below.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_trace.json"), "w") as fh:
+    # $SPARK_GRAFT_TRACE overrides the trace path so gate runs at tiny
+    # SFs (tests/test_bench_gate.py) don't clobber the committed sf0.1
+    # trace evidence.
+    trace_path = os.environ.get(
+        "SPARK_GRAFT_TRACE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_trace.json"),
+    )
+    with open(trace_path, "w") as fh:
         json.dump({"sf_dir": SF_DIR, "trace": trace}, fh, indent=1)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -22,6 +22,11 @@ def test_bench_completes_and_emits_json():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env.setdefault("SPARK_GRAFT_CPUS", "8")
+    # keep the committed sf0.1 trace intact — the gate's tiny-SF trace
+    # goes to a scratch file
+    env["SPARK_GRAFT_TRACE"] = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "spark_graft_bench_gate_trace.json"
+    )
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,
