@@ -707,3 +707,39 @@ def custom_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("amount"), 2).alias("total"),
     )
+
+
+@query(
+    "custom_datasource_stream_live",
+    oracle="""
+SELECT kind,
+       count(*) AS n,
+       round(sum(amount), 2) AS total
+FROM (
+    SELECT CASE range % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                          ELSE 'purchase' END AS kind,
+           (range * 37 % 1000) / 10.0 AS amount
+    FROM range(2000)
+)
+GROUP BY kind
+""",
+)
+def custom_datasource_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 extension: the SAME custom Python connector read as a
+    STRUCTURED STREAM (DataSource.simpleStreamReader — offset-tracked,
+    replayable between committed offsets) and drained through a memory
+    sink. The aggregate over the drained stream must equal the batch
+    oracle — stream/batch unification extended to user-defined Python
+    sources."""
+    from dist_keras_spark.sources.pysource import register
+    from dist_keras_spark.streaming.pipelines import run_available_now
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events").option("rows", 2000).load()
+    )
+    drained = run_available_now(stream, output_mode="append")
+    return drained.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("amount"), 2).alias("total"),
+    )

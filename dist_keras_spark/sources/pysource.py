@@ -13,7 +13,12 @@ so any engine can replay the dataset (the DuckDB oracle uses range()).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _ShardPartition(InputPartition):
@@ -40,9 +45,38 @@ class _SyntheticEventsReader(DataSourceReader):
             yield (i, kinds[i % 3], (i * 37 % 1000) / 10.0)
 
 
+def _row(i: int):
+    kinds = ("view", "click", "purchase")
+    return (i, kinds[i % 3], (i * 37 % 1000) / 10.0)
+
+
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: offsets are plain row
+    indices, `read` advances the offset and `readBetweenOffsets`
+    replays any committed range deterministically — which is the
+    whole replayability contract exactly-once streaming needs from a
+    source. The bounded fixture (`rows` option) is emitted in one
+    micro-batch because PythonMicroBatchStream's availableNow support
+    falls back to single-batch execution."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = start["i"]
+        return iter([_row(j) for j in range(i, self.n_rows)]), {"i": self.n_rows}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(j) for j in range(start["i"], end["i"])])
+
+
 class SyntheticEventsSource(DataSource):
     """spark.read.format("synthetic_events").option("rows", N)
-    .option("partitions", P).load() → (event_id, kind, amount)."""
+    .option("partitions", P).load() → (event_id, kind, amount);
+    also readable with spark.readStream (same rows, same oracle)."""
 
     @classmethod
     def name(cls) -> str:
@@ -53,6 +87,9 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema):
         return _SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

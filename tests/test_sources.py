@@ -213,3 +213,22 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     for event_id, kind, amount in a:
         assert kind == ("view", "click", "purchase")[event_id % 3]
         assert abs(amount - (event_id * 37 % 1000) / 10.0) < 1e-12
+
+
+def test_python_datasource_stream_equals_batch(spark):
+    """The streaming face of the custom connector drains to exactly the
+    batch rows (offset-replayable generator = exactly-once contract)."""
+    from dist_keras_spark.sources.pysource import register
+    from dist_keras_spark.streaming.pipelines import run_available_now
+
+    register(spark)
+    batch = (
+        spark.read.format("synthetic_events").option("rows", 120).load()
+    )
+    stream = (
+        spark.readStream.format("synthetic_events").option("rows", 120).load()
+    )
+    drained = run_available_now(stream, output_mode="append")
+    assert sorted(map(tuple, drained.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
