@@ -304,7 +304,8 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        max_by(o_orderkey,
-              CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+              CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
+              + o_orderkey)
            AS top_orderkey,
        round(max(o_totalprice), 2) AS top_price
 FROM orders
@@ -318,10 +319,16 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is strictly cheaper than the window formulation when
     only the top row is needed. Determinism: max_by is tie-arbitrary,
     so the ordering key is made UNIQUE by packing (price-cents,
-    orderkey) into one bigint — integer-exact in both engines."""
+    orderkey) into one bigint — integer-exact in both engines.
+    Packing bounds (both must hold, neither engine range-checks int64
+    silently the same way): o_orderkey < 10^10 (TPC-H SF ≲ 1,600) and
+    price-cents < 9.2·10^8 i.e. price < $9.2M (TPC-H max ≈ $600k).
+    DuckDB max_by can't take a struct key, so lexicographic packing
+    is the portable formulation; beyond these bounds switch the key
+    to lpad-ed string concat (unbounded, slower)."""
     o = _lt(spark, sf_dir, "orders")
     ord_key = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * 10000000
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10000000000
         + F.col("o_orderkey")
     )
     return o.groupBy("o_orderpriority").agg(

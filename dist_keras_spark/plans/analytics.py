@@ -1039,7 +1039,9 @@ WITH t AS (
 )
 SELECT doc_id, unnest(l) AS tok FROM t WHERE len(l) > 0
 UNION ALL
-SELECT doc_id, NULL AS tok FROM t WHERE len(l) = 0
+-- NULL text: Spark's split(NULL) is a NULL array and explode_outer
+-- keeps the doc as one NULL row, exactly like the empty-array case.
+SELECT doc_id, NULL AS tok FROM t WHERE len(l) = 0 OR l IS NULL
 """,
 )
 def explode_outer_empty_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,13 +1125,18 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
+        # Backward asof_join resolves equal-timestamp ties by LARGEST
+        # tiebreak (last() over tiebreak asc); the oracle picks the
+        # SMALLEST event_id on ties, so the backward leg ties on the
+        # NEGATED id. Forward already picks smallest (first(), asc).
+        (-F.col("event_id")).alias("neg_purchase_id"),
     )
     common = dict(
         key="user_id", left_ts="ts", right_ts="p_ts",
         value_cols=["purchase_id", "p_ts"], how="left",
     )
     bwd = asof_join(
-        clicks, purchases, direction="backward", tiebreak="purchase_id", **common
+        clicks, purchases, direction="backward", tiebreak="neg_purchase_id", **common
     ).select(
         "click_id",
         "ts",

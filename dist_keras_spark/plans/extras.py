@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.sinks import scratch_path
 from dist_keras_spark.sources.tables import load_table as _lt, register_views
 
 _Q3_SQL = """
@@ -231,12 +232,10 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical to the parquet source, proven against the DuckDB
     oracle on the ORIGINAL parquet. Exercises the writer and reader,
     header handling, and int/string round-tripping."""
-    import tempfile
-
     from dist_keras_spark.sources.readers import read_csv
 
     n = _lt(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    path = f"{tempfile.gettempdir()}/spark_graft_csv_roundtrip"
+    path = scratch_path(spark, "csv_roundtrip")
     n.write.mode("overwrite").option("header", "true").csv(path)
     back = read_csv(
         spark, path, schema="n_nationkey int, n_name string, n_regionkey int"
@@ -249,12 +248,10 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3+A5 hash-verified: nation → line-delimited JSON sink → JSON
     scan with explicit schema, compared to the DuckDB oracle on the
     ORIGINAL parquet."""
-    import tempfile
-
     from dist_keras_spark.sources.readers import read_json
 
     n = _lt(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    path = f"{tempfile.gettempdir()}/spark_graft_json_roundtrip"
+    path = scratch_path(spark, "json_roundtrip")
     n.write.mode("overwrite").json(path)
     back = read_json(
         spark, path, schema="n_nationkey int, n_name string, n_regionkey int"
@@ -269,12 +266,10 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     source). ORC is Spark's other first-class columnar format —
     vectorized reader, predicate pushdown, splittable — so the same
     scan-side guarantees as parquet hold at 100 TB."""
-    import tempfile
-
     from dist_keras_spark.sources.readers import read_orc
 
     n = _lt(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    path = f"{tempfile.gettempdir()}/spark_graft_orc_roundtrip"
+    path = scratch_path(spark, "orc_roundtrip")
     n.write.mode("overwrite").orc(path)
     return read_orc(spark, path).orderBy("n_nationkey")
 
@@ -294,12 +289,10 @@ def text_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic min must match the DuckDB oracle on the ORIGINAL
     table. This is the raw-corpus ingest path (unstructured text before
     parsing); text files are splittable so the scan parallelizes."""
-    import tempfile
-
     from dist_keras_spark.sources.readers import read_text
 
     c = _lt(spark, sf_dir, "customer").select(F.col("c_name").alias("value"))
-    path = f"{tempfile.gettempdir()}/spark_graft_text_scan"
+    path = scratch_path(spark, "text_scan")
     c.write.mode("overwrite").text(path)
     back = read_text(spark, path)
     return back.agg(
@@ -358,12 +351,10 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 hash-verified: supplier → parquet sink → parquet scan must be
     value-identical to the ORIGINAL table (DuckDB oracle reads the
     source; ints/strings/doubles all round-trip exactly)."""
-    import tempfile
-
     from dist_keras_spark.sources.sinks import write_parquet
 
     s = _lt(spark, sf_dir, "supplier")
-    path = f"{tempfile.gettempdir()}/spark_graft_parquet_roundtrip"
+    path = scratch_path(spark, "parquet_roundtrip")
     write_parquet(s, path)
     return spark.read.parquet(path).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
@@ -390,9 +381,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     again at read time. The merge hint keeps the demonstration honest
     at fixture scale (AQE would otherwise just broadcast the small
     side, hiding the bucketing)."""
-    import tempfile
-
-    base = f"{tempfile.gettempdir()}/spark_graft_bucketed"
+    base = scratch_path(spark, "bucketed")
     o = _lt(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -430,14 +419,12 @@ def partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     values must match the DuckDB oracle on the ORIGINAL parquet.
     ts/props excluded: ns-precision timestamps don't survive the
     Spark↔DuckDB comparison (see README gotchas)."""
-    import tempfile
-
     from dist_keras_spark.sources.sinks import write_partitioned
 
     e = _lt(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = f"{tempfile.gettempdir()}/spark_graft_partitioned_sink"
+    path = scratch_path(spark, "partitioned_sink")
     write_partitioned(e, path, ["event_type"])
     return (
         spark.read.parquet(path)
@@ -653,10 +640,8 @@ def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB table absorbs additive schema changes without a rewrite;
     merge-schema costs one footer read per file, so it stays a
     metadata operation."""
-    import tempfile
-
     r = _lt(spark, sf_dir, "region")
-    path = f"{tempfile.gettempdir()}/spark_graft_schema_merge"
+    path = scratch_path(spark, "schema_merge")
     r.filter(F.col("r_regionkey") < 3).select("r_regionkey", "r_name").write.mode(
         "overwrite"
     ).parquet(path)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from dist_keras_spark.operators.multimodal import attach_blob, fake_decode_features
 from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.sinks import scratch_path
 from dist_keras_spark.sources.tables import load_table as _lt
 
 
@@ -142,14 +143,12 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — availableNow replays every event exactly once, so the sink
     must hold the same multiset. ts excluded (ns-precision gotcha)."""
     import shutil
-    import tempfile
-
     from dist_keras_spark.streaming.pipelines import (
         run_foreach_batch_to_parquet,
         stream_events,
     )
 
-    path = f"{tempfile.gettempdir()}/spark_graft_foreachbatch_sink"
+    path = scratch_path(spark, "foreachbatch_sink")
     shutil.rmtree(path, ignore_errors=True)  # append-mode sink: start clean
     run_foreach_batch_to_parquet(
         stream_events(spark, sf_dir).select("event_id", "event_type", "value"), path

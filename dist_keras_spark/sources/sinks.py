@@ -10,6 +10,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def scratch_path(spark, name: str) -> str:
+    """Session-unique scratch dir for sink round-trip queries.
+
+    Keyed on the Spark applicationId so two concurrent sessions
+    (pytest-xdist worker + driver gate + dev shell) can never clobber
+    each other's half-written files, and a predictable world-shared
+    /tmp name can't be symlink-squatted by another user. Within ONE
+    session the path is stable, so repeated runs of the same query
+    overwrite their own output rather than accreting directories."""
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    return f"{tempfile.gettempdir()}/spark_graft_{app}/{name}"
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """A5: plain parquet sink."""
     df.write.mode(mode).parquet(path)

@@ -178,7 +178,7 @@ def test_ttr_bounds_and_token_conservation(spark, sf_dir):
     assert len(rows) == len(n_tokens)
     for r in rows:
         assert r.n_tokens == n_tokens[r.doc_id]
-        assert 1 <= r.n_hapax or r.n_hapax == 0
+        assert 0 <= r.n_hapax
         assert r.n_hapax <= r.n_types <= r.n_tokens
         assert 0 < r.ttr <= 1.0
 
