@@ -31,73 +31,70 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     sqlx,
 )
 
-# Round-5 window (VERDICT r4 #3): (a) the repaired events family — every
-# query that reads `events` crashed on the ns→µs fixture drift and must
-# re-prove on the new fixtures; (b) oracles added or behavior changed
-# this round (IVF md5 quantizer, sha256 byte-map decoders, dim= plumbed
-# plans); (c) backfill of queries whose only hash-green evidence is
-# r1/r2. oracle=None queries are NEVER promoted — the driver reports
-# err:no_oracle for them (8 burned slots in r4), so they live at the
-# very end via demote().
+# Round-6 window (VERDICT r5 #1): (a) the 35 oracle-backed queries the
+# driver has NEVER checked — all judge-verified hash-green in the r5
+# session via the driver-parity local gate, promoted here so the
+# contract's hard signal (a CORRECTNESS row) exists for every
+# oracle-backed query at least once; (b) the remaining slots are
+# events-family re-checks — the fixture-drift canaries (VERDICT r5 #2)
+# — plus queries new this round. oracle=None queries are NEVER promoted
+# (driver emits err:no_oracle); they stay demoted at the very end.
 registry.promote(
-    # (a) repaired events family
+    # (a1) second wave, never driver-checked (19)
+    "agg_max_by",
+    "agg_boolean_conditional",
+    "agg_string_concat_ordered",
+    "agg_bitmap_event_types",
+    "union_schema_evolution",
+    "parquet_schema_merge",
+    "pipeline_curation_end2end",
+    "scalar_regex_mask",
+    "scalar_try_cast_tolerant",
+    "events_transition_matrix",
+    "events_session_bounce_rate",
+    "zorder_cluster_stats",
+    "share_of_total_broadcast",
+    "ab_test_t_stat",
+    "regression_trend_slope",
+    "dq_expectations_orders",
+    "join_null_safe_eq",
+    "win_range_numeric",
+    "explode_outer_empty_arrays",
+    # (a2) third wave + Spark-4 surface, never driver-checked (16)
+    "join_asof_nearest",
+    "bpe_first_merges",
+    "embedding_centroid_by_label",
+    "robust_outliers_mad",
+    "user_event_entropy",
+    "gini_customer_spend",
+    "gini_histogram_binned",
+    "setop_multiset_all",
+    "sort_null_ordering",
+    "join_shuffle_hash_hint",
+    "sql_recursive_cte",
+    "sql_lateral_topn",
+    "observed_scan_metrics",
+    "grouped_agg_pandas_udaf",
+    "custom_datasource_scan",
+    "custom_datasource_stream_live",
+    # (b) events-family fixture-drift canaries + r5 re-checks (15).
+    # New round-6 queries displace entries from THIS block as they
+    # land (the 35 above are fixed for the round).
     "events_tumbling_hourly",
     "events_sliding_window",
     "events_session_window",
     "events_dedup_latest",
-    "events_stream_static_join",
     "events_retention_cohort",
     "events_type_share",
-    "win_lag_lead",
-    "win_first_last",
-    "win_range_frame",
-    "join_asof",
-    "scalar_json_map",
     "events_signup_conversion",
-    "partitioned_sink_prune",
-    "streaming_foreachbatch_sink",
-    "streaming_tumbling_live",
-    "streaming_interval_join_live",
-    "stateful_user_totals_live",
-    "streaming_dedup_live",
-    # (b) oracles that did not exist at the r4 driver run (these three
-    # reported err:no_oracle there; knn_lsh_top5/dedup_embedding_cosine
-    # hash-passed r4 and rotate OUT to make room)
-    "knn_ivf_top5",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    # (d) new operators this round — every one oracle-backed
     "events_funnel_steps",
     "events_hourly_gapfill",
     "events_ewma_last",
     "events_anomaly_trailing_z",
-    "grouped_mode_event_type",
-    "histogram_fixed_width",
-    "sample_stratified_hash",
-    "merge_upsert_scd",
-    "orc_roundtrip",
-    "text_source_scan",
-    "quality_ttr_hapax",
-    "agg_grouping_sets",
-    "unpivot_measures",
-    "knn_int8_quantized_top5",
-    "join_asof_forward",
-    "win_cumulative_distinct",
-    # (e) new last session (never driver-checked — added after the r4
-    # driver run; displace r1/r2-evidence backfill, which stays
-    # cumulative-green untouched)
-    "join_range_binned",
-    "join_asof_tolerance",
-    "bucketed_join_colocated",
-    "simhash_neardup",
-    "bm25_topk_docs",
     "events_sessionize_rows",
-    "decontaminate_vs_benchmark",
-    "data_mix_token_budget",
-    "quality_repetition_ratio",
-    "dataset_split_assign",
-    "neardup_cluster_assign",
-    "pack_docs_into_contexts",
+    "events_stream_static_join",
+    "streaming_tumbling_live",
+    "stateful_user_totals_live",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out
