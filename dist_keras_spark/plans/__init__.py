@@ -77,9 +77,10 @@ registry.promote(
     "grouped_agg_pandas_udaf",
     "custom_datasource_scan",
     "custom_datasource_stream_live",
-    # (b) events-family fixture-drift canaries + r5 re-checks (15).
-    # New round-6 queries displace entries from THIS block as they
-    # land (the 35 above are fixed for the round).
+    # (b) new round-6 queries — each displaces a tail entry of block
+    # (c) as it lands (the 35 above are fixed for the round).
+    "join_asof_left",
+    # (c) events-family fixture-drift canaries + r5 re-checks.
     "events_tumbling_hourly",
     "events_sliding_window",
     "events_session_window",
@@ -94,7 +95,6 @@ registry.promote(
     "events_sessionize_rows",
     "events_stream_static_join",
     "streaming_tumbling_live",
-    "stateful_user_totals_live",
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

@@ -475,6 +475,65 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_left",
+    oracle="""
+WITH c AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), m AS (
+    SELECT c.event_id AS click_id, p.event_id AS pid,
+           row_number() OVER (PARTITION BY c.event_id
+                              ORDER BY p.ts DESC, p.event_id DESC) AS rn
+    FROM c JOIN events p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    WHERE p.event_type = 'purchase'
+)
+SELECT c.event_id AS click_id,
+       CAST(coalesce(m.pid, -1) AS BIGINT) AS prior_purchase_id,
+       m.pid IS NOT NULL AS had_prior
+FROM c LEFT JOIN m ON m.click_id = c.event_id AND m.rn = 1
+""",
+)
+def join_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 left (keep-unmatched) semantics — the common production
+    shape: every click is kept, annotated with the user's latest prior
+    purchase or a COALESCE default when none exists yet (a user's
+    clicks BEFORE their first purchase are the unmatched rows, so the
+    branch is genuinely exercised at fixture scale). Exercises
+    `asof_join(how='left')` (operators/asof.py:116-117 — unit-tested
+    but never oracle-checked before; VERDICT r5 #5). Same one-shuffle
+    union+window plan as every other as-of direction; the left branch
+    only changes the final null filter."""
+    from dist_keras_spark.operators.asof import asof_join
+
+    e = _lt(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["purchase_id"],
+        how="left",
+        tiebreak="purchase_id",
+    )
+    return joined.select(
+        "click_id",
+        F.coalesce(F.col("purchase_id"), F.lit(-1)).cast("long").alias(
+            "prior_purchase_id"
+        ),
+        F.col("purchase_id").isNotNull().alias("had_prior"),
+    )
+
+
+@query(
     "win_cumulative_distinct",
     oracle="""
 WITH flagged AS (

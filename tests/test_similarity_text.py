@@ -224,6 +224,41 @@ def test_empty_corpus_raises_clear_errors(spark):
         knn_ivf(empty, empty)
 
 
+def test_injected_params_equal_derived_params(spark, sf_dir):
+    """VERDICT r5 #6: `knn_ivf(centroids=...)` and `knn_lsh(dim=...)`
+    exist to kill plan-build driver jobs — but the injected path must
+    return EXACTLY what the derived path returns, or injection silently
+    changes results. Round-trips both."""
+    import numpy as np
+
+    from dist_keras_spark.operators.similarity import knn_ivf
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # replicate knn_ivf's own deterministic md5-ordered centroid sample
+    seed, n_cells = 42, 8
+    sample = (
+        e.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{seed}"))),
+            F.col("vec_id"),
+        )
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    derived = knn_ivf(e, q, k=3, n_cells=n_cells, n_probe=2, seed=seed)
+    injected = knn_ivf(e, q, k=3, n_cells=n_cells, n_probe=2, seed=seed, centroids=cents)
+    assert rows(derived) == rows(injected)
+
+    dim = len(e.select("embedding").first()[0])
+    assert rows(knn_lsh(e, q, k=3, seed=7)) == rows(knn_lsh(e, q, k=3, seed=7, dim=dim))
+
+
 def test_dim_param_skips_input_peek(spark):
     """With dim= supplied, plan construction must not run a Spark job
     (an empty corpus would otherwise raise) — the lazy path the plans

@@ -192,6 +192,30 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
     assert got_us[1] == stamps[0]
 
 
+def test_current_fixture_ts_encoding_is_covered(spark, sf_dir):
+    """Fixture-drift canary (VERDICT r5 #2): the driver has regenerated
+    /root/testdata twice with different events.ts encodings. This test
+    reads the CURRENT fixture's physical arrow type and fails loudly if
+    a third encoding appears that `normalize_events_ts` has no branch
+    for — turning the next drift from 19 crashed queries into one named
+    test failure pointing at sources/tables.py."""
+    import pyarrow.dataset as ds
+
+    covered = {"timestamp[us]", "timestamp[ns]"}
+    ts_type = str(ds.dataset(f"{sf_dir}/events.parquet").schema.field("ts").type)
+    assert ts_type in covered, (
+        f"events.ts fixture encoding {ts_type!r} is not one "
+        f"normalize_events_ts handles ({covered}); add a branch in "
+        "dist_keras_spark/sources/tables.py::normalize_events_ts"
+    )
+    # and the normalizer's POST-condition: whatever shipped, the loaded
+    # column is a µs-class timestamp, never a raw integer
+    from dist_keras_spark.sources.tables import load_table
+
+    loaded = dict(load_table(spark, sf_dir, "events").dtypes)["ts"]
+    assert loaded in ("timestamp", "timestamp_ntz"), loaded
+
+
 def test_python_datasource_partitioned_and_deterministic(spark):
     """Spark 4 Python Data Source API: the custom source must expose
     real partitions (parallel scheduling, not one task) and produce
