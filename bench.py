@@ -27,7 +27,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = "/root/testdata/sf0.001"
 
 # One representative per family: scan+join+agg, wide agg, window,
-# as-of, set op, event-time, dedup (exact + LSH), knn, tfidf, ML inference.
+# as-of, set op, event-time, dedup (exact + LSH), knn, tfidf, ML
+# inference — plus (round 6) the heaviest of the newer families so a
+# regression there is driver-visible, not just extended-trace-visible:
+# int8-quantized kNN, binned Gini, window-free share-of-total, and the
+# nearest-direction as-of composition.
 BENCH_QUERIES = [
     "revenue_by_nation",
     "tpch_q5_local_supplier",
@@ -44,6 +48,10 @@ BENCH_QUERIES = [
     "knn_bruteforce_top5",
     "tfidf_top_term",
     "ml_linear_scorer",
+    "knn_int8_quantized_top5",
+    "gini_histogram_binned",
+    "share_of_total_broadcast",
+    "join_asof_nearest",
 ]
 
 
@@ -114,8 +122,20 @@ def main() -> None:
         "SPARK_GRAFT_TRACE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_trace.json"),
     )
+    # Record the machine load alongside the numbers (VERDICT r5 #8): a
+    # noisy co-tenant run is then self-explaining in the trace instead
+    # of looking like a regression.
+    load1, load5, load15 = os.getloadavg()
     with open(trace_path, "w") as fh:
-        json.dump({"sf_dir": SF_DIR, "trace": trace}, fh, indent=1)
+        json.dump(
+            {
+                "sf_dir": SF_DIR,
+                "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+                "trace": trace,
+            },
+            fh,
+            indent=1,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
