@@ -29,6 +29,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     ml,
     analytics,
     sqlx,
+    tpch3,
 )
 
 # Round-6 window (VERDICT r5 #1): (a) the 35 oracle-backed queries the
@@ -80,6 +81,9 @@ registry.promote(
     # (b) new round-6 queries — each displaces a tail entry of block
     # (c) as it lands (the 35 above are fixed for the round).
     "join_asof_left",
+    "tpch_q2_shape_min_cost_supplier",
+    "tpch_q11_shape_important_stock",
+    "tpch_q20_shape_excess_stock",
     # (c) events-family fixture-drift canaries + r5 re-checks.
     "events_tumbling_hourly",
     "events_sliding_window",
@@ -90,9 +94,6 @@ registry.promote(
     "events_signup_conversion",
     "events_funnel_steps",
     "events_hourly_gapfill",
-    "events_ewma_last",
-    "events_anomaly_trailing_z",
-    "events_sessionize_rows",
     "events_stream_static_join",
     "streaming_tumbling_live",
 )
