@@ -30,6 +30,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics,
     sqlx,
     tpch3,
+    textsim,
 )
 
 # Round-6 window (VERDICT r5 #1): (a) the 35 oracle-backed queries the
@@ -84,16 +85,16 @@ registry.promote(
     "tpch_q2_shape_min_cost_supplier",
     "tpch_q11_shape_important_stock",
     "tpch_q20_shape_excess_stock",
+    "levenshtein_blocked_pairs",
+    "tfidf_cosine_pairs",
+    "heavy_hitters_support",
+    "drift_chi2_daily",
+    "win_reset_running_sum",
+    "streaming_session_window_live",
     # (c) events-family fixture-drift canaries + r5 re-checks.
     "events_tumbling_hourly",
-    "events_sliding_window",
     "events_session_window",
     "events_dedup_latest",
-    "events_retention_cohort",
-    "events_type_share",
-    "events_signup_conversion",
-    "events_funnel_steps",
-    "events_hourly_gapfill",
     "events_stream_static_join",
     "streaming_tumbling_live",
 )

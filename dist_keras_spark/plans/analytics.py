@@ -1639,3 +1639,172 @@ def grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geo_mean("value"), 4).alias("geo_mean"),
         grp_count("value").alias("n"),
     )
+
+
+@query(
+    "heavy_hitters_support",
+    oracle="""
+WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS total, count(DISTINCT user_id) AS u FROM events)
+SELECT user_id, n, CAST(n * 10000 // total AS BIGINT) AS support_bp
+FROM per, tot
+WHERE n * u > total
+""",
+)
+def heavy_hitters_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by relative support: users whose event count
+    strictly exceeds the corpus mean (n · n_users > total — a
+    SF-invariant cut, where any fixed support fraction goes to zero
+    rows as the key domain scales; this fixture's per-user counts are
+    deliberately uniform, so the mean is the only discriminating
+    threshold), reported with integer basis-point support. The grand
+    total is ONE row cross-joined back (window-free — the
+    share_of_total pattern), and both the predicate and the support
+    are integer arithmetic, so no float boundary exists for a count
+    to sit on. At 100 TB this is one map-side-combined count shuffle
+    + a broadcast of a single row; it is the exact-oracle baseline
+    for sketch-based heavy hitters (Misra-Gries/CMS), which trade
+    this plan's full key set for bounded memory."""
+    e = _lt(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = e.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("u"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))  # 1-row total: sanctioned
+        .filter(F.col("n") * F.col("u") > F.col("total"))
+        .select("user_id", "n", F.expr("n * 10000 div total").alias("support_bp"))
+    )
+
+
+@query(
+    "drift_chi2_daily",
+    oracle="""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day, event_type, count(*) AS o
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT d.day, t.event_type, dn.dn, g.g, gt.t
+    FROM (SELECT DISTINCT day FROM daily) d
+    CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+    JOIN (SELECT day, sum(o) AS dn FROM daily GROUP BY 1) dn USING (day)
+    JOIN (SELECT event_type, sum(o) AS g FROM daily GROUP BY 1) g
+        USING (event_type)
+    CROSS JOIN (SELECT sum(o) AS t FROM daily) gt
+),
+cells AS (
+    SELECT s.day, s.dn * s.g * 1.0 / s.t AS e, coalesce(d.o, 0) AS o
+    FROM spine s LEFT JOIN daily d
+        ON d.day = s.day AND d.event_type = s.event_type
+)
+SELECT CAST(day AS DATE) AS day, CAST(sum(o) AS BIGINT) AS n_events,
+       round(sum((o - e) * (o - e) / e), 4) AS chi2
+FROM cells GROUP BY day
+""",
+)
+def drift_chi2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-day χ² statistic of the
+    event-type mix against the whole-corpus mix — the standard
+    data-quality alarm for 'today's traffic looks different'. Expected
+    cells come from a (day × type) SPINE (dim-sized cross join,
+    sanctioned) so zero-observed cells contribute their full expected
+    mass instead of silently vanishing — dropping them understates
+    drift exactly when a category disappears, the case the monitor
+    exists to catch. Counts are exact integers; the only floats are
+    per-cell expected values (identical products of identical
+    integers) and a 5-term sum rounded to 4dp."""
+    e = _lt(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    day_tot = daily.groupBy("day").agg(F.sum("o").alias("dn"))
+    glob = daily.groupBy("event_type").agg(F.sum("o").alias("g"))
+    gt = daily.agg(F.sum("o").alias("t"))
+    spine = (
+        days.crossJoin(F.broadcast(types))  # dim-sized spine: sanctioned
+        .join(day_tot, "day")
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(gt))  # 1-row total: sanctioned
+    )
+    cells = spine.join(daily, ["day", "event_type"], "left").select(
+        "day",
+        (F.col("dn") * F.col("g") * F.lit(1.0) / F.col("t")).alias("e"),
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+    )
+    chi = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return (
+        cells.groupBy("day")
+        .agg(
+            F.sum("o").cast("long").alias("n_events"),
+            F.round(F.sum(chi), 4).alias("chi2"),
+        )
+        .select(F.col("day").cast("date").alias("day"), "n_events", "chi2")
+    )
+
+
+@query(
+    "win_reset_running_sum",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     <= INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT event_id, user_id, CAST(sid AS BIGINT) AS sid,
+       round(sum(value) OVER (PARTITION BY user_id, sid
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS run_sum
+FROM numbered
+""",
+)
+def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional cumulative sum: a per-user running total that
+    RESETS at every session boundary (>30 min gap) — the
+    gaps-and-islands session id (lag flag → running count) feeding a
+    second running sum partitioned by (user, session). The common
+    'spend so far this session' feature. Both windows partition on
+    data-scaling keys (user, then user×session) and use ROWS frames,
+    so per-key state is O(1) and the accumulation order is pinned by
+    (ts, event_id) — identical float sequences in both engines."""
+    e = _lt(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap (NTZ→TIMESTAMP→unix_micros; a seconds cast would
+    # truncate 1800.5s to 1800 and flip the boundary vs the oracle's
+    # INTERVAL comparison)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_ok = (us - F.lag(us).over(w_user)) <= 1800 * 1_000_000
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(w_user.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    w_sess = (
+        W.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return numbered.select(
+        "event_id",
+        "user_id",
+        F.col("sid").cast("long").alias("sid"),
+        F.round(F.sum("value").over(w_sess), 2).alias("run_sum"),
+    )

@@ -68,6 +68,49 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_window_live",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     <= INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM events
+), numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts)              AS session_start,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 as REAL streaming: `F.session_window` (dynamic-gap session
+    state, merged as events arrive) over the watermarked stream,
+    drained with Trigger.AvailableNow — the live twin of the batch
+    `events_session_window`, sharing its gaps-and-islands oracle.
+    Session state is keyed (user, open session) and expires past the
+    watermark, so state is bounded by ACTIVE sessions, not history —
+    the property that makes sessionization viable on an unbounded
+    stream."""
+    from dist_keras_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+        streaming_session_agg,
+    )
+
+    return run_available_now(
+        streaming_session_agg(stream_events(spark, sf_dir)), "complete"
+    )
+
+
+@query(
     "streaming_interval_join_live",
     oracle="""
 SELECT a.user_id AS ua, a.event_id AS eid_a, b.event_id AS eid_b
