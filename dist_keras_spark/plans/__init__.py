@@ -91,11 +91,11 @@ registry.promote(
     "drift_chi2_daily",
     "win_reset_running_sum",
     "streaming_session_window_live",
+    "events_ohlc_daily",
+    "events_time_weighted_avg",
     # (c) events-family fixture-drift canaries + r5 re-checks.
     "events_tumbling_hourly",
     "events_session_window",
-    "events_dedup_latest",
-    "events_stream_static_join",
     "streaming_tumbling_live",
 )
 

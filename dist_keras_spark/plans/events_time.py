@@ -258,3 +258,95 @@ def events_sessionize_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("is_new").over(w_run).cast("int").alias("session_seq"),
     )
+
+
+@query(
+    "events_ohlc_daily",
+    oracle="""
+WITH keyed AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value,
+           (epoch_us(ts) - epoch_us(date_trunc('day', ts))) * 1000000
+           + event_id AS k
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT day,
+       round(min_by(value, k), 2) AS open,
+       round(max(value), 2)       AS high,
+       round(min(value), 2)       AS low,
+       round(max_by(value, k), 2) AS close,
+       count(*)                   AS n_trades
+FROM keyed GROUP BY day
+""",
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the canonical time-series downsample (open/high/
+    low/close per day over purchase values) — WITHOUT a window:
+    open/close are min_by/max_by over a uniqueness-packed ordering key
+    (µs-within-day · 10⁶ + event_id), so the whole bar is ONE hash
+    aggregate with map-side partials — no per-day sort, no row_number,
+    no shuffle beyond the day key. Packing bounds: µs-within-day
+    < 8.64·10¹⁰, so the key stays under 2⁶³ while event_id < 10⁶
+    (fixture max 10⁵; at larger ids switch the tiebreak to a second
+    min_by stage). The µs offset is integer arithmetic on the shared
+    timestamp in both engines."""
+    e = _lt(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.date_trunc("day", "ts")
+    day_us = F.unix_micros(day.cast("timestamp"))
+    k = (us - day_us) * 1_000_000 + F.col("event_id")
+    return (
+        e.select(day.cast("date").alias("day"), "value", k.alias("k"))
+        .groupBy("day")
+        .agg(
+            F.round(F.min_by("value", F.col("k")), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", F.col("k")), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, value,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id))
+         - epoch_us(ts) AS dur_us
+    FROM events
+)
+SELECT user_id,
+       round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+       count(*) AS n_intervals
+FROM seq
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+""",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user over IRREGULAR samples:
+    each observation holds until the next one, so its weight is the
+    µs duration to the successor (lead over the per-user timeline;
+    the final open-ended observation is excluded). This is the
+    correct mean for irregular telemetry — the plain avg() over-weights
+    bursts, which is precisely the bias TWAP removes. One window for
+    lead (partitioned on the data-scaling user key) + one hash
+    aggregate; durations are exact integer µs, values 2dp doubles, so
+    the weighted sums are products of identical numbers in both
+    engines (6dp-rounded quotient)."""
+    e = _lt(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
