@@ -93,9 +93,9 @@ registry.promote(
     "streaming_session_window_live",
     "events_ohlc_daily",
     "events_time_weighted_avg",
+    "incremental_rollup_merge",
     # (c) events-family fixture-drift canaries + r5 re-checks.
     "events_tumbling_hourly",
-    "events_session_window",
     "streaming_tumbling_live",
 )
 

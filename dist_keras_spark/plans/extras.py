@@ -728,3 +728,64 @@ def custom_datasource_stream_live(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("amount"), 2).alias("total"),
     )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a (day, event_type) rollup kept as
+    MATERIALIZED AGGREGATE STATE and advanced by merging one day-range
+    DELTA — the result must equal a full recompute (the oracle), which
+    is the IVM correctness contract.
+
+    Mechanics: days < 20 are pre-aggregated and persisted as the state
+    parquet; the delta (days >= 20) is aggregated alone and the merge
+    re-aggregates state ∪ delta on the group key. Because count and
+    sum are ADDITIVE, merging partial states is exact — and the sum is
+    carried as integer CENTS so associativity is bit-exact, not
+    float-approximate (the merge_upsert_scd lesson: a float sum built
+    from two partials can differ from a one-pass sum in the last ulp).
+    Derived measures (avg) belong at read time, never in state.
+
+    At 100 TB this is THE pattern that turns a daily 100 TB scan into
+    a delta-sized one: the historical partitions are never re-read —
+    only the state (group-cardinality-sized) and the new partition.
+    Mean/ratio metrics stay mergeable by storing (sum, n) pairs;
+    non-additive sketches (HLL/quantiles) need mergeable state of
+    their own, which D4's approx family provides."""
+    e = _lt(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+        )
+
+    state_path = scratch_path(spark, "ivm_rollup_state")
+    rollup(e.filter(F.dayofmonth("ts") < 20)).write.mode("overwrite").parquet(
+        state_path
+    )
+    state = spark.read.parquet(state_path)
+    delta = rollup(e.filter(F.dayofmonth("ts") >= 20))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        F.round(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
+    )
