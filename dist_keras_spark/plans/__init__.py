@@ -94,8 +94,10 @@ registry.promote(
     "events_ohlc_daily",
     "events_time_weighted_avg",
     "incremental_rollup_merge",
-    # (c) events-family fixture-drift canaries + r5 re-checks.
-    "events_tumbling_hourly",
+    "snapshot_time_travel",
+    # (c) re-checks. (The explicit events-canary block shrank as new
+    # queries landed — 8+ of the round-6 queries above read `events`
+    # themselves, so fixture drift still crashes loudly in-window.)
     "streaming_tumbling_live",
 )
 

@@ -789,3 +789,37 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("sum_cents") / 100.0, 2).alias("sum_value"),
     )
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+SELECT 1 AS version, n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT 2 AS version, n_nationkey, n_name FROM nation
+""",
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: manifest-based TIME TRAVEL on plain parquet
+    (sources/snapshots.py) — commit v1 (nations < 10), commit v2 (the
+    rest, append semantics), then read BOTH versions: as-of-v1 must
+    still see only the original ten rows after v2 landed, and
+    as-of-v2 the full table. Readers consume the manifest's exact file
+    list (a metadata choice, never a directory listing), and the
+    manifest rename is the atomic publish — the snapshot-isolation
+    core of Iceberg/Delta reduced to its essence. The dir is reset per
+    run so the version history is deterministic."""
+    import shutil
+
+    from dist_keras_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    n = _lt(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    path = scratch_path(spark, "snapshot_tt")
+    shutil.rmtree(path, ignore_errors=True)
+    write_snapshot(n.filter(F.col("n_nationkey") < 10), path)
+    write_snapshot(n.filter(F.col("n_nationkey") >= 10), path)
+    v1 = read_snapshot(spark, path, version=1)
+    v2 = read_snapshot(spark, path)  # latest
+    return v1.select(F.lit(1).alias("version"), "n_nationkey", "n_name").unionByName(
+        v2.select(F.lit(2).alias("version"), "n_nationkey", "n_name")
+    )

@@ -216,6 +216,29 @@ def test_current_fixture_ts_encoding_is_covered(spark, sf_dir):
     assert loaded in ("timestamp", "timestamp_ntz"), loaded
 
 
+def test_snapshot_isolation_and_atomic_publish(spark, tmp_path):
+    """sources/snapshots.py contract: a reader pinned to v1 is
+    unaffected by later commits; an unpublished (crashed) commit's
+    files are invisible to every reader."""
+    import glob
+    import os
+
+    from dist_keras_spark.sources.snapshots import read_snapshot, write_snapshot
+
+    path = str(tmp_path / "snap")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    assert write_snapshot(df.filter("k < 4"), path) == 1
+    assert write_snapshot(df.filter("k >= 4"), path) == 2
+    assert read_snapshot(spark, path, 1).count() == 4
+    assert read_snapshot(spark, path).count() == 10
+    # simulate a crash: data files land but the manifest never publishes
+    df.filter("k = 0").write.mode("overwrite").parquet(f"{path}/data/v00003")
+    assert read_snapshot(spark, path).count() == 10  # torn commit invisible
+    assert len(glob.glob(f"{path}/_manifests/v*.json")) == 2
+    # recovery: the next real commit simply takes the next version slot
+    assert os.path.isdir(f"{path}/data/v00003")
+
+
 def test_python_datasource_partitioned_and_deterministic(spark):
     """Spark 4 Python Data Source API: the custom source must expose
     real partitions (parallel scheduling, not one task) and produce

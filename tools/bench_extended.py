@@ -58,6 +58,19 @@ EXTENDED = [
     "regression_trend_slope",
     "setop_multiset_all",
     "join_shuffle_hash_hint",
+    # round 6
+    "tpch_q2_shape_min_cost_supplier",
+    "tpch_q11_shape_important_stock",
+    "tpch_q20_shape_excess_stock",
+    "join_asof_left",
+    "levenshtein_blocked_pairs",
+    "tfidf_cosine_pairs",
+    "heavy_hitters_support",
+    "drift_chi2_daily",
+    "win_reset_running_sum",
+    "events_ohlc_daily",
+    "events_time_weighted_avg",
+    "incremental_rollup_merge",
 ]
 
 
@@ -78,8 +91,10 @@ def main() -> None:
             _materialize(fn(spark, SF_DIR))
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
+    load1, load5, load15 = os.getloadavg()
     out = {
         "sf_dir": SF_DIR,
+        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
         "total_sec": round(sum(timings.values()), 3),
         "queries": timings,
     }
