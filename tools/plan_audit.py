@@ -68,6 +68,21 @@ AUDITED = {
     "sql_recursive_cte": "WITH RECURSIVE executes as an iterative union; each step joins the dim-sized frontier (12 months), not the corpus",
     "custom_datasource_scan": "Python Data Source with partitions() → reads fan across executors like file splits; Arrow batch path into a plain hash agg",
     "gini_histogram_binned": "per-customer agg → ≤1000-bin histogram; cumulative window over the BIN dimension — the no-global-sort inequality statistic",
+    # round 6
+    "tpch_q2_shape_min_cost_supplier": "pseudo-partsupp derived in one (partkey,suppkey) groupBy; per-part min is a plain aggregate joined back on the part key (no window); only region/nation broadcast by hint",
+    "tpch_q11_shape_important_stock": "group aggregate vs grand total via 1-row broadcast crossJoin (window-free); integer-cents HAVING — no float threshold",
+    "tpch_q20_shape_excess_stock": "partsupp and the recent-shipments aggregate share the (partkey,suppkey) grouping key — co-partitioned join; excess set reduces to DISTINCT supplier ids before the left-semi probe",
+    "join_asof_left": "keep-unmatched as-of: same ONE-shuffle union+window plan; the left branch only drops the final null filter",
+    "levenshtein_blocked_pairs": "DISTINCT collapses the fact table to the 64-name domain BEFORE the quadratic step; noun-blocked equi-join bounds pairs; Levenshtein is scan-side JVM",
+    "tfidf_cosine_pairs": "inverted-index equi-join on df-capped shingles (stop-shingle valve); integer-quantized weights — only (doc_id, wgt) cross the wide shuffle; norms joined back by id",
+    "heavy_hitters_support": "one map-side-combined count shuffle + 1-row broadcast total; integer predicate and support — the exact-oracle baseline for sketch heavy-hitters",
+    "drift_chi2_daily": "day×type spine is dim-sized (two DISTINCT projections cross-joined); expected-mass arithmetic scan-side; one final day-keyed agg",
+    "win_reset_running_sum": "two ROWS-frame windows, both partitioned on data-scaling keys (user, then user×session) — O(1) state, no unbounded frames",
+    "events_ohlc_daily": "whole OHLC bar as ONE hash aggregate — min_by/max_by over a uniqueness-packed (µs-in-day, event_id) key; no per-day sort, no window",
+    "events_time_weighted_avg": "lead window on the user key + one hash agg; durations integer µs",
+    "incremental_rollup_merge": "state is group-cardinality-sized; merge re-aggregates state ∪ delta on the group key — historical partitions never re-read; integer-cents sums merge exactly",
+    "snapshot_time_travel": "readers scan exactly the manifest's file list — version choice is metadata-only; both version reads are plain parquet scans unioned",
+    "streaming_session_window_live": "session state keyed (user, open session), expired past the watermark — state bounded by ACTIVE sessions",
 }
 
 
