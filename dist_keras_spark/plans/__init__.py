@@ -95,11 +95,13 @@ registry.promote(
     "events_time_weighted_avg",
     "incremental_rollup_merge",
     "snapshot_time_travel",
-    # (c) re-checks. (The explicit events-canary block shrank as new
-    # queries landed — 8+ of the round-6 queries above read `events`
-    # themselves, so fixture drift still crashes loudly in-window.)
-    "streaming_tumbling_live",
+    "streaming_sliding_window_live",
 )
+# Round-6 queries that did NOT fit the 50-slot window (verified by
+# tools/verify_local.py at all 3 SFs; first in line for the r7
+# rotation): agg_percentile_disc_rank, pivot_multi_measure. The
+# explicit events-canary block is gone — 8+ in-window round-6 queries
+# read `events` themselves, so fixture drift still crashes loudly.
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out
 # of the driver's 50-slot window permanently.

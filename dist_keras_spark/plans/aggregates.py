@@ -13,6 +13,7 @@ to BIGINT wherever Spark returns bigint.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dist_keras_spark.plans.registry import query
@@ -388,4 +389,84 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "statuses_csv"
         ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "agg_percentile_disc_rank",
+    oracle="""
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM events
+)
+SELECT event_type, round(value, 2) AS p90_disc,
+       cnt AS n
+FROM ranked
+WHERE rn = CAST(ceil(0.9 * cnt) AS BIGINT)
+""",
+)
+def agg_percentile_disc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentile (an actual data element, not an
+    interpolation): the p90 of value per event type as the row whose
+    rank equals ceil(0.9·n). Engines disagree on quantile_disc tie
+    conventions, so BOTH sides spell out the rank selection with the
+    same deterministic (value, event_id) ordering — portability by
+    construction rather than by builtin. One ranked window per
+    data-scaling key + a rank-equality filter; the interpolated twin
+    is agg_median_percentile (D7)."""
+    e = _lt(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("cnt"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.ceil(0.9 * F.col("cnt")).cast("long")
+    ).select("event_type", F.round("value", 2).alias("p90_disc"), F.col("cnt").alias("n"))
+
+
+@query(
+    "pivot_multi_measure",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f_n,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS f_total,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o_n,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS o_total,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p_n,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS p_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 extension: pivot carrying TWO measures per pivoted column
+    (count + sum for each order status) — Spark suffixes each pivot
+    value with each aggregate alias; the oracle is the CASE-folded
+    equivalent. The explicit values list keeps the plan a single
+    partial/final aggregate (no values-discovery pre-scan — at 100 TB
+    an unlisted pivot costs an extra distinct pass); missing cells
+    coalesce to 0 on both sides."""
+    o = _lt(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
+        F.coalesce(F.col("F_total"), F.lit(0.0)).alias("f_total"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_n"),
+        F.coalesce(F.col("O_total"), F.lit(0.0)).alias("o_total"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("p_n"),
+        F.coalesce(F.col("P_total"), F.lit(0.0)).alias("p_total"),
     )

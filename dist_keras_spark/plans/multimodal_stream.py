@@ -111,6 +111,35 @@ def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_sliding_window_live",
+    oracle="""
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+           AS window_start,
+       count(*)             AS n,
+       round(sum(value), 2) AS sum_value
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+""",
+)
+def streaming_sliding_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 as REAL streaming: the 1-hour/15-minute sliding aggregate on
+    the watermarked stream, AvailableNow-drained — completes the
+    live-path trio (tumbling/sliding/session all now run both as batch
+    plans and as actual Structured Streaming with the same oracle).
+    Sliding state is (4 windows per event) x active keys, expired past
+    the watermark."""
+    from dist_keras_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+        streaming_sliding_counts,
+    )
+
+    return run_available_now(
+        streaming_sliding_counts(stream_events(spark, sf_dir)), "complete"
+    )
+
+
+@query(
     "streaming_interval_join_live",
     oracle="""
 SELECT a.user_id AS ua, a.event_id AS eid_a, b.event_id AS eid_b

@@ -128,17 +128,20 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
-    wt = (
-        tf.join(dfreq, "w")
+    # df cap applied on the vocab-sized dfreq BEFORE the wide join, so
+    # stop-shingle tf rows are pruned AT the join instead of surviving
+    # into the candidate stage and dying in a post-filter
+    dfreq = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))  # 1-row total: sanctioned
         .filter(F.col("df") <= F.expr("n div 10"))
-        .select(
-            "doc_id",
-            "w",
-            F.expr("tf * ((n * 100) div df)").alias("wgt"),
-        )
+    )
+    wt = tf.join(dfreq, "w").select(
+        "doc_id",
+        "w",
+        F.expr("tf * ((n * 100) div df)").alias("wgt"),
     )
     nrm = wt.groupBy("doc_id").agg(F.sum(F.col("wgt") * F.col("wgt")).alias("n2"))
     a = wt.select(F.col("doc_id").alias("doc_lo"), "w", F.col("wgt").alias("w_lo"))

@@ -14,6 +14,7 @@ from dist_keras_spark.streaming.pipelines import (
     stream_events,
     streaming_dedup,
     streaming_session_agg,
+    streaming_sliding_counts,
     streaming_stream_static_join,
     streaming_tumbling_counts,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "stream_events",
     "streaming_tumbling_counts",
     "streaming_session_agg",
+    "streaming_sliding_counts",
     "streaming_dedup",
     "streaming_stream_static_join",
     "run_available_now",

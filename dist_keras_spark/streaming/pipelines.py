@@ -54,6 +54,19 @@ def streaming_tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sliding_counts(events: DataFrame) -> DataFrame:
+    """K2+K4: watermarked SLIDING 1-hour/15-minute aggregate (twin of
+    plans/events_time.events_sliding_window) — each event feeds 4
+    overlapping windows; state per (window, key) expires past the
+    watermark like the tumbling case."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
 def streaming_session_agg(events: DataFrame) -> DataFrame:
     """K3: watermarked session windows (30-minute gap) per user."""
     return (
