@@ -323,3 +323,54 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_blob(_lt(spark, sf_dir, "documents"), width=8, height=6)
     return resize_media(d, out_w=4, out_h=3).select("doc_id", "width", "height")
+
+
+@query(
+    "streaming_upsert_sink_live",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def streaming_upsert_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+K5+MERGE as REAL multi-batch streaming: events are staged as
+    FOUR parquet files and streamed with maxFilesPerTrigger=1, so
+    foreachBatch genuinely fires once per file and each micro-batch
+    MERGES into keyed state (latest row per (user, type) by event
+    time — streaming/pipelines.run_foreach_batch_upsert). The final
+    state must equal the batch latest-per-key oracle no matter how the
+    rows were sliced into batches, because the merge orders by EVENT
+    time, not arrival — the upsert-sink pattern for serving tables fed
+    by streams. State versions publish via _SUCCESS markers, so a
+    crashed merge leaves the previous version current."""
+    import shutil
+
+    from dist_keras_spark.streaming.pipelines import (
+        current_state,
+        run_foreach_batch_upsert,
+    )
+
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    src = scratch_path(spark, "upsert_src")
+    state = scratch_path(spark, "upsert_state")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(state, ignore_errors=True)
+    e.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    n_batches = run_foreach_batch_upsert(
+        stream, state, key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+    assert n_batches >= 2, f"expected multi-batch replay, got {n_batches}"
+    return current_state(spark, state).select(
+        "event_id", "user_id", "event_type", "value"
+    )

@@ -115,6 +115,70 @@ def streaming_interval_self_join(events: DataFrame) -> DataFrame:
     return a.join(b, cond).select("ua", "eid_a", "eid_b")
 
 
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> int:
+    """A9+MERGE: drain a stream through foreachBatch, UPSERTING each
+    micro-batch into keyed state — latest row per `key_cols`, "latest"
+    decided by `order_cols` (EVENT order, not arrival order, so the
+    final state is identical however the source sliced the batches —
+    the merge is commutative, which is what makes foreachBatch's
+    at-least-once redelivery harmless here). Each merge writes a NEW
+    state version directory; `current_state` reads the highest version
+    carrying a _SUCCESS marker, so a crash mid-merge leaves the
+    previous version current (never a torn table) — the exactly-once
+    recipe for sinks without transactional writers. Returns the number
+    of micro-batches processed."""
+    from pyspark.sql import Window as W
+
+    n_batches = [0]
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches[0] += 1
+        spark = batch_df.sparkSession
+        state = current_state(spark, state_path)
+        merged_in = (
+            state.unionByName(batch_df) if state is not None else batch_df
+        )
+        w = W.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        merged = (
+            merged_in.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # the _SUCCESS marker lands last: incomplete writes are
+        # invisible to current_state
+        merged.write.mode("overwrite").parquet(
+            f"{state_path}/v{n_batches[0]:05d}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches[0]
+
+
+def current_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Highest COMPLETE (_SUCCESS-marked) state version, else None."""
+    import glob
+    import os
+
+    done = sorted(
+        d
+        for d in glob.glob(f"{state_path}/v*")
+        if os.path.exists(f"{d}/_SUCCESS")
+    )
+    return spark.read.parquet(done[-1]) if done else None
+
+
 def run_foreach_batch_to_parquet(stream_df: DataFrame, path: str) -> None:
     """A9: drain a stream via foreachBatch into a parquet sink —
     the standard pattern for sinks without native streaming writers."""

@@ -58,3 +58,18 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
 def test_watermark_present_in_plan(spark, sf_dir):
     s = streaming_tumbling_counts(stream_events(spark, sf_dir))
     assert "EventTimeWatermark" in s._jdf.queryExecution().logical().toString()
+
+
+def test_upsert_state_ignores_torn_versions(spark, tmp_path):
+    """run_foreach_batch_upsert publishes state via _SUCCESS markers;
+    a version dir without one (crashed merge) must be invisible."""
+    import os
+
+    from dist_keras_spark.streaming.pipelines import current_state
+
+    state = str(tmp_path / "state")
+    spark.range(5).write.parquet(f"{state}/v00001")
+    spark.range(9).write.parquet(f"{state}/v00002")
+    os.remove(f"{state}/v00002/_SUCCESS")  # simulate the crash
+    assert current_state(spark, state).count() == 5
+    assert current_state(spark, str(tmp_path / "nope")) is None
