@@ -280,3 +280,32 @@ def scalar_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("text").alias("text_crc32"),
         F.hash("text").alias("text_murmur"),
     )
+
+
+@query(
+    "variant_semi_structured",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-json, Spark 4 surface: the VARIANT type — `parse_json` turns
+    the props string into Spark's shredded binary semi-structured
+    encoding and `variant_get` extracts typed paths WITHOUT a
+    user-supplied schema (the schema-on-read path for JSON lakes;
+    binary-shredded access beats per-row string re-parsing, which is
+    what from_json does when the same column is touched twice). The
+    oracle replays the extraction with DuckDB's JSON path functions —
+    typed values agree exactly."""
+    e = _lt(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
