@@ -665,3 +665,45 @@ def test_pandas_udaf_geo_mean_between_min_and_max(spark, sf_dir):
         lo, hi, c = bounds[r.event_type]
         assert lo - 1e-9 <= r.geo_mean <= hi + 1e-9
         assert r.n == c
+
+
+def test_asof_nearest_tie_breaks_match_oracle(spark, tmp_path):
+    """ADVICE r5 (medium): with duplicate purchases at the SAME nearest
+    timestamp, the backward leg must pick the SMALLEST purchase id
+    (the oracle's ORDER BY p.event_id ASC) — the fixture has no such
+    ties, so this synthesizes them: backward tie, forward tie, and an
+    exactly-equal-gap case (backward must win)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # (event_id, user_id, type, ts)
+        (1, 1, "click", t(40)),     # backward tie: purchases 10/11 at t=30
+        (10, 1, "purchase", t(30)),
+        (11, 1, "purchase", t(30)),
+        (2, 2, "click", t(10)),     # forward tie: purchases 20/21 at t=25
+        (20, 2, "purchase", t(25)),
+        (21, 2, "purchase", t(25)),
+        (3, 3, "click", t(30)),     # equal gap 10s both ways -> backward
+        (30, 3, "purchase", t(20)),
+        (31, 3, "purchase", t(40)),
+    ]
+    table = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * len(rows),
+            "ts": pa.array([r[3] for r in rows], type=pa.timestamp("us")),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    got = {
+        r.click_id: r.purchase_id
+        for r in QUERIES["join_asof_nearest"](spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 10, 2: 20, 3: 30}
