@@ -100,7 +100,9 @@ registry.promote(
 # Round-6 queries that did NOT fit the 50-slot window (verified by
 # tools/verify_local.py at all 3 SFs; first in line for the r7
 # rotation): agg_percentile_disc_rank, pivot_multi_measure,
-# streaming_upsert_sink_live (multi-batch foreachBatch MERGE). The
+# streaming_upsert_sink_live (multi-batch foreachBatch MERGE),
+# variant_semi_structured, sql_pipe_syntax,
+# collation_case_insensitive. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 

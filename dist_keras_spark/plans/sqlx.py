@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from dist_keras_spark.plans.registry import query
-from dist_keras_spark.sources.tables import register_views
+from dist_keras_spark.sources.tables import load_table as _lt, register_views
 
 # Genuinely sequential state: bal_m = round(bal_{m-1}·1.01 + r_m, 2)
 # — the per-step rounding pins floats bit-for-bit in both engines, and
@@ -73,3 +73,66 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery execution per outer row. Same SQL text on both engines."""
     register_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderstatus = 'O'
+|> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total
+   GROUP BY o_orderpriority
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>` operators, SQL:2023-adjacent):
+    the same filter→aggregate expressed as a linear pipeline instead
+    of inside-out SQL. Catalyst lowers it to the identical logical
+    plan as the oracle's classic form — pushdown, partial aggregation
+    and AQE all apply unchanged, so the surface is pure ergonomics
+    with zero plan cost."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_PIPE_SQL)
+
+
+_COLLATION_ORACLE = """
+SELECT lower(o_orderpriority) AS pri_ci, count(*) AS n
+FROM (SELECT CASE WHEN o_orderkey % 2 = 0
+                  THEN upper(o_orderpriority)
+                  ELSE lower(o_orderpriority) END AS o_orderpriority
+      FROM orders)
+GROUP BY 1
+"""
+
+
+@query("collation_case_insensitive", oracle=_COLLATION_ORACLE)
+def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: grouping under UTF8_LCASE treats 'URGENT'
+    and 'urgent' as ONE key natively — no lower() wrapper column. The
+    input is deliberately case-scrambled by orderkey parity; the
+    oracle normalizes explicitly, Spark groups on the collated value.
+    At scale collation-aware grouping keeps the ORIGINAL column for
+    pushdown/stats instead of materializing a derived key (the
+    lower()-column trick breaks min/max pruning on the source
+    column). Output is re-lowered so both engines emit identical key
+    strings."""
+    from pyspark.sql import functions as F
+
+    o = _lt(spark, sf_dir, "orders")
+    scrambled = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        ).otherwise(F.lower("o_orderpriority")).alias("pri")
+    )
+    return (
+        scrambled.groupBy(F.expr("collate(pri, 'UTF8_LCASE')").alias("pri_ci"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("pri_ci").cast("string")).alias("pri_ci"), "n")
+    )
