@@ -83,6 +83,11 @@ AUDITED = {
     "incremental_rollup_merge": "state is group-cardinality-sized; merge re-aggregates state ∪ delta on the group key — historical partitions never re-read; integer-cents sums merge exactly",
     "snapshot_time_travel": "readers scan exactly the manifest's file list — version choice is metadata-only; both version reads are plain parquet scans unioned",
     "streaming_session_window_live": "session state keyed (user, open session), expired past the watermark — state bounded by ACTIVE sessions",
+    "agg_percentile_disc_rank": "one ranked window per data-scaling key + rank-equality filter — discrete quantile without engine-specific tie conventions",
+    "pivot_multi_measure": "explicit pivot values list → single partial/final aggregate, no distinct-values discovery pre-scan",
+    "variant_semi_structured": "parse_json once into the shredded VARIANT encoding; typed path extraction without per-touch string re-parse",
+    "sql_pipe_syntax": "|> pipeline SQL lowers to the identical plan as classic SQL — pushdown and partial aggregation unchanged",
+    "collation_case_insensitive": "UTF8_LCASE grouping keeps the source column for pushdown/stats instead of a derived lower() key",
 }
 
 
