@@ -211,3 +211,36 @@ def win_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_custkey") % 10 == 0)
     )
+
+
+@query(
+    "win_moving_median",
+    oracle="""
+SELECT event_id, event_type,
+       round(quantile_cont(value, 0.5) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 4) AS med50
+FROM events
+""",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN (50-row trailing window per event type) — the
+    robust smoother for telemetry with outliers, where a moving mean
+    chases every spike. An exact order-statistic over a ROWS frame:
+    both engines interpolate the continuous median over the same
+    50-row window contents in the same (ts, event_id) order, so the
+    values agree exactly. Cost model: O(frame) per row with
+    re-accumulation — at 100 TB prefer the fixed-width histogram
+    approximation per window (gini_histogram_binned's trick) when the
+    frame grows beyond ~10³ rows; this is the exact baseline."""
+    e = _lt(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med50"),
+    )

@@ -707,3 +707,47 @@ def test_asof_nearest_tie_breaks_match_oracle(spark, tmp_path):
         for r in QUERIES["join_asof_nearest"](spark, str(tmp_path)).collect()
     }
     assert got == {1: 10, 2: 20, 3: 30}
+
+
+def test_twap_matches_pandas(spark, sf_dir):
+    """events_time_weighted_avg vs a pandas reference computation."""
+    import pandas as pd
+
+    got = {
+        r.user_id: (r.twap, r.n_intervals)
+        for r in QUERIES["events_time_weighted_avg"](spark, sf_dir).collect()
+    }
+    pdf = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id"
+    ).toPandas()
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        us = g["ts"].astype("int64") // 1000  # ns -> µs
+        dur = (us.shift(-1) - us).iloc[:-1].astype("int64")
+        vals = g["value"].iloc[:-1]
+        expect = round(float((vals.values * dur.values).sum() / dur.values.sum()), 6)
+        assert got[uid] == (expect, len(dur)), uid
+
+
+def test_ohlc_matches_pandas(spark, sf_dir):
+    """events_ohlc_daily vs pandas first/max/min/last per day."""
+    got = {
+        str(r.day): (r.open, r.high, r.low, r.close, r.n_trades)
+        for r in QUERIES["events_ohlc_daily"](spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("ts", "value", "event_id")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    pdf["day"] = pdf["ts"].dt.date
+    for day, g in pdf.groupby("day"):
+        expect = (
+            round(float(g["value"].iloc[0]), 2),
+            round(float(g["value"].max()), 2),
+            round(float(g["value"].min()), 2),
+            round(float(g["value"].iloc[-1]), 2),
+            len(g),
+        )
+        assert got[str(day)] == expect, day
