@@ -101,8 +101,8 @@ registry.promote(
 # tools/verify_local.py at all 3 SFs; first in line for the r7
 # rotation): agg_percentile_disc_rank, pivot_multi_measure,
 # streaming_upsert_sink_live (multi-batch foreachBatch MERGE),
-# variant_semi_structured, sql_pipe_syntax,
-# collation_case_insensitive. The
+# variant_semi_structured, sql_pipe_syntax, collation_case_insensitive,
+# win_moving_median, attribution_linear_touch. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 

@@ -1808,3 +1808,72 @@ def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sid").cast("long").alias("sid"),
         F.round(F.sum("value").over(w_sess), 2).alias("run_sum"),
     )
+
+
+@query(
+    "attribution_linear_touch",
+    oracle="""
+WITH c AS (
+    SELECT user_id, event_id AS click_id, ts AS cts
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS pts, value
+    FROM events WHERE event_type = 'purchase'
+), touches AS (
+    SELECT c.click_id, p.purchase_id, p.value,
+           count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+    FROM c JOIN p ON c.user_id = p.user_id
+    WHERE c.cts <= p.pts
+      AND p.pts - c.cts <= INTERVAL 7 DAY
+)
+SELECT click_id,
+       count(*) AS n_purchases,
+       CAST(sum((CAST(floor(value * 10000) AS BIGINT) * 100000) // n_touch)
+            AS BIGINT) AS attributed_fp
+FROM touches
+GROUP BY click_id
+""",
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across the user's clicks in the preceding 7 days, and each
+    click reports how much revenue it carried — the standard marketing
+    attribution shape (first/last-touch are the as-of joins; linear is
+    the windowed-join + share-out). The time-bounded pair join is
+    user-keyed (equi component drives the shuffle; the 7-day bound
+    post-filters — the C7 pattern), and the per-purchase touch count
+    is a window on the purchase id, so nothing exceeds one key
+    shuffle + one pair-bounded window. Attribution arithmetic is
+    FIXED-POINT: value in 1e-4 units (floor — engine-portable on the
+    shared binary double, unlike round) scaled by 1e5 then
+    integer-divided by the touch count, so the per-click sums are
+    exact BIGINTs — the float-quotient draft differed in the last
+    rounded digit between engines purely from summation order."""
+    e = _lt(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))
+    touches = (
+        c.join(p, "user_id")
+        .filter(
+            (F.col("cts") <= F.col("pts"))
+            & (us("pts") - us("cts") <= 7 * 86400 * 1_000_000)
+        )
+        .withColumn(
+            "n_touch", F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+        )
+    )
+    share = F.expr(
+        "(CAST(floor(value * 10000) AS BIGINT) * 100000) div n_touch"
+    )
+    return touches.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(share).cast("long").alias("attributed_fp"),
+    )
