@@ -269,6 +269,50 @@ def embedding_neardup_pairs(
     )
 
 
+def _cell_assign_udf(cents: np.ndarray, top: int):
+    """Arrow kernel assigning each vector its `top` nearest quantizer
+    cells by cosine (centroids pre-normalized). Stable sort: sim ties
+    break toward the LOWER cell index, mirroring the oracle's
+    ORDER BY sim DESC, cell ASC."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cents.T  # (batch × n_cells)
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :top].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return assign
+
+
+def sample_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+) -> np.ndarray:
+    """Deterministic coarse-quantizer sample: order by
+    md5(id || ':' || seed) — stable across runs/partitionings AND
+    portable (DuckDB computes the identical ordering, which is what
+    makes the IVF sharp oracles possible). Model-sized driver
+    collect."""
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+            F.col(id_col),
+        )
+        .limit(n_cells)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("sample_centroids: corpus is empty")
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -308,50 +352,110 @@ def knn_ivf(
         raise ValueError(f"knn_ivf: n_cells={n_cells} and n_probe={n_probe} must be >= 1")
     corpus = spread(corpus, id_col)
     if centroids is None:
-        # Deterministic sample for the coarse quantizer: order by
-        # md5(id || ':' || seed) — stable across runs/partitionings AND
-        # portable (DuckDB computes the identical ordering, which is
-        # what makes the knn_ivf_top5 sharp oracle possible; xxhash64
-        # would be Spark-only). Pass `centroids` to skip this collect
-        # (a model-sized driver job at plan-build otherwise).
-        sample = (
-            corpus.select(id_col, vec_col)
-            .orderBy(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
-                F.col(id_col),
-            )
-            .limit(n_cells)
-            .collect()
-        )
-        if not sample:
+        # Pass `centroids` to skip this collect (a model-sized driver
+        # job at plan-build otherwise) — see sample_centroids.
+        try:
+            centroids = sample_centroids(corpus, id_col, vec_col, n_cells, seed)
+        except ValueError:
             raise ValueError("knn_ivf: corpus is empty")
-        centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     cents = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
-
-    def _assign_udf(top: int):
-        @F.pandas_udf(ArrayType(IntegerType()))
-        def assign(vs: pd.Series) -> pd.Series:
-            x = np.stack(vs.to_numpy()).astype(np.float64)
-            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            sims = x @ cents.T  # (batch × n_cells)
-            # stable sort: sim ties break toward the LOWER cell index,
-            # mirroring the oracle's ORDER BY sim DESC, cell ASC
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :top].astype(np.int32)
-            return pd.Series(list(idx))
-
-        return assign
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        F.element_at(_assign_udf(1)(vec_col), 1).alias("cell"),
+        F.element_at(_cell_assign_udf(cents, 1)(vec_col), 1).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.explode(_assign_udf(n_probe)(vec_col)).alias("cell"),
+        F.explode(_cell_assign_udf(cents, n_probe)(vec_col)).alias("cell"),
+    )
+    cand = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+    )
+    scored = cand.withColumn("cosine", F.round(cosine_similarity("qvec", "cvec"), 6))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize an IVF index: the corpus written parquet
+    PARTITIONED BY its quantizer cell (one directory per cell), with
+    the sampled centroids persisted alongside (`path/_centroids`).
+
+    This is the build-once/search-many posture a 100 TB ANN corpus
+    actually runs: cell assignment (the expensive Arrow pass over
+    every vector) is paid at WRITE time, and every later search scans
+    only its probed cells' directories — partition pruning does the
+    n_probe/n_cells cost cut at the storage layer instead of inside
+    the query. Returns the centroid matrix."""
+    cents_raw = sample_centroids(corpus, id_col, vec_col, n_cells, seed)
+    cents = cents_raw / np.maximum(
+        np.linalg.norm(cents_raw, axis=1, keepdims=True), 1e-12
+    )
+    assigned = corpus.select(
+        id_col,
+        vec_col,
+        F.element_at(_cell_assign_udf(cents, 1)(vec_col), 1).alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents_raw)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    return cents_raw
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a `build_ivf_index` layout: queries are assigned their
+    `n_probe` nearest cells with the PERSISTED centroids (model-sized
+    driver read — no resample, so build and search stay consistent),
+    then joined against the cell-partitioned corpus and exactly
+    re-ranked within probed cells. The broadcast query side keeps the
+    index in place; only probed partitions are read."""
+    cents_rows = sorted(
+        spark.read.parquet(f"{path}/_centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cents_raw = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cents_rows]
+    )
+    cents = cents_raw / np.maximum(
+        np.linalg.norm(cents_raw, axis=1, keepdims=True), 1e-12
+    )
+    index = spark.read.parquet(path)
+    c = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_cell_assign_udf(cents, n_probe)(vec_col)).alias("cell"),
     )
     cand = (
         c.join(F.broadcast(q), "cell")

@@ -102,7 +102,8 @@ registry.promote(
 # rotation): agg_percentile_disc_rank, pivot_multi_measure,
 # streaming_upsert_sink_live (multi-batch foreachBatch MERGE),
 # variant_semi_structured, sql_pipe_syntax, collation_case_insensitive,
-# win_moving_median, attribution_linear_touch. The
+# win_moving_median, attribution_linear_touch,
+# knn_ivf_persisted_top5. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 

@@ -269,3 +269,26 @@ def test_dim_param_skips_input_peek(spark):
     # constructing the plan must succeed; executing it yields zero rows
     assert knn_lsh(empty, empty, dim=8).count() == 0
     assert embedding_neardup_pairs(empty, dim=8).count() == 0
+
+
+def test_persisted_ivf_equals_inline_ivf(spark, sf_dir, tmp_path):
+    """build_ivf_index + search_ivf_index must return exactly what the
+    inline knn_ivf returns for the same quantizer params — persistence
+    must not change results, only where the probe cost is paid."""
+    from dist_keras_spark.operators.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        search_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_cells=8, seed=7)
+    persisted = sorted(
+        map(tuple, search_ivf_index(spark, path, q, k=3, n_probe=2).collect())
+    )
+    inline = sorted(
+        map(tuple, knn_ivf(e, q, k=3, n_cells=8, n_probe=2, seed=7).collect())
+    )
+    assert persisted == inline
