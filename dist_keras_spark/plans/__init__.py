@@ -31,6 +31,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     sqlx,
     tpch3,
     textsim,
+    analytics3,
 )
 
 # Round-6 window (VERDICT r5 #1): (a) the 35 oracle-backed queries the

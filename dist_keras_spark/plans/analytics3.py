@@ -1,0 +1,473 @@
+"""Round-6 (second wave) analytics operators: market-basket lift,
+CDC snapshot diffs, SCD2 history construction, sweep-line interval
+concurrency, MATCH_RECOGNIZE-style sequence patterns, and
+month-over-month growth.
+
+These extend SURVEY.md §2.M with the remaining classic warehouse /
+product-analytics shapes (association rules, change-data-capture,
+slowly-changing-dimension builds, peak-concurrency, path regexes,
+period-over-period deltas). dist-keras has no analogue — this is
+"beyond the reference" surface per the brief; COVERAGE.md maps each
+query to its inventory row.
+
+House rules applied throughout: integer-cents via floor(x*100) (the
+round(x,2) boundary-double divergence, STATUS.md), windows partitioned
+on data-scaling keys (user_id / l_suppkey) or over provably
+SF-invariant aggregate outputs (nation x month), `div`-free signed
+arithmetic (floor of a double quotient is engine-portable; integer
+`//` on negatives is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), tot AS (
+    SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets
+), brand_n AS (
+    SELECT p_brand, count(*) AS n FROM baskets GROUP BY p_brand
+), pairs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           count(*) AS n_ab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+       CAST(floor(1000.0 * t.n_orders * p.n_ab / (na.n * nb.n))
+            AS BIGINT) AS lift_milli
+FROM pairs p
+JOIN brand_n na ON p.brand_a = na.p_brand
+JOIN brand_n nb ON p.brand_b = nb.p_brand
+CROSS JOIN tot t
+""",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: for every brand pair
+    co-occurring in an order, support count and lift
+    lift = N·n(ab) / (n(a)·n(b)), reported as floor(1000·lift) so the
+    comparison is a floor of one double expression (portable), not a
+    rounded float.
+
+    Scale shape: baskets = one DISTINCT shuffle keyed (orderkey,
+    brand); the pair self-join is keyed on l_orderkey — co-partitioned,
+    and per-order fanout is bounded by (brands-per-order choose 2) with
+    a 25-brand universe, so the join can never go quadratic in rows.
+    Pair cardinality is at most C(25,2)=300 groups regardless of SF;
+    brand_n (25 rows) and the 1-row total broadcast onto the pairs.
+    The 1000.0·N·n_ab product stays in double space (exact for counts
+    < 2^52); nothing here overflows at SF 1e5."""
+    l = _lt(spark, sf_dir, "lineitem")
+    p = _lt(spark, sf_dir, "part")
+    baskets = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    brand_n = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_a").withColumnRenamed("n", "n_a"))
+    nb = F.broadcast(brand_n.withColumnRenamed("p_brand", "brand_b").withColumnRenamed("n", "n_b"))
+    return (
+        pairs.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.floor(
+                1000.0 * F.col("n_orders") * F.col("n_ab")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift_milli"),
+        )
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+WITH old AS (
+    SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_custkey
+), new AS (
+    SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY o_custkey
+), diff AS (
+    SELECT coalesce(o.o_custkey, n.o_custkey) AS k,
+           CASE WHEN o.o_custkey IS NULL THEN 'insert'
+                WHEN n.o_custkey IS NULL THEN 'delete'
+                WHEN o.n = n.n AND o.cents = n.cents THEN 'unchanged'
+                ELSE 'update' END AS change_type,
+           coalesce(o.cents, 0) AS old_cents,
+           coalesce(n.cents, 0) AS new_cents
+    FROM old o FULL OUTER JOIN new n ON o.o_custkey = n.o_custkey
+)
+SELECT change_type, count(*) AS n_keys,
+       CAST(sum(old_cents) AS BIGINT) AS old_cents,
+       CAST(sum(new_cents) AS BIGINT) AS new_cents
+FROM diff GROUP BY change_type
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two per-customer order
+    snapshots (orders before vs after 1998-01-01): each key is
+    classified insert / delete / update / unchanged via FULL OUTER
+    JOIN, then summarized per change type with integer-cent checksums.
+
+    This is the batch CDC primitive behind incremental pipelines
+    (compare yesterday's aggregate state to today's and emit only the
+    delta rows downstream). Scale shape: two partial-aggregated scans
+    of the same fact (both keyed o_custkey), one co-keyed full-outer
+    shuffle join, then a 4-group rollup — the diff itself never
+    materializes unaggregated fact rows. Amounts use
+    floor(price·100) int cents; sums exact in int64."""
+    o = _lt(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    split = F.lit("1998-01-01").cast("timestamp")
+
+    def snap(pred):
+        return (
+            o.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("cents"),
+            )
+        )
+
+    old = snap(F.col("o_orderdate") < split).alias("o")
+    new = snap(F.col("o_orderdate") >= split).alias("n")
+    diff = old.join(
+        new, F.col("o.o_custkey") == F.col("n.o_custkey"), "full_outer"
+    ).select(
+        F.when(F.col("o.o_custkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_custkey").isNull(), F.lit("delete"))
+        .when(
+            (F.col("o.n") == F.col("n.n"))
+            & (F.col("o.cents") == F.col("n.cents")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.coalesce(F.col("o.cents"), F.lit(0)).alias("old_cents"),
+        F.coalesce(F.col("n.cents"), F.lit(0)).alias("new_cents"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("old_cents").alias("old_cents"),
+        F.sum("new_cents").alias("new_cents"),
+    )
+
+
+@query(
+    "scd2_from_events",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+    SELECT user_id, ts, event_type,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS version
+    FROM ordered
+), hist AS (
+    SELECT user_id, CAST(version AS BIGINT) AS version,
+           min(event_type) AS state,
+           min(ts) AS valid_from,
+           count(*) AS n_events
+    FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events
+FROM hist
+""",
+)
+def scd2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    stream: consecutive runs of the same per-user event_type collapse
+    into one versioned row with [valid_from, valid_to) validity
+    (valid_to NULL = current). Classic gaps-and-islands: lag-compare →
+    cumulative change count = version → per-version min/count → lead
+    for the closing timestamp.
+
+    Scale shape: every window partitions on user_id (data-scaling
+    key); the run aggregation is keyed (user_id, version) on the same
+    shuffle; output rows = number of state changes, strictly fewer
+    than input rows. This is exactly how a 100 TB dimension history
+    rebuild should look — one key shuffle, no self-joins."""
+    e = _lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "version"
+        ),
+    )
+    hist = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("version")
+    return hist.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )
+
+
+@query(
+    "concurrent_intervals_peak",
+    oracle="""
+WITH sweep AS (
+    SELECT l.l_suppkey, o.o_orderdate AS t, 1 AS d
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT l_suppkey, l_shipdate AS t, -1 AS d FROM lineitem
+), running AS (
+    SELECT l_suppkey, t, d,
+           sum(d) OVER (PARTITION BY l_suppkey ORDER BY t, d
+                        ROWS UNBOUNDED PRECEDING) AS r
+    FROM sweep
+), peaks AS (
+    SELECT l_suppkey, max(r) AS peak FROM running GROUP BY l_suppkey
+)
+SELECT r.l_suppkey, CAST(p.peak AS BIGINT) AS peak,
+       min(r.t) AS peak_first_at
+FROM running r JOIN peaks p
+  ON r.l_suppkey = p.l_suppkey AND r.r = p.peak
+GROUP BY r.l_suppkey, p.peak
+""",
+)
+def concurrent_intervals_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency via sweep-line: each lineitem is
+    "open" from its order date to its ship date; per supplier, find
+    the maximum number of simultaneously open lineitems and the first
+    instant it is reached. +1/-1 delta rows, running sum ordered by
+    (t, d) — the d tiebreak closes intervals before opening new ones
+    at the same instant (half-open [start, end) semantics, the
+    convention that makes back-to-back intervals non-overlapping).
+
+    Equal-(t,d) row order is immaterial: all tied deltas are equal, so
+    the running sum visits the same value set in any order — the
+    max/argmin are engine-stable without a full unique sort key.
+
+    Scale shape: the sweep is 2 rows per lineitem, ONE shuffle keyed
+    l_suppkey shared by the window, the peak aggregation, and the
+    argmin re-join (AQE sees identical partitioning). No all-pairs
+    overlap join — the O(n log n) sweep is the 100 TB-safe plan for
+    interval overlap."""
+    l = _lt(spark, sf_dir, "lineitem")
+    o = _lt(spark, sf_dir, "orders")
+    opens = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_suppkey", F.col("o_orderdate").alias("t"), F.lit(1).alias("d"))
+    )
+    closes = l.select("l_suppkey", F.col("l_shipdate").alias("t"), F.lit(-1).alias("d"))
+    sweep = opens.unionByName(closes)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("t", "d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    running = sweep.withColumn("r", F.sum("d").over(w)).alias("run")
+    peaks = (
+        running.groupBy("l_suppkey")
+        .agg(F.max("r").alias("peak"))
+        .withColumnRenamed("l_suppkey", "pk_suppkey")
+    )
+    return (
+        running.join(
+            peaks,
+            (F.col("run.l_suppkey") == F.col("pk_suppkey"))
+            & (F.col("run.r") == F.col("peak")),
+        )
+        .groupBy(F.col("run.l_suppkey").alias("l_suppkey"), F.col("peak"))
+        .agg(F.min("t").alias("peak_first_at"))
+    )
+
+
+@query(
+    "sequence_pattern_match",
+    oracle="""
+WITH coded AS (
+    SELECT user_id,
+           string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                      WHEN 'click' THEN 'c'
+                                      WHEN 'purchase' THEN 'p'
+                                      WHEN 'error' THEN 'e'
+                                      ELSE 'v' END,
+                      '' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN regexp_matches(path, 's[^e]*p')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_conversion,
+       CAST(sum(CASE WHEN regexp_matches(path, 'e[cv]*p')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_error_recovery,
+       CAST(sum(CASE WHEN regexp_matches(path, '^v')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_first
+FROM coded
+""",
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: encode each
+    user's ordered event stream as a 1-char-per-event string, then
+    count users whose path matches behavioral regexes (signup→purchase
+    with no intervening error; purchase reached from an error through
+    only clicks/views; view-first sessions). Regex alternation/classes
+    only — no lookarounds — so Java and RE2 semantics agree.
+
+    Scale shape: one groupBy(user_id) shuffle; per-user state is the
+    event string (bounded by events-per-user — fine for user streams,
+    and the same plan sharded by (user, day) caps it for hot keys).
+    The sort happens inside the aggregated array (array_sort on
+    (ts, event_id, code) structs), not as a global orderBy."""
+    e = _lt(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("v")
+    )
+    coded = (
+        e.select("user_id", "ts", "event_id", code.alias("code"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "code"))
+                    ),
+                    lambda x: x["code"],
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    m = lambda pat: F.sum(  # noqa: E731
+        F.when(F.col("path").rlike(pat), 1).otherwise(0)
+    )
+    return coded.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        m("s[^e]*p").alias("n_clean_conversion"),
+        m("e[cv]*p").alias("n_error_recovery"),
+        m("^v").alias("n_view_first"),
+    )
+
+
+@query(
+    "revenue_mom_growth",
+    oracle="""
+WITH monthly AS (
+    SELECT n.n_name,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+)
+SELECT n_name, month, rev_cents,
+       lag(rev_cents) OVER w AS prev_cents,
+       CAST(floor(10000.0 * (rev_cents - lag(rev_cents) OVER w)
+                  / lag(rev_cents) OVER w) AS BIGINT) AS growth_bp
+FROM monthly
+WINDOW w AS (PARTITION BY n_name ORDER BY month)
+""",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation in basis points —
+    the canonical period-over-period BI query. Growth is
+    floor(10000·Δ/prev) computed as a floor of ONE double quotient
+    (portable even for negative deltas — integer `div`/`//` semantics
+    on negatives differ across engines and are avoided).
+
+    Scale shape: the star join partial-aggregates lineitem down to
+    (nation × month) — an SF-INVARIANT grid (25 × ~80) — before any
+    window runs, so the lag window's modest 25-key partitioning sits
+    on a dim-sized input, not the fact table. Region/nation broadcast;
+    fact joins stay AQE-planned."""
+    l = _lt(spark, sf_dir, "lineitem")
+    o = _lt(spark, sf_dir, "orders")
+    c = _lt(spark, sf_dir, "customer")
+    n = _lt(spark, sf_dir, "nation")
+    monthly = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "n_name",
+        "month",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.floor(10000.0 * (F.col("rev_cents") - prev) / prev)
+        .cast("long")
+        .alias("growth_bp"),
+    )

