@@ -471,3 +471,298 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("growth_bp"),
     )
+
+
+@query(
+    "rfm_segment_quantile",
+    oracle="""
+WITH per_cust AS (
+    SELECT o_custkey,
+           date_diff('day', CAST(max(o_orderdate) AS DATE),
+                     (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+               AS rec_days,
+           count(*) AS freq,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS mon_cents
+    FROM orders GROUP BY o_custkey
+), q AS (
+    SELECT quantile_cont(rec_days, [0.25, 0.5, 0.75]) AS rq,
+           quantile_cont(freq,     [0.25, 0.5, 0.75]) AS fq,
+           quantile_cont(mon_cents,[0.25, 0.5, 0.75]) AS mq
+    FROM per_cust
+), scored AS (
+    SELECT (1 + CASE WHEN rec_days  > rq[1] THEN 1 ELSE 0 END
+              + CASE WHEN rec_days  > rq[2] THEN 1 ELSE 0 END
+              + CASE WHEN rec_days  > rq[3] THEN 1 ELSE 0 END) AS r_band,
+           (1 + CASE WHEN freq      > fq[1] THEN 1 ELSE 0 END
+              + CASE WHEN freq      > fq[2] THEN 1 ELSE 0 END
+              + CASE WHEN freq      > fq[3] THEN 1 ELSE 0 END) AS f_band,
+           (1 + CASE WHEN mon_cents > mq[1] THEN 1 ELSE 0 END
+              + CASE WHEN mon_cents > mq[2] THEN 1 ELSE 0 END
+              + CASE WHEN mon_cents > mq[3] THEN 1 ELSE 0 END) AS m_band,
+           mon_cents
+    FROM per_cust, q
+)
+SELECT r_band, f_band, m_band,
+       count(*) AS n_customers,
+       CAST(sum(mon_cents) AS BIGINT) AS mon_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def rfm_segment_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation with
+    quartile bands assigned by BROADCAST QUANTILE BOUNDARIES, not
+    ntile: an ntile(4) needs a global sort of every customer — the
+    classic 100 TB anti-pattern — whereas exact percentile is a proper
+    distributed AGGREGATE (partial per partition, merged), and band
+    assignment is then three broadcast comparisons per row. Both
+    engines interpolate percentiles identically (percentile_cont
+    semantics, index p·(n-1)) over integer inputs, so the double
+    boundaries match bit-for-bit.
+
+    Scale shape: one keyed per-customer aggregate, a 1-row boundary
+    aggregate broadcast back, a ≤64-group rollup. Zero sorts."""
+    o = _lt(spark, sf_dir, "orders")
+    gmax = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "mon_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "last_order").alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+    )
+    q = per_cust.agg(
+        F.expr("percentile(rec_days, array(0.25, 0.5, 0.75))").alias("rq"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fq"),
+        F.expr("percentile(mon_cents, array(0.25, 0.5, 0.75))").alias("mq"),
+    )
+
+    def band(col: str, qcol: str):
+        return (
+            F.lit(1)
+            + F.when(F.col(col) > F.col(qcol)[0], 1).otherwise(0)
+            + F.when(F.col(col) > F.col(qcol)[1], 1).otherwise(0)
+            + F.when(F.col(col) > F.col(qcol)[2], 1).otherwise(0)
+        )
+
+    return (
+        per_cust.crossJoin(F.broadcast(q))
+        .select(
+            band("rec_days", "rq").alias("r_band"),
+            band("freq", "fq").alias("f_band"),
+            band("mon_cents", "mq").alias("m_band"),
+            "mon_cents",
+        )
+        .groupBy("r_band", "f_band", "m_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("mon_cents").alias("mon_cents"),
+        )
+    )
+
+
+@query(
+    "weighted_median_by_supplier",
+    oracle="""
+WITH w AS (
+    SELECT l_suppkey,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(l_quantity AS BIGINT) AS wt,
+           l_orderkey, l_linenumber
+    FROM lineitem
+), cum AS (
+    SELECT l_suppkey, price_cents, wt,
+           sum(wt) OVER (PARTITION BY l_suppkey
+                         ORDER BY price_cents, l_orderkey, l_linenumber
+                         ROWS UNBOUNDED PRECEDING) AS c,
+           sum(wt) OVER (PARTITION BY l_suppkey) AS total
+    FROM w
+)
+SELECT l_suppkey,
+       CAST(min(CASE WHEN 2 * c >= total THEN price_cents END) AS BIGINT)
+           AS wmedian_cents,
+       CAST(min(total) AS BIGINT) AS total_qty,
+       count(*) AS n_items
+FROM cum GROUP BY l_suppkey
+""",
+)
+def weighted_median_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower weighted median: first value whose
+    cumulative weight reaches half the total) of line price weighted
+    by quantity, per supplier. Built-in percentile/median cannot
+    weight; the cumulative-weight window is the standard distributed
+    formulation.
+
+    Scale shape: both windows and the final aggregate share ONE
+    l_suppkey shuffle (a data-scaling key; ~600 lineitems per supplier
+    at every SF, so per-partition sort state is bounded). Quantities
+    are integral in the fixture → the comparison 2·cum ≥ total is
+    exact integer arithmetic; the qualifying set is a suffix of the
+    price order, so min() picks the weighted median without a second
+    window."""
+    l = _lt(spark, sf_dir, "lineitem")
+    w = l.select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        W.partitionBy("l_suppkey")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("l_suppkey")
+    cum = w.select(
+        "l_suppkey",
+        "price_cents",
+        F.sum("wt").over(wc).alias("c"),
+        F.sum("wt").over(wt).alias("total"),
+    )
+    return cum.groupBy("l_suppkey").agg(
+        F.min(
+            F.when(2 * F.col("c") >= F.col("total"), F.col("price_cents"))
+        ).alias("wmedian_cents"),
+        F.min("total").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "pareto_frontier_brand",
+    oracle="""
+SELECT p.p_brand, p.p_partkey,
+       CAST(floor(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+       p.p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_brand = p.p_brand
+      AND floor(q.p_retailprice * 100) <= floor(p.p_retailprice * 100)
+      AND q.p_size >= p.p_size
+      AND (floor(q.p_retailprice * 100) < floor(p.p_retailprice * 100)
+           OR q.p_size > p.p_size)
+)
+""",
+)
+def pareto_frontier_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier per brand: parts not dominated by any
+    same-brand part that is cheaper-or-equal AND bigger-or-equal
+    (strictly better somewhere). The Spark plan is the O(n log n)
+    sweep — running max(p_size) over strictly-cheaper rows (numeric
+    RANGE window) plus a same-price tie window — NOT the O(n²)
+    NOT-EXISTS self-join; the ORACLE deliberately uses the quadratic
+    NOT EXISTS formulation, so two independent algorithms must agree.
+
+    Scale shape: one window shuffle keyed by brand. Skylines compose
+    (the global skyline is a subset of the union of partition-local
+    skylines), so at extreme per-brand cardinality the same sweep runs
+    per (brand, hash-shard) first and re-runs on the survivors —
+    documented valve, not needed at fixture scale."""
+    p = _lt(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    w_strict = (
+        W.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_tie = W.partitionBy("p_brand").orderBy("price_cents").rangeBetween(0, 0)
+    flagged = p.select(
+        "p_brand",
+        "p_partkey",
+        "price_cents",
+        "p_size",
+        F.max("p_size").over(w_strict).alias("max_cheaper"),
+        F.max("p_size").over(w_tie).alias("max_tie"),
+    )
+    dominated = (
+        F.coalesce(F.col("max_cheaper") >= F.col("p_size"), F.lit(False))
+    ) | (F.col("max_tie") > F.col("p_size"))
+    return flagged.filter(~dominated).select(
+        "p_brand", "p_partkey", "price_cents", "p_size"
+    )
+
+
+@query(
+    "corr_sufficient_stats",
+    oracle="""
+WITH s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+           CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+               AS sxy,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+           CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                    * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT)
+               AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx, sy,
+       CAST(floor(1000000.0
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+            AS BIGINT) AS corr_micro
+FROM s
+""",
+)
+def corr_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from INTEGER sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy² — quantity units × whole-dollar prices):
+    the mergeable-state pattern that makes second-moment statistics
+    exact and retry-stable where naive float accumulation is
+    fold-order-dependent (the reason builtin corr() is not
+    cross-engine hashable). The final formula runs once per group on
+    identical integers, so both engines produce bit-identical doubles;
+    floor(1e6·corr) avoids the round() boundary-double divergence.
+
+    Scale shape: pure partial-aggregation — six int64 sums per group,
+    no shuffle beyond the 3-group rollup. int64 bounds: Σy² ≈ rows·1e10
+    stays exact to SF ≈ 1e2; past that, promote the moment sums to
+    DECIMAL(38,0) (same plan shape) — documented valve."""
+    l = _lt(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice")).cast("long")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.floor(1000000.0 * num / den).cast("long").alias("corr_micro"),
+    )

@@ -374,3 +374,128 @@ def streaming_upsert_sink_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current_state(spark, state).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "streaming_watermark_late_drop_live",
+    oracle="""
+WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start,
+       count(*)               AS n,
+       round(sum(e.value), 2) AS sum_value
+FROM events e, m
+WHERE NOT (e.event_id % 10 = 0 AND e.ts < m.mx - INTERVAL 2 HOUR)
+  AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR
+          <= m.mx - INTERVAL 31 MINUTE
+GROUP BY 1
+""",
+)
+def streaming_watermark_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 with the watermark ACTUALLY DROPPING late rows — the one
+    streaming behavior complete-mode replays can't exercise. Spark's
+    stateful operators use TWO watermarks per micro-batch
+    (SPARK-39781): the late-event filter for batch N uses batch N−1's
+    EVICTION watermark, i.e. a row is judged by the watermark as it
+    stood one batch earlier. So a 2-batch staging can never drop
+    anything (batch 1's late filter is still at epoch — verified
+    empirically: numRowsDroppedByWatermark=0). Three files are staged
+    and streamed with maxFilesPerTrigger=1:
+
+      batch 0 — everything except stragglers and bridge rows;
+        contains the global max event time by construction (any row
+        within 2 h of max is in batch 0), so eviction watermark after
+        batch 0 is final: max(ts) − 31 min.
+      batch 1 — "bridge" rows (event_id % 10 == 5 AND ts < max − 2 h):
+        equally old, but their late filter is batch 0's eviction
+        watermark = epoch, so they are ACCEPTED and merged — the
+        two-watermark grace period in action.
+      batch 2 — stragglers (event_id % 10 == 0 AND ts < max − 2 h):
+        late filter is now batch 1's eviction watermark
+        = max − 31 min; every straggler's 1-hour window closed at
+        least 29 min below it, so ALL of batch 2 is dropped.
+
+    Output mode is APPEND, so only windows finalized below the
+    eviction watermark emit: window_end ≤ max − 31 min. Both effects
+    (dropped stragglers, unemitted trailing windows) are replicated by
+    the batch oracle's two predicates — if the engine failed to drop
+    late data, accepted-bridge counts or straggler windows would
+    mismatch the hash. The 31-minute delay guarantees the watermark
+    never lands exactly on an hour boundary (fixture timestamps carry
+    µs noise), so `<` vs `≤` eviction semantics cannot flip the
+    result.
+
+    Determinism: batch order is pinned by file name AND mtime
+    (FileStreamSource processes oldest-first); the watermark is final
+    after batch 0, so later flush batches cannot change the emitted
+    set. Scale: state is bounded by OPEN windows only — exactly what
+    the watermark is for at 100 TB/day ingest."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    mx = e.agg(F.max("ts")).first()[0]
+    old = F.col("ts") < F.lit(mx - dt.timedelta(hours=2))
+    straggler = (F.col("event_id") % 10 == 0) & old
+    bridge = (F.col("event_id") % 10 == 5) & old
+    src = scratch_path(spark, "wm_late_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = scratch_path(spark, "wm_late_tmp_" + uuid.uuid4().hex[:8])
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    now = os.stat(src).st_mtime
+    stage(e.filter(~straggler & ~bridge), "a-batch0.parquet", now - 300)
+    stage(e.filter(bridge), "b-batch1.parquet", now - 200)
+    stage(e.filter(straggler), "c-batch2.parquet", now - 100)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # Watermarks demand TIMESTAMP, not NTZ; session tz is UTC so the
+    # cast is wall-clock identity (same as streaming.stream_events).
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "31 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    name = "wmlate" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 3, (
+        f"expected >=3 data micro-batches, got {len(progress)}"
+    )
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped > 0, "watermark dropped nothing — staging broke"
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"), "n", "sum_value"
+    )

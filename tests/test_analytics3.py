@@ -176,3 +176,128 @@ def test_mom_growth_arithmetic(spark, sf_dir):
             assert b.growth_bp == math.floor(
                 10000.0 * (b.rev_cents - b.prev_cents) / b.prev_cents
             )
+
+
+def test_rfm_bands_partition_customers(spark, sf_dir):
+    """Bands are 1..4, segment counts sum to the customer population,
+    and each band's population is a quartile-ish share (exact
+    percentile boundaries => no band can be empty overall)."""
+    rows = QUERIES["rfm_segment_quantile"](spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_band <= 4 and 1 <= r.f_band <= 4 and 1 <= r.m_band <= 4
+
+
+def test_weighted_median_matches_numpy(spark, sf_dir):
+    """Lower weighted median recomputed per supplier with numpy."""
+    import numpy as np
+
+    got = {
+        r.l_suppkey: (r.wmedian_cents, r.total_qty)
+        for r in QUERIES["weighted_median_by_supplier"](spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+            F.col("l_quantity").cast("long").alias("wt"),
+        )
+        .toPandas()
+    )
+    for sk, g in pdf.groupby("l_suppkey"):
+        g = g.sort_values("pc")
+        cum = np.cumsum(g["wt"].values)
+        total = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, total, side="left"))
+        assert got[sk] == (int(g["pc"].values[idx]), total), sk
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    """Window-sweep skyline == O(n^2) dominance check in Python."""
+    got = {
+        (r.p_brand, r.p_partkey)
+        for r in QUERIES["pareto_frontier_brand"](spark, sf_dir).collect()
+    }
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100).cast("long").alias("pc"),
+            "p_size",
+        )
+        .collect()
+    )
+    by_brand: dict[str, list] = {}
+    for r in parts:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    expect = set()
+    for brand, ps in by_brand.items():
+        for p in ps:
+            dominated = any(
+                q.pc <= p.pc
+                and q.p_size >= p.p_size
+                and (q.pc < p.pc or q.p_size > p.p_size)
+                for q in ps
+            )
+            if not dominated:
+                expect.add((brand, p.p_partkey))
+    assert got == expect
+
+
+def test_corr_sufficient_stats_recompute(spark, sf_dir):
+    """corr_micro recomputed from the raw fact with the exact same
+    double expression — must match bit-for-bit; also |corr| <= 1."""
+    import math
+
+    got = {r.l_returnflag: r for r in QUERIES["corr_sufficient_stats"](spark, sf_dir).collect()}
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor("l_extendedprice").cast("long").alias("y"),
+        )
+        .toPandas()
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        n = len(g)
+        sx, sy = int(g.x.sum()), int(g.y.sum())
+        sxy = int((g.x * g.y).sum())
+        sxx, syy = int((g.x * g.x).sum()), int((g.y * g.y).sum())
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = math.sqrt(
+            (float(n) * float(sxx) - float(sx) * float(sx))
+            * (float(n) * float(syy) - float(sy) * float(sy))
+        )
+        r = got[flag]
+        assert (r.n, r.sx, r.sy) == (n, sx, sy)
+        assert r.corr_micro == math.floor(1000000.0 * num / den)
+        assert abs(r.corr_micro) <= 1_000_000
+
+
+def test_watermark_late_drop_semantics(spark, sf_dir):
+    """The live result equals the batch expectation: stragglers
+    (id%10==0, older than max-2h) excluded, only windows closed below
+    max-31min emitted — and nothing beyond the cut ever appears."""
+    import datetime as dt
+
+    rows = QUERIES["streaming_watermark_late_drop_live"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts")).first()[0]
+    cut = mx - dt.timedelta(minutes=31)
+    kept = e.filter(
+        ~((F.col("event_id") % 10 == 0) & (F.col("ts") < F.lit(mx - dt.timedelta(hours=2))))
+    ).filter(
+        F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR") <= F.lit(cut)
+    )
+    assert sum(r.n for r in rows) == kept.count()
+    for r in rows:
+        assert r.window_start + dt.timedelta(hours=1) <= cut
