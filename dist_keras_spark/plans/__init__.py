@@ -103,8 +103,13 @@ registry.promote(
 # rotation): agg_percentile_disc_rank, pivot_multi_measure,
 # streaming_upsert_sink_live (multi-batch foreachBatch MERGE),
 # variant_semi_structured, sql_pipe_syntax, collation_case_insensitive,
-# win_moving_median, attribution_linear_touch,
-# knn_ivf_persisted_top5. The
+# win_moving_median, attribution_linear_touch, knn_ivf_persisted_top5,
+# plus the second wave (plans/analytics3.py + the live watermark
+# query): market_basket_lift, cdc_snapshot_diff, scd2_from_events,
+# concurrent_intervals_peak, sequence_pattern_match,
+# revenue_mom_growth, rfm_segment_quantile,
+# weighted_median_by_supplier, pareto_frontier_brand,
+# corr_sufficient_stats, streaming_watermark_late_drop_live. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 

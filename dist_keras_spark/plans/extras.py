@@ -8,6 +8,7 @@ and embedding-cosine near-dedup (§2.J).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dist_keras_spark.plans.registry import query
@@ -822,4 +823,177 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = read_snapshot(spark, path)  # latest
     return v1.select(F.lit(1).alias("version"), "n_nationkey", "n_name").unionByName(
         v2.select(F.lit(2).alias("version"), "n_nationkey", "n_name")
+    )
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle="""
+SELECT e.event_type, count(*) AS n,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN (VALUES ('click'), ('purchase')) AS d(event_type)
+  ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning, hash-verified: the fact table is
+    written hive-partitioned by event_type, then joined to a small
+    filtered dimension WITHOUT a static partition predicate — the
+    partition filter must be DERIVED AT RUNTIME from the broadcast dim
+    side (Catalyst injects a dynamicpruning subquery into the fact
+    scan). The query asserts the pruning expression is present in its
+    own physical plan, so a planner regression fails loudly rather
+    than silently scanning every partition.
+
+    Scale: DPP is THE mechanism that turns a dim-filtered star join
+    over a date/type-partitioned 100 TB fact into a scan of only the
+    matching partitions — no manual predicate copying."""
+    from dist_keras_spark.sources.sinks import write_partitioned
+
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = scratch_path(spark, "dpp_fact")
+    write_partitioned(e, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    # DPP's planner heuristic requires a LIKELY-SELECTIVE predicate on
+    # the dim side (PartitionPruning.hasSelectivePredicate): a bare
+    # boolean attribute does NOT qualify — `billable = true` is
+    # boolean-simplified to the attribute before the PartitionPruning
+    # batch runs, so the rule declines ("Batch PartitionPruning has no
+    # effect", observed). An EqualTo on a string column survives
+    # simplification and qualifies.
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("click", "billable"),
+                ("purchase", "billable"),
+                ("view", "free"),
+                ("error", "free"),
+                ("signup", "free"),
+            ],
+            "event_type string, tier string",
+        )
+        .filter(F.col("tier") == "billable")
+        .select("event_type")
+    )
+    out = (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), (
+        "expected a dynamic partition pruning subquery in the fact scan"
+    )
+    return out
+
+
+@query(
+    "manifest_skipping_scan",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate,
+       CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+""",
+)
+def manifest_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping over a plain parquet layout: lineitem is
+    range-laid-out by l_shipdate into multiple files; a manifest of
+    per-file (min, max) l_shipdate is built from the files' own
+    metadata column; a time-range query then reads ONLY the files
+    whose [min,max] interval overlaps the predicate — the
+    Iceberg/Delta file-skipping mechanic on nothing but parquet + a
+    manifest, complementing hive-style directory pruning
+    (partitioned_sink_prune) and z-order (zorder_cluster_stats).
+
+    The query asserts it actually skipped files (pruned < total);
+    the residual row filter still applies inside the surviving files,
+    so results are exact. Scale: the manifest is file-count-sized
+    (metadata, not data); range layout + min/max skipping is how a
+    100 TB time-series scan touches only the queried month."""
+    lay = scratch_path(spark, "skipping_layout")
+    l = _lt(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    l.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(lay)
+    manifest = (
+        spark.read.parquet(lay)
+        .groupBy(F.col("_metadata.file_path").alias("file_path"))
+        .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+        .collect()
+    )
+    d1, d2 = "1998-01-01", "1999-01-01"
+    keep = [
+        r.file_path
+        for r in manifest
+        if not (str(r.hi) < d1 or str(r.lo) >= d2)
+    ]
+    assert 0 < len(keep) < len(manifest), (
+        f"skipping proof failed: kept {len(keep)} of {len(manifest)} files"
+    )
+    return (
+        spark.read.parquet(*keep)
+        .filter(
+            (F.col("l_shipdate") >= F.lit(d1).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(d2).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "price_cents")
+    )
+
+
+@query(
+    "events_path_top10",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type)    OVER w AS nxt,
+           lead(event_type, 2) OVER w AS nxt2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || nxt || '>' || nxt2 AS path, count(*) AS n
+FROM seq WHERE nxt2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 10
+""",
+)
+def events_path_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step navigation paths — the product-
+    analytics "top paths" report. Successive triples come from two
+    lead() calls on ONE user-keyed window (no self-joins: the n-gram-
+    over-sequence trick), then a ≤125-group count (5³ possible paths)
+    and TakeOrderedAndProject with a full deterministic tie-break.
+
+    Scale: one user_id shuffle for the window, a tiny bounded
+    aggregate, no global sort (limit pushes into the ordering)."""
+    e = _lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        seq.filter(F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
     )

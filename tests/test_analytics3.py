@@ -301,3 +301,60 @@ def test_watermark_late_drop_semantics(spark, sf_dir):
     assert sum(r.n for r in rows) == kept.count()
     for r in rows:
         assert r.window_start + dt.timedelta(hours=1) <= cut
+
+
+def test_dpp_plan_has_runtime_partition_filter(spark, sf_dir):
+    """The query itself asserts dynamicpruning is in its plan; here we
+    additionally check the pruned result matches a direct filter."""
+    rows = QUERIES["dpp_partitioned_join"](spark, sf_dir).collect()
+    got = {r.event_type: r.n for r in rows}
+    e = load_table(spark, sf_dir, "events")
+    expect = {
+        r.event_type: r.n
+        for r in e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_manifest_skipping_reads_subset_of_files(spark, sf_dir):
+    """The skipped read touches fewer files than the layout holds and
+    returns exactly the predicate's rows."""
+    df = QUERIES["manifest_skipping_scan"](spark, sf_dir)
+    n = df.count()
+    expect = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .count()
+    )
+    assert n == expect
+    # the scan's file list is the pruned one
+    n_scanned = df.select(F.col("_metadata.file_path")).distinct().count()
+    assert n_scanned < 8
+
+
+def test_path_top10_vs_python(spark, sf_dir):
+    """Triple counts recomputed in Python over sorted per-user
+    sequences; top-10 selection with the same tie-break."""
+    got = [(r.path, r.n) for r in QUERIES["events_path_top10"](spark, sf_dir).collect()]
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs: dict[int, list] = {}
+    for r in e:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    counts: dict[str, int] = {}
+    for v in seqs.values():
+        types = [t for _, _, t in sorted(v)]
+        for i in range(len(types) - 2):
+            p = ">".join(types[i : i + 3])
+            counts[p] = counts.get(p, 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect

@@ -88,6 +88,21 @@ AUDITED = {
     "variant_semi_structured": "parse_json once into the shredded VARIANT encoding; typed path extraction without per-touch string re-parse",
     "sql_pipe_syntax": "|> pipeline SQL lowers to the identical plan as classic SQL — pushdown and partial aggregation unchanged",
     "collation_case_insensitive": "UTF8_LCASE grouping keeps the source column for pushdown/stats instead of a derived lower() key",
+    # round 6, second wave
+    "market_basket_lift": "pair self-join keyed on l_orderkey (co-partitioned); per-order fanout bounded by (brands-per-order choose 2); ≤300 pair groups at any SF; brand counts + 1-row total broadcast",
+    "cdc_snapshot_diff": "two partial-aggregated scans keyed o_custkey + one co-keyed full-outer join + 4-group rollup — the diff never materializes raw fact rows",
+    "scd2_from_events": "gaps-and-islands: lag + cumulative-change windows and the run aggregate all share ONE user_id shuffle; output rows = state changes < input rows",
+    "concurrent_intervals_peak": "sweep-line (2 rows/lineitem) — window, peak agg and argmin re-join all share the l_suppkey shuffle; O(n log n), never an all-pairs overlap join",
+    "sequence_pattern_match": "one groupBy(user) shuffle; ordering inside the aggregated array (array_sort of structs), regexes JVM-side — no global sort, no Python",
+    "revenue_mom_growth": "star join partial-aggregates to the SF-INVARIANT nation×month grid before the lag window — the window input is dim-sized by construction",
+    "rfm_segment_quantile": "quartile bands via broadcast exact-percentile boundaries (a proper distributed aggregate) — NO global ntile sort; zero sorts in the whole plan",
+    "weighted_median_by_supplier": "cumulative-weight + total windows and the final agg share one supplier-keyed shuffle; qualifying set is a suffix so min() replaces a second window",
+    "pareto_frontier_brand": "skyline via running-max RANGE windows (O(n log n)) while the ORACLE runs the quadratic NOT EXISTS — two independent algorithms must agree",
+    "corr_sufficient_stats": "six exact int64 moment sums per group, pure partial aggregation; final corr formula once per group — bit-identical across engines",
+    "streaming_watermark_late_drop_live": "append-mode windowed agg with REAL late-drops (3 staged micro-batches clear the two-watermark semantics); state bounded by open windows",
+    "dpp_partitioned_join": "runtime dynamicpruning subquery injected into the partitioned fact scan (asserted in-query); dim filter must be likely-selective — a bare boolean attribute is boolean-simplified away and declines the rule",
+    "manifest_skipping_scan": "zone-map skipping: per-file min/max manifest prunes the file list BEFORE the scan (asserted pruned < total); residual row filter keeps results exact",
+    "events_path_top10": "two lead() on ONE user-keyed window (n-gram over sequence, no self-joins); ≤125-group agg; TakeOrderedAndProject",
 }
 
 
