@@ -997,3 +997,112 @@ def events_path_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@query(
+    "custom_datasource_write_roundtrip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+""",
+)
+def custom_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source WRITE path (A5/A9 connector-side):
+    supplier is written through `jsonl_manifest` — per-task executor
+    writes + a driver commit that atomically publishes a manifest of
+    exactly the committed files — then read back via the manifest
+    list. The round trip must reproduce the table bit-for-bit (JSON
+    shortest-repr doubles round-trip exactly), proving the custom
+    sink's commit protocol loses/duplicates nothing. Completes the
+    connector story: custom read (custom_datasource_scan), custom
+    stream (custom_datasource_stream_live), custom write (here).
+
+    Scale: tasks stream their partitions to their own files; only
+    filenames reach the driver; torn writes stay unpublished (same
+    manifest discipline as snapshot time travel)."""
+    import shutil
+
+    from dist_keras_spark.sources.pysource import (
+        read_manifest_files,
+        register_sink,
+    )
+
+    register_sink(spark)
+    s = _lt(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = scratch_path(spark, "jsonl_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    s.write.format("jsonl_manifest").option("path", path).mode("append").save()
+    files = read_manifest_files(path)
+    assert files, "commit published no files"
+    return spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).json(files)
+
+
+@query(
+    "udtf_table_arg_summary",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, value,
+           row_number() OVER w AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       min(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       min(CASE WHEN rn = n THEN event_type END) AS last_type
+FROM ordered GROUP BY user_id, n
+""",
+)
+def udtf_table_arg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF with a TABLE argument: the function is
+    invoked FROM SQL over `TABLE(events) PARTITION BY user_id ORDER BY
+    ts, event_id` — the engine shuffles/orders per the spec and feeds
+    each partition's rows to one UDTF instance (eval per row,
+    terminate at partition end). This is the MATCH_RECOGNIZE-class
+    extension point: arbitrary per-key sequential Python logic
+    declared in SQL, without hand-rolling applyInPandas plumbing.
+
+    The summary itself (count, first/last event type in time order)
+    is deliberately SQL-expressible so the oracle can replay it — the
+    point under test is the table-argument protocol: partition
+    isolation, in-partition ORDER delivery, and per-partition
+    terminate. Scale: one shuffle on the PARTITION BY key; UDTF state
+    is O(1) per partition."""
+    from pyspark.sql.functions import udtf
+
+    # useArrow: the plan node is ArrowEvalPythonUDTF, not the
+    # row-pickling BatchEvalPythonUDTF the hygiene gate bans.
+    @udtf(
+        returnType=(
+            "user_id bigint, n_events bigint, first_type string, "
+            "last_type string"
+        ),
+        useArrow=True,
+    )
+    class UserJourneySummary:
+        def __init__(self):
+            self.user_id = None
+            self.n = 0
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.user_id = row["user_id"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["event_type"]
+            self.last = row["event_type"]
+
+        def terminate(self):
+            if self.n:
+                yield self.user_id, self.n, self.first, self.last
+
+    spark.udtf.register("user_journey_summary", UserJourneySummary)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        "SELECT * FROM user_journey_summary("
+        "TABLE(events) PARTITION BY user_id ORDER BY (ts, event_id))"
+    )

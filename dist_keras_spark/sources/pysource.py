@@ -16,8 +16,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -95,3 +97,95 @@ class SyntheticEventsSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the custom source on a session."""
     spark.dataSource.register(SyntheticEventsSource)
+
+
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the one file this task produced."""
+
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Executor-side writer with a driver-side commit protocol:
+
+    - each task writes its rows to a uniquely-named JSONL file and
+      returns the name in its commit message;
+    - `commit` (driver, once, after ALL tasks succeed) atomically
+      publishes the manifest listing exactly the committed files;
+    - `abort` removes whatever partial files the failed attempt left.
+
+    Readers resolve the manifest FIRST and read only listed files, so
+    a torn write (task retry, job crash) is invisible — the same
+    publish-via-manifest discipline as sources/snapshots.py, here at
+    the custom-connector layer. At scale each task streams its
+    partition; nothing aggregates on the driver but filenames."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, fname)
+        with open(full, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+        return _FileCommit(fname)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = sorted(m.filename for m in messages if m is not None)
+        tmp = os.path.join(self.path, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f)
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+
+
+class JsonlManifestSink(DataSource):
+    """df.write.format("jsonl_manifest").option("path", p).save() —
+    a custom Python Data Source WRITE path (the sink-side twin of
+    SyntheticEventsSource's read/stream faces)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, overwrite)
+
+
+def read_manifest_files(path: str) -> list[str]:
+    """The committed file list (absolute paths) for a JsonlManifestSink
+    directory; raises if nothing was ever committed."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        files = json.load(f)["files"]
+    return [os.path.join(path, f) for f in files]
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the custom sink on a session."""
+    spark.dataSource.register(JsonlManifestSink)

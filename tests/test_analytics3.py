@@ -358,3 +358,69 @@ def test_path_top10_vs_python(spark, sf_dir):
             counts[p] = counts.get(p, 0) + 1
     expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == expect
+
+
+def test_jsonl_sink_commit_protocol(spark, tmp_path):
+    """Uncommitted files are invisible: a stray file dropped into the
+    sink directory after commit is NOT in the manifest and never read."""
+    import json
+    import os
+
+    from dist_keras_spark.sources.pysource import (
+        read_manifest_files,
+        register_sink,
+    )
+
+    register_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, s string")
+    df.repartition(2).write.format("jsonl_manifest").option("path", path).mode(
+        "append"
+    ).save()
+    files = read_manifest_files(path)
+    assert len(files) >= 1
+    # torn write: a file that never reached commit
+    stray = os.path.join(path, "part-99999-deadbeef.jsonl")
+    with open(stray, "w") as f:
+        f.write(json.dumps({"id": 999, "s": "TORN"}) + "\n")
+    back = spark.read.schema("id long, s string").json(read_manifest_files(path))
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_udtf_table_arg_partition_isolation(spark):
+    """Each PARTITION BY group reaches exactly one UDTF instance in
+    ORDER BY order — pinned on hand-built rows where arrival order in
+    the underlying data is shuffled."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="k bigint, n bigint, first_v string, last_v string", useArrow=True)
+    class Summ:
+        def __init__(self):
+            self.k = None
+            self.n = 0
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.k = row["k"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["v"]
+            self.last = row["v"]
+
+        def terminate(self):
+            if self.n:
+                yield self.k, self.n, self.first, self.last
+
+    spark.udtf.register("summ_udtf", Summ)
+    rows = [(2, 30, "z"), (1, 2, "b"), (2, 10, "x"), (1, 1, "a"), (2, 20, "y")]
+    spark.createDataFrame(rows, "k long, o long, v string").createOrReplaceTempView(
+        "summ_in"
+    )
+    got = {
+        r.k: (r.n, r.first_v, r.last_v)
+        for r in spark.sql(
+            "SELECT * FROM summ_udtf(TABLE(summ_in) PARTITION BY k ORDER BY o)"
+        ).collect()
+    }
+    assert got == {1: (2, "a", "b"), 2: (3, "x", "z")}
