@@ -1292,3 +1292,139 @@ def knn_ivf_persisted_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
     )
+
+
+def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
+    """DuckDB SQL replaying TWO exact Lloyd iterations (see
+    kmeans_lloyd_two_iters). All distance comparisons happen on
+    integer-exact quantities (quantized coords, centroid kept as a
+    (sum-vector, count) rational — distance·n² is a pure int64 sum,
+    converted to DOUBLE once for the cross-centroid compare), so both
+    engines pick identical assignments."""
+    d_expr = (
+        "CAST(list_sum(list_transform(range(1, {d1}), "
+        "i -> (v.vq[i] * c.n - c.s[i]) * (v.vq[i] * c.n - c.s[i]))) "
+        "AS DOUBLE) / (c.n * c.n)"
+    ).format(d1=dim + 1)
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+    FROM embeddings
+), init AS (
+    SELECT vec_id AS cid, vq AS s, CAST(1 AS BIGINT) AS n
+    FROM q ORDER BY vec_id LIMIT {k}
+), a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d_expr}, c.cid) AS rn
+        FROM q v CROSS JOIN init c)
+    WHERE rn = 1
+), c1 AS (
+    SELECT cid, list(sm ORDER BY i) AS s, CAST(min(n) AS BIGINT) AS n
+    FROM (
+        SELECT a1.cid, t.i,
+               CAST(sum(q.vq[t.i]) AS BIGINT) AS sm,
+               count(*) AS n
+        FROM a1 JOIN q USING (vec_id),
+             (SELECT unnest(range(1, {dim + 1})) AS i) t
+        GROUP BY a1.cid, t.i)
+    GROUP BY cid
+), a2 AS (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d_expr}, c.cid) AS rn
+        FROM q v CROSS JOIN c1 c)
+    WHERE rn = 1
+)
+SELECT a2.cid AS cluster_id, count(*) AS n_members,
+       CAST(sum(list_sum(q.vq)) AS BIGINT) AS coord_sum
+FROM a2 JOIN q USING (vec_id)
+GROUP BY a2.cid
+"""
+
+
+@query("kmeans_lloyd_two_iters", oracle=_kmeans_oracle_sql())
+def kmeans_lloyd_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (Lloyd's algorithm), two iterations, EXACTLY replayed by
+    the SQL oracle — the iterative-ML pattern with a hash-checkable
+    result. The trick making a float-centroid algorithm cross-engine
+    exact: coords quantize to integer millis and a centroid is never
+    materialized as floats — it stays the rational (Σ-vector, count),
+    so squared-distance·n² is integer arithmetic, converted to DOUBLE
+    once for the argmin (identical in both engines; ties break on
+    centroid id).
+
+    Scale shape per iteration: assignment = corpus ⨯ broadcast
+    k-centroids (k·dim ints — model-sized), argmin via a vec_id-keyed
+    window; update = posexplode to (cid, dim) partial sums — the
+    mergeable-state form (never collect_list of vectors). Driver holds
+    nothing; iterations chain as one lazy plan. More iterations = the
+    same two stages repeated; a convergence loop would check
+    assignment-change counts per round (deliberately fixed at 2 here
+    so the oracle is finitely expressible)."""
+    k, dim = 8, 64
+    e = _lt(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("vq"),
+    )
+    init = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("vq").alias("s"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        j = vecs.crossJoin(F.broadcast(cents))
+        dist2 = F.aggregate(
+            F.zip_with(
+                "vq",
+                "s",
+                lambda v, sc: (v * F.col("n") - sc) * (v * F.col("n") - sc),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double") / (F.col("n") * F.col("n"))
+        w = W.partitionBy("vec_id").orderBy(dist2, "cid")
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            assigned.join(q, "vec_id")
+            .select("cid", F.posexplode("vq").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+        )
+        return per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sm"))),
+                lambda st: st["sm"],
+            ).alias("s"),
+            F.min("n").alias("n"),
+        )
+
+    a2 = assign(q, update(assign(q, init)))
+    return (
+        a2.join(q, "vec_id")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                F.aggregate("vq", F.lit(0).cast("long"), lambda a, x: a + x)
+            ).alias("coord_sum"),
+        )
+    )

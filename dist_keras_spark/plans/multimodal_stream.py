@@ -499,3 +499,112 @@ def streaming_watermark_late_drop_live(spark: SparkSession, sf_dir: str) -> Data
     return spark.table(name).select(
         F.col("window.start").alias("window_start"), "n", "sum_value"
     )
+
+
+@query(
+    "streaming_left_outer_join_live",
+    oracle="""
+WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT a.user_id AS ua, a.event_id AS eid_a, b.event_id AS eid_b
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 5 MINUTE
+UNION ALL
+SELECT e.user_id AS ua, e.event_id AS eid_a, NULL AS eid_b
+FROM events e, m
+WHERE NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = e.user_id AND e.event_id < b.event_id
+      AND b.ts >= e.ts AND b.ts <= e.ts + INTERVAL 5 MINUTE)
+  AND e.ts + INTERVAL 5 MINUTE < m.mx - INTERVAL 10 MINUTE
+""",
+)
+def streaming_left_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, live: matched pairs
+    emit like the inner join; an UNMATCHED left row emits with NULLs
+    only once the watermark proves no match can still arrive (its
+    5-minute match window closed below the eviction watermark). That
+    emission happens during state cleanup of a LATER batch — so the
+    source is staged as two files (the second re-delivers the oldest
+    slice, accepted under the two-watermark grace period), guaranteeing
+    a cleanup pass with the final watermark max(ts) − 10 min.
+
+    The oracle replicates both halves exactly: the inner pairs, plus
+    NOT-EXISTS lefts whose window end < max − 10 min (lefts expiring
+    above that stay in state forever and must NOT appear). µs noise in
+    the fixture keeps every boundary strict, so eviction's `<` vs `≤`
+    cannot flip a row.
+
+    Scale: join state is bounded by the time constraint on BOTH sides
+    (the only outer join that survives unbounded streams); cleanup is
+    watermark-driven, no manual TTLs."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    e = _lt(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    mx = e.agg(F.max("ts")).first()[0]
+    old = (F.col("event_id") % 3 == 1) & (
+        F.col("ts") < F.lit(mx - dt.timedelta(hours=1))
+    )
+    src = scratch_path(spark, "soj_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = scratch_path(spark, "soj_tmp_" + uuid.uuid4().hex[:8])
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    now = os.stat(src).st_mtime
+    stage(e.filter(~old), "a-batch0.parquet", now - 200)
+    stage(e.filter(old), "b-batch1.parquet", now - 100)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    a = stream.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_id").alias("eid_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "10 minutes")
+    b = stream.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("eid_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "10 minutes")
+    cond = (
+        (F.col("ua") == F.col("ub"))
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    out = a.join(b, cond, "leftOuter").select("ua", "eid_a", "eid_b")
+    name = "soj" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= 2, f"expected >=2 data micro-batches, got {n_batches}"
+    res = spark.table(name)
+    assert res.filter(F.col("eid_b").isNull()).limit(1).count() == 1, (
+        "no null-extended rows emitted — outer-join state cleanup never ran"
+    )
+    return res

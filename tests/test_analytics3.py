@@ -424,3 +424,81 @@ def test_udtf_table_arg_partition_isolation(spark):
         ).collect()
     }
     assert got == {1: (2, "a", "b"), 2: (3, "x", "z")}
+
+
+def test_kmeans_matches_pure_python(spark, sf_dir):
+    """Two Lloyd iterations re-run in pure Python over the same
+    quantized integers — cluster sizes and coord sums must match
+    exactly (the whole point of the rational-centroid formulation)."""
+    got = {
+        r.cluster_id: (r.n_members, r.coord_sum)
+        for r in QUERIES["kmeans_lloyd_two_iters"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {
+        r.vec_id: [round(float(x) * 1000) for x in r.embedding] for r in rows
+    }
+    k = 8
+    cents = {
+        vid: (vecs[vid], 1) for vid in sorted(vecs)[:k]
+    }  # cid -> (sum_vector, count)
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            best = None
+            for cid in sorted(cents):
+                s, n = cents[cid]
+                d = sum((x * n - sx) ** 2 for x, sx in zip(v, s)) / float(n * n)
+                if best is None or (d, cid) < best[:2]:
+                    best = (d, cid)
+            out[vid] = best[1]
+        return out
+
+    a1 = assign(cents)
+    c1 = {}
+    for vid, cid in a1.items():
+        s, n = c1.get(cid, ([0] * 64, 0))
+        c1[cid] = ([a + b for a, b in zip(s, vecs[vid])], n + 1)
+    a2 = assign(c1)
+    expect = {}
+    for vid, cid in a2.items():
+        n, s = expect.get(cid, (0, 0))
+        expect[cid] = (n + 1, s + sum(vecs[vid]))
+    assert got == expect
+
+
+def test_left_outer_join_null_rows_are_truly_unmatched(spark, sf_dir):
+    """Every null-extended left has NO qualifying match in the full
+    batch data, and every matched pair appears identically in a batch
+    join."""
+    import datetime as dt
+
+    res = QUERIES["streaming_left_outer_join_live"](spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts").collect()
+    by_user: dict[int, list] = {}
+    for r in e:
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.ts))
+    def has_match(uid, eid, ts):
+        return any(
+            eid < e2 and ts <= t2 <= ts + dt.timedelta(minutes=5)
+            for e2, t2 in by_user[uid]
+        )
+    ts_of = {r.event_id: r.ts for r in e}
+    nulls = [r for r in res if r.eid_b is None]
+    assert nulls, "expected null-extended rows"
+    for r in nulls:
+        assert not has_match(r.ua, r.eid_a, ts_of[r.eid_a]), r
+    matched = [(r.ua, r.eid_a, r.eid_b) for r in res if r.eid_b is not None]
+    expect_pairs = [
+        (uid, e1, e2)
+        for uid, lst in by_user.items()
+        for e1, t1 in lst
+        for e2, t2 in lst
+        if e1 < e2 and t1 <= t2 <= t1 + dt.timedelta(minutes=5)
+    ]
+    assert sorted(matched) == sorted(expect_pairs)
