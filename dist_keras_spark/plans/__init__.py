@@ -109,7 +109,10 @@ registry.promote(
 # concurrent_intervals_peak, sequence_pattern_match,
 # revenue_mom_growth, rfm_segment_quantile,
 # weighted_median_by_supplier, pareto_frontier_brand,
-# corr_sufficient_stats, streaming_watermark_late_drop_live. The
+# corr_sufficient_stats, streaming_watermark_late_drop_live,
+# dpp_partitioned_join, manifest_skipping_scan, events_path_top10,
+# custom_datasource_write_roundtrip, udtf_table_arg_summary,
+# streaming_left_outer_join_live, kmeans_lloyd_two_iters. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 

@@ -766,3 +766,143 @@ def corr_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sy",
         F.floor(1000000.0 * num / den).cast("long").alias("corr_micro"),
     )
+
+
+@query(
+    "events_funnel_within_24h",
+    oracle="""
+WITH s AS (
+    SELECT user_id, min(ts) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t1
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts > s.t0
+      AND e.ts <= s.t0 + INTERVAL 24 HOUR
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      AND e.ts <= c.t1 + INTERVAL 24 HOUR
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s) AS step_signup,
+       (SELECT count(*) FROM c) AS step_click_24h,
+       (SELECT count(*) FROM p) AS step_purchase_24h
+""",
+)
+def events_funnel_within_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: each step must happen within 24
+    hours of the previous step's first completion — the form product
+    teams actually ship (an unbounded funnel overcounts eternal
+    laggards). Same three aggregate-then-join rounds as
+    events_funnel_steps, all keyed user_id, with the conversion window
+    as an extra join-side predicate; the windowing changes NOTHING
+    about the scale shape."""
+    e = _lt(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 24 HOURS")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("t0")) & (F.col("ts") <= F.col("t0") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("step_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click_24h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase_24h")))
+    )
+
+
+@query(
+    "triangle_count_brands",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), pairs AS (
+    SELECT a.p_brand AS x, b.p_brand AS y, count(*) AS n_ab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+), thresh AS (
+    SELECT avg(n_ab) AS mean_ab FROM pairs
+), edges AS (
+    SELECT x, y FROM pairs, thresh WHERE n_ab >= mean_ab
+), tri AS (
+    SELECT e1.x AS a, e1.y AS b, e2.y AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.y = e2.x
+    JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y
+)
+SELECT (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(*) FROM tri) AS n_triangles
+""",
+)
+def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-motif analytics: triangle count over the brand
+    co-occurrence graph (edge = brand pair bought together at least
+    the mean pair-count — mean-relative because the fixture is uniform
+    and fixed thresholds collapse across SFs). Canonical a<b<c
+    orientation makes each triangle count exactly once via two
+    edge-keyed equi-joins.
+
+    Scale: the graph is brand-cardinality-sized (≤300 edges at any SF)
+    — the heavy lifting is the basket aggregation, shared with
+    market_basket_lift. On a large vertex set the same plan holds
+    after degree-ordering each edge (low-degree endpoint first), the
+    standard bound on the e1⋈e2 wedge explosion."""
+    l = _lt(spark, sf_dir, "lineitem")
+    p = _lt(spark, sf_dir, "part")
+    baskets = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    thresh = pairs.agg(F.avg("n_ab").alias("mean_ab"))
+    edges = (
+        pairs.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_ab") >= F.col("mean_ab"))
+        .select("x", "y")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.y") == F.col("e2.x"))
+        .join(
+            e3,
+            (F.col("e3.x") == F.col("e1.x")) & (F.col("e3.y") == F.col("e2.y")),
+        )
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

@@ -1106,3 +1106,57 @@ def udtf_table_arg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM user_journey_summary("
         "TABLE(events) PARTITION BY user_id ORDER BY (ts, event_id))"
     )
+
+
+@query(
+    "bucket_pruning_scan",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_custkey = 42
+""",
+)
+def bucket_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket pruning: an equality filter on the bucketing key reads
+    ONLY the one bucket file that can contain it — the plan's
+    SelectedBucketsCount must show 1 of 8 (asserted in-query). This is
+    hash-based data skipping with no directory layout at all,
+    completing the pruning triptych: hive partitions
+    (partitioned_sink_prune), zone-map manifests
+    (manifest_skipping_scan), bucket hashing (here).
+
+    At 100 TB a point lookup on a bucketed fact touches 1/N of the
+    files with zero metadata service — the poor man's index."""
+    base = scratch_path(spark, "bucket_prune")
+    o = _lt(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    (
+        o.write.mode("overwrite")
+        .option("path", f"{base}/orders_bp")
+        .bucketBy(8, "o_custkey")
+        .saveAsTable("graft_orders_bprune")
+    )
+    # autoBucketedScan drops the bucketed layout when the plan has no
+    # shuffle to save ("Bucketed: false (disabled by query planner)"),
+    # which ALSO forfeits bucket pruning on a pure point lookup — turn
+    # it off so the filter can prune to the single matching bucket.
+    # Left set for the session: it only affects catalog bucketed-table
+    # reads, where forcing the bucketed layout never hurts (the
+    # co-located-join query wants it too).
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    out = (
+        spark.table("graft_orders_bprune")
+        .filter(F.col("o_custkey") == 42)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SelectedBucketsCount: 1 out of 8" in plan, (
+        "bucket pruning did not engage:\n" + plan[:1500]
+    )
+    return out

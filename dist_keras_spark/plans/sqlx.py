@@ -136,3 +136,29 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower(F.col("pri_ci").cast("string")).alias("pri_ci"), "n")
     )
+
+
+# Modern SQL sugar shared verbatim by both engines: GROUP BY ALL groups
+# on every non-aggregate select item, ORDER BY ALL orders by the whole
+# select list left-to-right — the dbt-era idiom both Spark 4 and DuckDB
+# adopted. Integer cents keep the sums hash-exact.
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("sql_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 GROUP BY ALL / ORDER BY ALL — same query text on both
+    engines (strongest parity form). Lowering is identical to the
+    explicit-keys query: one partial/final hash aggregate; ORDER BY
+    ALL is a 4-row sort of the aggregate output."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GROUP_BY_ALL_SQL)

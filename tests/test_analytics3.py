@@ -502,3 +502,47 @@ def test_left_outer_join_null_rows_are_truly_unmatched(spark, sf_dir):
         if e1 < e2 and t1 <= t2 <= t1 + dt.timedelta(minutes=5)
     ]
     assert sorted(matched) == sorted(expect_pairs)
+
+
+def test_funnel_24h_bounded_by_unbounded(spark, sf_dir):
+    """Each time-bounded step count is <= the unbounded funnel's and
+    step counts are monotone non-increasing."""
+    b = QUERIES["events_funnel_within_24h"](spark, sf_dir).first()
+    u = QUERIES["events_funnel_steps"](spark, sf_dir).first()
+    assert b.step_signup == u.step_signup
+    assert b.step_click_24h <= u.step_click
+    assert b.step_signup >= b.step_click_24h >= b.step_purchase_24h
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Triangles recomputed with itertools over the same thresholded
+    edge set."""
+    import itertools
+
+    got = QUERIES["triangle_count_brands"](spark, sf_dir).first()
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set] = {}
+    for r in baskets:
+        by_order.setdefault(r.l_orderkey, set()).add(r.p_brand)
+    pair_n: dict[tuple, int] = {}
+    for brands in by_order.values():
+        for a, b in itertools.combinations(sorted(brands), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    mean = sum(pair_n.values()) / len(pair_n)
+    edges = {p for p, n in pair_n.items() if n >= mean}
+    nodes = sorted({x for e in edges for x in e})
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert (got.n_edges, got.n_triangles) == (len(edges), tri)

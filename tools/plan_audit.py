@@ -103,6 +103,10 @@ AUDITED = {
     "dpp_partitioned_join": "runtime dynamicpruning subquery injected into the partitioned fact scan (asserted in-query); dim filter must be likely-selective — a bare boolean attribute is boolean-simplified away and declines the rule",
     "manifest_skipping_scan": "zone-map skipping: per-file min/max manifest prunes the file list BEFORE the scan (asserted pruned < total); residual row filter keeps results exact",
     "events_path_top10": "two lead() on ONE user-keyed window (n-gram over sequence, no self-joins); ≤125-group agg; TakeOrderedAndProject",
+    "custom_datasource_write_roundtrip": "custom Python sink: per-task executor writes, driver commit publishes a manifest of exactly the committed files — torn writes unpublished; only filenames reach the driver",
+    "udtf_table_arg_summary": "SQL-declared per-partition Python via UDTF TABLE argument — one shuffle on the PARTITION BY key, O(1) UDTF state, ArrowEvalPythonUDTF (gate-clean)",
+    "streaming_left_outer_join_live": "watermark-bounded stream-stream outer join state; null emission via state cleanup in a later batch (2-file staging); the only outer join that survives unbounded streams",
+    "kmeans_lloyd_two_iters": "per iteration: broadcast k-centroid cross join + vec_id-keyed argmin window; mergeable posexplode centroid update — integer-exact rational centroids, nothing collected",
 }
 
 
