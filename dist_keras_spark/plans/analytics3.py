@@ -906,3 +906,124 @@ def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+@query(
+    "pagerank_two_iters",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), pairs AS (
+    SELECT a.p_brand AS x, b.p_brand AS y, count(*) AS n_ab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+), thresh AS (SELECT avg(n_ab) AS mean_ab FROM pairs),
+edges AS (
+    SELECT x AS src, y AS dst FROM pairs, thresh WHERE n_ab >= mean_ab
+    UNION ALL
+    SELECT y AS src, x AS dst FROM pairs, thresh WHERE n_ab >= mean_ab
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+    SELECT node, CAST(1000000000000 // n AS BIGINT) AS r FROM nodes, nn
+), r1 AS (
+    SELECT e.dst AS node,
+           CAST(1000000000000 * 15 // 100 // nn.n
+                + 85 * sum(r0.r // deg.d) // 100 AS BIGINT) AS r
+    FROM edges e
+    JOIN r0 ON r0.node = e.src
+    JOIN deg ON deg.node = e.src
+    CROSS JOIN nn
+    GROUP BY e.dst, nn.n
+), r2 AS (
+    SELECT e.dst AS node,
+           CAST(1000000000000 * 15 // 100 // nn.n
+                + 85 * sum(r1.r // deg.d) // 100 AS BIGINT) AS r
+    FROM edges e
+    JOIN r1 ON r1.node = e.src
+    JOIN deg ON deg.node = e.src
+    CROSS JOIN nn
+    GROUP BY e.dst, nn.n
+)
+SELECT r2.node AS brand, r2.r AS rank_fp, CAST(deg.d AS BIGINT) AS degree
+FROM r2 JOIN deg ON deg.node = r2.node
+""",
+)
+def pagerank_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, two exact iterations over the brand co-occurrence
+    graph — the iterative-graph-algorithm pattern with a hash-exact
+    oracle. Ranks live in 1e12 fixed point; every step is positive-
+    integer arithmetic (floor division is identical in both engines on
+    positive operands), so there is no float drift for the hash to
+    trip on. Damping 0.85, uniform teleport.
+
+    Scale shape per iteration: one join of the edge list with the
+    current rank vector (both keyed on the source node), one dst-keyed
+    aggregation — the standard message-passing round. Iterations chain
+    lazily; at web scale the same loop runs with the rank vector
+    checkpointed per round and AQE handling the power-law skew (the
+    salting valve in operators/skew.py applies to hub nodes). The
+    fixture graph is brand-sized; the heavy work is the shared basket
+    aggregation."""
+    l = _lt(spark, sf_dir, "lineitem")
+    p = _lt(spark, sf_dir, "part")
+    baskets = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    thresh = pairs.agg(F.avg("n_ab").alias("mean_ab"))
+    und = pairs.crossJoin(F.broadcast(thresh)).filter(
+        F.col("n_ab") >= F.col("mean_ab")
+    )
+    edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("src").alias("node"),
+        F.expr("1000000000000 div n").alias("r"),
+    )
+
+    def step(rank: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        return (
+            contrib.crossJoin(F.broadcast(n_nodes))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("1000000000000 * 15 div 100 div n + 85 * sc div 100").alias(
+                    "r"
+                ),
+            )
+        )
+
+    r2 = step(step(r))
+    return (
+        r2.join(deg.withColumnRenamed("src", "node"), "node")
+        .select(
+            F.col("node").alias("brand"),
+            F.col("r").alias("rank_fp"),
+            F.col("d").alias("degree"),
+        )
+    )

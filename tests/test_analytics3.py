@@ -546,3 +546,48 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
         if (a, b) in edges and (b, c) in edges and (a, c) in edges
     )
     assert (got.n_edges, got.n_triangles) == (len(edges), tri)
+
+
+def test_pagerank_matches_pure_python(spark, sf_dir):
+    """Two fixed-point iterations recomputed in Python integers."""
+    import itertools
+
+    got = {
+        r.brand: (r.rank_fp, r.degree)
+        for r in QUERIES["pagerank_two_iters"](spark, sf_dir).collect()
+    }
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "part"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .collect()
+    )
+    by_order: dict[int, set] = {}
+    for r in baskets:
+        by_order.setdefault(r.l_orderkey, set()).add(r.p_brand)
+    pair_n: dict[tuple, int] = {}
+    for brands in by_order.values():
+        for a, b in itertools.combinations(sorted(brands), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    mean = sum(pair_n.values()) / len(pair_n)
+    und = [p for p, n in pair_n.items() if n >= mean]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    S = 1000000000000
+    r0 = {v: S // n for v in deg}
+
+    def step(rk):
+        out: dict[str, int] = {}
+        for s, d in edges:
+            out[d] = out.get(d, 0) + rk[s] // deg[s]
+        return {v: S * 15 // 100 // n + 85 * c // 100 for v, c in out.items()}
+
+    r2 = step(step(r0))
+    assert got == {v: (r2[v], deg[v]) for v in r2}

@@ -71,6 +71,26 @@ EXTENDED = [
     "events_ohlc_daily",
     "events_time_weighted_avg",
     "incremental_rollup_merge",
+    # round 6, second/third wave
+    "market_basket_lift",
+    "cdc_snapshot_diff",
+    "scd2_from_events",
+    "concurrent_intervals_peak",
+    "sequence_pattern_match",
+    "revenue_mom_growth",
+    "rfm_segment_quantile",
+    "weighted_median_by_supplier",
+    "pareto_frontier_brand",
+    "corr_sufficient_stats",
+    "manifest_skipping_scan",
+    "events_path_top10",
+    "kmeans_lloyd_two_iters",
+    "events_funnel_within_24h",
+    "triangle_count_brands",
+    "udtf_table_arg_summary",
+    "win_moving_median",
+    "attribution_linear_touch",
+    "knn_ivf_persisted_top5",
 ]
 
 

@@ -107,6 +107,10 @@ AUDITED = {
     "udtf_table_arg_summary": "SQL-declared per-partition Python via UDTF TABLE argument — one shuffle on the PARTITION BY key, O(1) UDTF state, ArrowEvalPythonUDTF (gate-clean)",
     "streaming_left_outer_join_live": "watermark-bounded stream-stream outer join state; null emission via state cleanup in a later batch (2-file staging); the only outer join that survives unbounded streams",
     "kmeans_lloyd_two_iters": "per iteration: broadcast k-centroid cross join + vec_id-keyed argmin window; mergeable posexplode centroid update — integer-exact rational centroids, nothing collected",
+    "bucket_pruning_scan": "point lookup reads 1 of 8 buckets (SelectedBucketsCount asserted); autoBucketedScan off or the planner drops layout AND pruning — hash data-skipping with no directories",
+    "sql_group_by_all": "GROUP BY ALL lowers to the identical partial/final hash aggregate as explicit keys; ORDER BY ALL sorts the 4-row aggregate output",
+    "events_funnel_within_24h": "same three user_id-keyed aggregate+join rounds as the unbounded funnel; conversion windows are join-side predicates, zero new shuffles",
+    "triangle_count_brands": "basket aggregation is the only data-sized work; the edge graph is brand-cardinality-sized; wedge join bounded by degree-ordering at scale (docstring)",
 }
 
 
