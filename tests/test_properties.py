@@ -163,3 +163,117 @@ def test_asof_forward_backward_duality(spark, lts, rts):
         ).collect()
     }
     assert fwd == bwd
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=1, max_value=20),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_intervals)
+def test_sweepline_peak_matches_bruteforce(spark, iv):
+    """Sweep-line peak == brute-force max overlap over half-open
+    [s, s+d) intervals, evaluated at every start point."""
+    from pyspark.sql import Window as W
+
+    rows = [(1, s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    sweep = df.select("k", F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        df.select("k", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = W.partitionBy("k").orderBy("t", "d").rowsBetween(W.unboundedPreceding, 0)
+    got = (
+        sweep.withColumn("r", F.sum("d").over(w))
+        .agg(F.max("r"))
+        .first()[0]
+    )
+    expect = max(
+        sum(1 for s, d in iv if s <= t < s + d) for t in {s for s, _ in iv}
+    )
+    assert got == expect
+
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_points)
+def test_skyline_window_sweep_matches_dominance(spark, pts):
+    """The RANGE-window skyline formulation == the O(n²) dominance
+    definition (minimize price, maximize size), on arbitrary points
+    including duplicates and price ties."""
+    from pyspark.sql import Window as W
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid long, price long, size long")
+    w_strict = W.orderBy("price").rangeBetween(W.unboundedPreceding, -1)
+    w_tie = W.orderBy("price").rangeBetween(0, 0)
+    flagged = df.select(
+        "pid",
+        F.max("size").over(w_strict).alias("mc"),
+        F.max("size").over(w_tie).alias("mt"),
+        "price",
+        "size",
+    )
+    dominated = (
+        F.coalesce(F.col("mc") >= F.col("size"), F.lit(False))
+    ) | (F.col("mt") > F.col("size"))
+    got = {r.pid for r in flagged.filter(~dominated).collect()}
+    expect = {
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            q <= p and t >= s and (q < p or t > s) for q, t in pts
+        )
+    }
+    assert got == expect
+
+
+_weighted = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=100),  # value
+        st.integers(min_value=1, max_value=9),  # weight
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_weighted)
+def test_weighted_median_cumulative_property(spark, wv):
+    """Lower weighted median: the smallest value v (by the full sort
+    order) whose cumulative weight reaches half the total."""
+    from pyspark.sql import Window as W
+
+    rows = [(i, v, w) for i, (v, w) in enumerate(wv)]
+    df = spark.createDataFrame(rows, "rid long, v long, w long")
+    wc = W.orderBy("v", "rid").rowsBetween(W.unboundedPreceding, 0)
+    cum = df.select(
+        "v",
+        F.sum("w").over(wc).alias("c"),
+        F.sum("w").over(W.partitionBy()).alias("total"),
+    )
+    got = cum.filter(2 * F.col("c") >= F.col("total")).agg(F.min("v")).first()[0]
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    total = sum(w for _, _, w in ordered)
+    acc = 0
+    for _, v, w in ordered:
+        acc += w
+        if 2 * acc >= total:
+            expect = v
+            break
+    assert got == expect
