@@ -112,7 +112,9 @@ registry.promote(
 # corr_sufficient_stats, streaming_watermark_late_drop_live,
 # dpp_partitioned_join, manifest_skipping_scan, events_path_top10,
 # custom_datasource_write_roundtrip, udtf_table_arg_summary,
-# streaming_left_outer_join_live, kmeans_lloyd_two_iters. The
+# streaming_left_outer_join_live, kmeans_lloyd_two_iters,
+# bucket_pruning_scan, sql_group_by_all, events_funnel_within_24h,
+# triangle_count_brands, pagerank_two_iters. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 
