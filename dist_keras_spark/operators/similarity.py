@@ -402,7 +402,23 @@ def build_ivf_index(
     every vector) is paid at WRITE time, and every later search scans
     only its probed cells' directories — partition pruning does the
     n_probe/n_cells cost cut at the storage layer instead of inside
-    the query. Returns the centroid matrix."""
+    the query. Returns the centroid matrix.
+
+    Idempotent: if the index was already materialized at `path` (its
+    `_centroids` sidecar exists), the build is skipped and the
+    persisted centroids are returned — build-ONCE means repeat
+    callers in the same session (bench warm-ups, retries) reuse the
+    on-disk index instead of re-paying the assignment pass."""
+    import os
+
+    spark0 = corpus.sparkSession
+    if os.path.isdir(f"{path}/_centroids"):
+        rows = (
+            spark0.read.parquet(f"{path}/_centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        return np.array([r.centroid for r in rows])
     cents_raw = sample_centroids(corpus, id_col, vec_col, n_cells, seed)
     cents = cents_raw / np.maximum(
         np.linalg.norm(cents_raw, axis=1, keepdims=True), 1e-12
