@@ -111,6 +111,8 @@ AUDITED = {
     "sql_group_by_all": "GROUP BY ALL lowers to the identical partial/final hash aggregate as explicit keys; ORDER BY ALL sorts the 4-row aggregate output",
     "events_funnel_within_24h": "same three user_id-keyed aggregate+join rounds as the unbounded funnel; conversion windows are join-side predicates, zero new shuffles",
     "triangle_count_brands": "basket aggregation is the only data-sized work; the edge graph is brand-cardinality-sized; wedge join bounded by degree-ordering at scale (docstring)",
+    "pagerank_two_iters": "message-passing rounds: edge⋈rank keyed on src, dst-keyed aggregation; 1e12 fixed-point positive-int arithmetic — no float drift across engines",
+    "logistic_newton_step": "one partial-aggregated scan per Newton step (5 int sums per group) + model-sized closed-form solve — the IRLS-at-scale iteration shape",
 }
 
 
