@@ -350,3 +350,61 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@query(
+    "events_session_dynamic_gap",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'purchase'
+                THEN ts + INTERVAL 60 MINUTE
+                ELSE ts + INTERVAL 30 MINUTE END AS reach
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts <= max(reach) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 0 ELSE 1 END AS new_sess
+    FROM g
+), numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, sid
+""",
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 extension: session windows with a PER-EVENT gap — purchases
+    hold a session open for 60 minutes, everything else 30
+    (`F.session_window` with a conditional gap expression, Spark's
+    dynamic-gap form). Semantically each event claims the interval
+    [ts, ts+gap) and overlapping claims merge, so the oracle's
+    gaps-and-islands flag is a RUNNING MAX of interval ends — a
+    previous long-gap event can bridge past a nearer short-gap one,
+    which the plain lag-based rule (fixed-gap oracle) would get wrong.
+
+    Scale: identical to the fixed-gap session plan — one user-keyed
+    shuffle, session state merged by the aggregation itself."""
+    e = _lt(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+            "sum_value",
+        )
+    )

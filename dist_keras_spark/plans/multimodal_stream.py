@@ -608,3 +608,61 @@ def streaming_left_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFram
         "no null-extended rows emitted — outer-join state cleanup never ran"
     )
     return res
+
+
+@query(
+    "arrow_blob_stats",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       ascii(substring(text, 1, 1)) AS first_byte,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_words
+FROM documents
+""",
+)
+def arrow_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-family completion: `mapInArrow` — the ZERO-COPY Python
+    boundary. Batches arrive as pyarrow RecordBatch (no pandas
+    conversion, no object boxing); byte lengths, first bytes and
+    space counts are computed with pyarrow.compute kernels on the
+    binary/string arrays directly. This is the right API tier for
+    byte-level media work at 100 TB: pandas adds a copy + dtype
+    coercion per batch that Arrow-native code skips.
+
+    The blob is the utf-8 encoding of `text` (fixtures ship no real
+    media), so every statistic is exactly replayable in SQL — the
+    protocol under test is the Arrow batch path, not the math."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = attach_blob(_lt(spark, sf_dir, "documents")).select(
+        "doc_id", "blob", "text"
+    )
+
+    def stats(batches):
+        for batch in batches:
+            blob = batch.column("blob")
+            text = batch.column("text")
+            n_bytes = pc.binary_length(blob)
+            # first byte via index_in against the 256-byte dictionary
+            # (no binary->list cast kernel exists; the dictionary index
+            # IS the byte value)
+            byte_dict = pa.array([bytes([i]) for i in range(256)], pa.binary())
+            first = pc.index_in(pc.binary_slice(blob, 0, 1), value_set=byte_dict)
+            n_words = pc.add(
+                pc.count_substring(text, " "), pa.scalar(1, pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(n_bytes, pa.int32()),
+                    pc.cast(first, pa.int32()),
+                    pc.cast(n_words, pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "first_byte", "n_words"],
+            )
+
+    return d.mapInArrow(
+        stats, "doc_id long, n_bytes int, first_byte int, n_words long"
+    )

@@ -621,3 +621,48 @@ def test_logistic_newton_step_matches_numpy(spark, sf_dir):
         assert abs(r.beta0_micro - np.floor(1e6 * beta[0])) <= 1
         assert abs(r.beta1_micro - np.floor(1e6 * beta[1])) <= 1
         assert r.n == len(g) and r.n_pos == int(g.y.sum())
+
+
+def test_dynamic_gap_bridges_past_short_gap_event(spark):
+    """The case where running-max-end semantics differ from the naive
+    lag rule: a long-gap event bridges past a nearer short-gap event.
+      t=0 purchase (gap 60m, reach 60m)
+      t=25m view   (gap 30m, reach 55m)
+      t=58m view   — within the PURCHASE's reach (60m) but past the
+                     previous view's reach (55m): still SAME session.
+    """
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "purchase", 1.0),
+        (1, 2, t0 + dt.timedelta(minutes=25), "view", 1.0),
+        (1, 3, t0 + dt.timedelta(minutes=58), "view", 1.0),
+        # and one clearly past every reach -> new session
+        (1, 4, t0 + dt.timedelta(minutes=200), "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    got = (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n")
+        .collect()
+    )
+    assert sorted(r.n for r in got) == [1, 3]
+
+
+def test_map_in_arrow_matches_python(spark, sf_dir):
+    """mapInArrow stats == plain Python recompute over the same docs."""
+    got = {
+        r.doc_id: (r.n_bytes, r.first_byte, r.n_words)
+        for r in QUERIES["arrow_blob_stats"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for r in docs:
+        raw = r.text.encode("utf-8")
+        assert got[r.doc_id] == (len(raw), raw[0], r.text.count(" ") + 1)
