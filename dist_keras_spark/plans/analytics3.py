@@ -1106,3 +1106,92 @@ def logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(1000000.0 * b0).cast("long").alias("beta0_micro"),
         F.floor(1000000.0 * b1).cast("long").alias("beta1_micro"),
     )
+
+
+@query(
+    "point_in_time_features",
+    oracle="""
+WITH p AS (
+    SELECT user_id, event_id AS label_id, ts,
+           CAST(floor(value * 100) AS BIGINT) AS v
+    FROM events WHERE event_type = 'purchase'
+), f2 AS (
+    SELECT user_id, label_id, ts,
+           count(*) OVER wprev AS prior_n,
+           CAST(coalesce(sum(v) OVER wprev, 0) AS BIGINT)
+               AS prior_spend_cents
+    FROM p
+    WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, label_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), c AS (
+    SELECT user_id, ts, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cc
+    FROM events WHERE event_type = 'click'
+), f1 AS (
+    SELECT label_id, cc FROM (
+        SELECT f2.label_id, c.cc,
+               row_number() OVER (PARTITION BY f2.label_id
+                                  ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM f2 JOIN c ON c.user_id = f2.user_id AND c.ts <= f2.ts)
+    WHERE rn = 1
+)
+SELECT f2.user_id, f2.label_id, f2.prior_n, f2.prior_spend_cents,
+       f1.cc AS last_click_cents
+FROM f2 LEFT JOIN f1 USING (label_id)
+""",
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time training-set assembly: for every
+    purchase (the label spine), gather features AS OF that instant —
+    the customer's prior purchase count/spend (window, unbounded→−1
+    frame: never sees the label row or the future) and the last click
+    value at-or-before the label (backward as-of join). This is THE
+    leakage-safe construction every ML training pipeline needs; doing
+    it with a plain join-and-filter silently leaks future data.
+
+    Scale shape: the prior-spend window and the as-of join both key on
+    user_id — one data-scaling shuffle key end to end; the as-of leg
+    is the union+window plan (operators/asof.py), never a range-join
+    explosion. Adding more feature tables = more as-of legs on the
+    same key."""
+    from dist_keras_spark.operators.asof import asof_join
+
+    e = _lt(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("label_id"),
+        "ts",
+        cents.alias("v"),
+    )
+    wprev = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "label_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    f2 = p.select(
+        "user_id",
+        "label_id",
+        "ts",
+        F.count(F.lit(1)).over(wprev).alias("prior_n"),
+        F.coalesce(F.sum("v").over(wprev), F.lit(0)).alias("prior_spend_cents"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        "event_id",
+        cents.alias("last_click_cents"),
+    )
+    out = asof_join(
+        f2,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        value_cols=["last_click_cents"],
+        how="left",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "label_id", "prior_n", "prior_spend_cents", "last_click_cents"
+    )

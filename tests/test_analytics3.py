@@ -666,3 +666,37 @@ def test_map_in_arrow_matches_python(spark, sf_dir):
     for r in docs:
         raw = r.text.encode("utf-8")
         assert got[r.doc_id] == (len(raw), raw[0], r.text.count(" ") + 1)
+
+
+def test_point_in_time_no_leakage(spark, sf_dir):
+    """Recompute per label in Python: prior stats use strictly earlier
+    purchases only; the click feature never comes from after the
+    label instant (leakage check)."""
+    got = {
+        r.label_id: (r.prior_n, r.prior_spend_cents, r.last_click_cents)
+        for r in QUERIES["point_in_time_features"](spark, sf_dir).collect()
+    }
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    import math
+
+    purchases: dict[int, list] = {}
+    clicks: dict[int, list] = {}
+    for r in e:
+        c = math.floor(r.value * 100)
+        if r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append((r.ts, r.event_id, c))
+        elif r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append((r.ts, r.event_id, c))
+    for uid, ps in purchases.items():
+        ps.sort()
+        for i, (ts, eid, _) in enumerate(ps):
+            prior = ps[:i]
+            expect_n = len(prior)
+            expect_spend = sum(c for _, _, c in prior)
+            cands = [(t, e2, c) for t, e2, c in clicks.get(uid, []) if t <= ts]
+            expect_click = max(cands)[2] if cands else None
+            assert got[eid] == (expect_n, expect_spend, expect_click), eid
