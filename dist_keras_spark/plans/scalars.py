@@ -309,3 +309,64 @@ def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+@query(
+    "scalar_hof_suite",
+    oracle="""
+SELECT vec_id,
+       len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.2)) > 0
+           AS has_big,
+       len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) < 1.0))
+           = len(embedding) AS all_small,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0))
+            AS INT) AS n_pos,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(round(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT)))
+            AS BIGINT) AS l1_milli,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(round(abs(CAST(x AS DOUBLE)) * 1000) AS BIGINT)))
+            // len(embedding) AS BIGINT) AS mean_milli
+FROM embeddings
+""",
+)
+def scalar_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-arr depth: the higher-order-function quartet over the
+    embedding arrays — exists / forall / filter+size / aggregate, the
+    last with a FINISH lambda (struct accumulator → final projection),
+    the one HOF form nothing else in the suite exercises. Per-element
+    integer quantization (round·1000 per element, THEN sum) keeps the
+    fold exact, so `aggregate`'s left fold and DuckDB's list_sum agree
+    bit-for-bit; the mean uses integer division on positive operands
+    (portable).
+
+    All pure column expressions — whole-stage codegen, zero Python,
+    zero shuffles: the 100 TB cost is one scan."""
+    e = _lt(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    q = lambda x: F.round(F.abs(xd(x)) * 1000).cast("long")  # noqa: E731
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("c")
+    )
+    merge = lambda a, x: F.struct(  # noqa: E731
+        (a["s"] + q(x)).alias("s"), (a["c"] + 1).alias("c")
+    )
+    return e.select(
+        "vec_id",
+        F.exists("embedding", lambda x: xd(x) > 0.2).alias("has_big"),
+        F.forall("embedding", lambda x: F.abs(xd(x)) < 1.0).alias("all_small"),
+        F.size(F.filter("embedding", lambda x: xd(x) > 0)).alias("n_pos"),
+        F.aggregate(
+            "embedding", F.lit(0).cast("long"), lambda a, x: a + q(x)
+        ).alias("l1_milli"),
+        # finish: exact integer floor-division via subtract-mod (both
+        # operands positive), so no float ever enters the fold
+        F.aggregate(
+            "embedding",
+            acc0,
+            merge,
+            lambda a: (a["s"] - a["s"] % a["c"]) / a["c"],
+        )
+        .cast("long")
+        .alias("mean_milli"),
+    )

@@ -113,6 +113,9 @@ AUDITED = {
     "triangle_count_brands": "basket aggregation is the only data-sized work; the edge graph is brand-cardinality-sized; wedge join bounded by degree-ordering at scale (docstring)",
     "pagerank_two_iters": "message-passing rounds: edge⋈rank keyed on src, dst-keyed aggregation; 1e12 fixed-point positive-int arithmetic — no float drift across engines",
     "logistic_newton_step": "one partial-aggregated scan per Newton step (5 int sums per group) + model-sized closed-form solve — the IRLS-at-scale iteration shape",
+    "events_session_dynamic_gap": "per-event gap session_window — same one-user-shuffle plan as fixed-gap; oracle needs the running-max-of-interval-ends rule (lag-based rule is WRONG for dynamic gaps)",
+    "arrow_blob_stats": "mapInArrow: zero-copy pyarrow RecordBatches, compute kernels on the binary column — no pandas conversion in the batch path",
+    "point_in_time_features": "label window (unbounded→-1) + backward as-of leg share ONE user_id shuffle; leakage-safe by construction, no range-join explosion",
 }
 
 
