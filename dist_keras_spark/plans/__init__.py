@@ -114,7 +114,9 @@ registry.promote(
 # custom_datasource_write_roundtrip, udtf_table_arg_summary,
 # streaming_left_outer_join_live, kmeans_lloyd_two_iters,
 # bucket_pruning_scan, sql_group_by_all, events_funnel_within_24h,
-# triangle_count_brands, pagerank_two_iters. The
+# triangle_count_brands, pagerank_two_iters, logistic_newton_step,
+# events_session_dynamic_gap, arrow_blob_stats,
+# point_in_time_features, scalar_hof_suite. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 

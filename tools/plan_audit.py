@@ -116,6 +116,7 @@ AUDITED = {
     "events_session_dynamic_gap": "per-event gap session_window — same one-user-shuffle plan as fixed-gap; oracle needs the running-max-of-interval-ends rule (lag-based rule is WRONG for dynamic gaps)",
     "arrow_blob_stats": "mapInArrow: zero-copy pyarrow RecordBatches, compute kernels on the binary column — no pandas conversion in the batch path",
     "point_in_time_features": "label window (unbounded→-1) + backward as-of leg share ONE user_id shuffle; leakage-safe by construction, no range-join explosion",
+    "scalar_hof_suite": "exists/forall/filter/aggregate-with-finish as pure column expressions — whole-stage codegen, zero Python, zero shuffles; per-element int quantization keeps the fold exact",
 }
 
 
