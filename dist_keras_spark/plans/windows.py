@@ -244,3 +244,43 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med50"),
     )
+
+
+@query(
+    "win_locf_forward_fill",
+    oracle="""
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100) AS BIGINT) END
+                  IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS carried_purchase_cents
+FROM events
+""",
+)
+def win_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 depth: last-observation-carried-forward over the RAW fact —
+    every event carries the most recent purchase amount at-or-before
+    it (NULL before a user's first purchase). `last(expr,
+    ignorenulls=True)` over a running frame is the IGNORE NULLS
+    null-treatment surface; unlike the gap-fill query (which fills a
+    dim-sized spine) this propagates state across every fact row.
+
+    Scale: one user_id-keyed window (data-scaling key), O(1) frame
+    state — LOCF at 100 TB is exactly this plan."""
+    e = _lt(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    marked = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 100).cast("long"),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(marked, ignorenulls=True).over(w).alias("carried_purchase_cents"),
+    )
