@@ -1160,3 +1160,44 @@ def bucket_pruning_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket pruning did not engage:\n" + plan[:1500]
     )
     return out
+
+
+@query(
+    "compaction_roundtrip",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(floor(value * 100) AS BIGINT) AS value_cents
+FROM events
+""",
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance as a hash-verified query: events written as
+    32 deliberately tiny files (the accretion pattern of streaming
+    sinks / incremental loads), compacted with
+    sources.sinks.compact_parquet, then read back — the compacted
+    table must be byte-identical in content to the source, with the
+    file count strictly reduced (asserted). Scan cost at 100 TB is
+    dominated by file-open overhead once files ≪ the split size;
+    compaction is the maintenance job that keeps it amortized, and
+    its crash-safe rename dance (live dir set aside, never deleted
+    before the replacement lands) is documented at the operator."""
+    import glob
+
+    from dist_keras_spark.sources.sinks import compact_parquet
+
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    path = scratch_path(spark, "compact_rt")
+    e.repartition(32).write.mode("overwrite").parquet(path)
+    n_before = len(glob.glob(f"{path}/part-*.parquet"))
+    n_after = compact_parquet(spark, path)
+    assert 0 < n_after < n_before, (
+        f"compaction did not reduce files: {n_before} -> {n_after}"
+    )
+    return spark.read.parquet(path).select(
+        "event_id", "user_id", "event_type", "value_cents"
+    )

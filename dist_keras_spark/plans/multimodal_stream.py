@@ -666,3 +666,119 @@ def arrow_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         stats, "doc_id long, n_bytes int, first_byte int, n_words long"
     )
+
+
+@query(
+    "streaming_full_outer_join_live",
+    oracle="""
+WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT a.user_id AS ua, a.event_id AS eid_a, b.event_id AS eid_b
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND b.ts >= a.ts
+             AND b.ts <= a.ts + INTERVAL 5 MINUTE
+UNION ALL
+SELECT e.user_id AS ua, e.event_id AS eid_a, NULL AS eid_b
+FROM events e, m
+WHERE NOT EXISTS (
+    SELECT 1 FROM events b
+    WHERE b.user_id = e.user_id AND e.event_id < b.event_id
+      AND b.ts >= e.ts AND b.ts <= e.ts + INTERVAL 5 MINUTE)
+  AND e.ts + INTERVAL 5 MINUTE < m.mx - INTERVAL 10 MINUTE
+UNION ALL
+SELECT e.user_id AS ua, NULL AS eid_a, e.event_id AS eid_b
+FROM events e, m
+WHERE NOT EXISTS (
+    SELECT 1 FROM events a
+    WHERE a.user_id = e.user_id AND a.event_id < e.event_id
+      AND e.ts >= a.ts AND e.ts <= a.ts + INTERVAL 5 MINUTE)
+  AND e.ts < m.mx - INTERVAL 10 MINUTE
+""",
+)
+def streaming_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join, live — both sides
+    null-extend once the watermark proves no counterpart can arrive.
+    The two emission cuts differ because the time constraint is
+    asymmetric: a LEFT row's match window is [ts_a, ts_a+5min] (so it
+    expires when ts_a+5min clears the watermark) while a RIGHT row can
+    only be matched by an EARLIER-or-equal left (ts_a ∈ [ts_b−5min,
+    ts_b]), so it expires as soon as ts_b itself clears. The oracle
+    spells out all three legs: inner matches, NOT-EXISTS lefts below
+    cut A, NOT-EXISTS rights below cut B.
+
+    Same two-file staging as the left-outer query (the second batch
+    guarantees a state-cleanup pass at the final watermark); µs noise
+    keeps every boundary strict. Completes the streaming join matrix:
+    inner / left outer / full outer, all watermark-bounded state."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    e = _lt(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    mx = e.agg(F.max("ts")).first()[0]
+    old = (F.col("event_id") % 3 == 1) & (
+        F.col("ts") < F.lit(mx - dt.timedelta(hours=1))
+    )
+    src = scratch_path(spark, "foj_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = scratch_path(spark, "foj_tmp_" + uuid.uuid4().hex[:8])
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    now = os.stat(src).st_mtime
+    stage(e.filter(~old), "a-batch0.parquet", now - 200)
+    stage(e.filter(old), "b-batch1.parquet", now - 100)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    a = stream.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_id").alias("eid_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "10 minutes")
+    b = stream.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("eid_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "10 minutes")
+    cond = (
+        (F.col("ua") == F.col("ub"))
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    out = a.join(b, cond, "fullOuter").select(
+        F.coalesce("ua", "ub").alias("ua"), "eid_a", "eid_b"
+    )
+    name = "foj" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name)
+    assert res.filter(F.col("eid_a").isNull()).limit(1).count() == 1, (
+        "no right-null rows emitted"
+    )
+    assert res.filter(F.col("eid_b").isNull()).limit(1).count() == 1, (
+        "no left-null rows emitted"
+    )
+    return res

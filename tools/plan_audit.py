@@ -117,6 +117,9 @@ AUDITED = {
     "arrow_blob_stats": "mapInArrow: zero-copy pyarrow RecordBatches, compute kernels on the binary column — no pandas conversion in the batch path",
     "point_in_time_features": "label window (unbounded→-1) + backward as-of leg share ONE user_id shuffle; leakage-safe by construction, no range-join explosion",
     "scalar_hof_suite": "exists/forall/filter/aggregate-with-finish as pure column expressions — whole-stage codegen, zero Python, zero shuffles; per-element int quantization keeps the fold exact",
+    "win_locf_forward_fill": "LOCF over the raw fact: last(ignorenulls) on a running user-keyed frame — O(1) window state, one data-scaling shuffle",
+    "streaming_full_outer_join_live": "full-outer stream-stream join: both sides watermark-expire on ASYMMETRIC cuts derived from the time constraint; completes the streaming join matrix",
+    "compaction_roundtrip": "small-file compaction with crash-safe rename dance; content hash-identical after rewrite, file count asserted reduced",
 }
 
 
