@@ -370,3 +370,33 @@ def scalar_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_milli"),
     )
+
+
+@query(
+    "scalar_calendar_arithmetic",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS next_month_ts,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       dayofweek(CAST(o_orderdate AS DATE)) AS dow_sun0,
+       CAST(quarter(o_orderdate) AS INT) AS q
+FROM orders
+""",
+)
+def scalar_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-date depth: calendar arithmetic where engine CONVENTIONS
+    diverge and must be reconciled explicitly — add_months clamps to
+    month end in both engines (Jan 31 + 1m = Feb 29, verified), but
+    day-of-week numbering differs (Spark dayofweek: Sunday=1; DuckDB:
+    Sunday=0), so the Spark side subtracts 1 rather than hoping. The
+    +1-month result is compared as TIMESTAMP because DuckDB's DATE +
+    INTERVAL promotes. Pure scan-side expressions, zero shuffles."""
+    o = _lt(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 1).cast("timestamp").alias("next_month_ts"),
+        F.last_day(d).alias("month_end"),
+        (F.dayofweek(d) - 1).alias("dow_sun0"),
+        F.quarter(d).alias("q"),
+    )

@@ -162,3 +162,22 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL is a 4-row sort of the aggregate output."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+""",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 IDENTIFIER() clause: table AND column names supplied as
+    parameters without string-splicing SQL — the injection-safe way to
+    template object names (a dbt/orchestrator staple). Lowering is
+    identical to the literal query, which is what the oracle checks."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        "SELECT IDENTIFIER(:col) AS event_type, count(*) AS n "
+        "FROM IDENTIFIER(:tab) GROUP BY IDENTIFIER(:col)",
+        args={"col": "event_type", "tab": "events"},
+    )
