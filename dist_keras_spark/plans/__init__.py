@@ -117,7 +117,8 @@ registry.promote(
 # triangle_count_brands, pagerank_two_iters, logistic_newton_step,
 # events_session_dynamic_gap, arrow_blob_stats,
 # point_in_time_features, scalar_hof_suite, win_locf_forward_fill,
-# streaming_full_outer_join_live, compaction_roundtrip. The
+# streaming_full_outer_join_live, compaction_roundtrip,
+# scalar_calendar_arithmetic, sql_identifier_clause. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 
