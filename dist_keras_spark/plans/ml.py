@@ -146,3 +146,92 @@ def ml_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", score.alias("score"), (score > 0.5).cast("int").alias("pred")
     )
+
+
+@query(
+    "linreg_gd_two_steps",
+    oracle="""
+WITH d AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice) AS BIGINT) * 10000 AS y_fp
+    FROM lineitem
+), s0 AS (  -- step 1 gradients at (w,b) = (0,0): residual = -y_fp
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(2 * x * (-y_fp)) AS BIGINT) AS gw,
+           CAST(sum(2 * (-y_fp)) AS BIGINT) AS gb
+    FROM d GROUP BY l_returnflag
+), w1 AS (  -- lr = 1e-4 applied as floor(double)/n arithmetic
+    SELECT l_returnflag, n,
+           CAST(0 - floor(CAST(gw AS DOUBLE) / 10000.0 / n) AS BIGINT) AS w_fp,
+           CAST(0 - floor(CAST(gb AS DOUBLE) / 10000.0 / n) AS BIGINT) AS b_fp
+    FROM s0
+), s1 AS (
+    SELECT d.l_returnflag, w1.n, w1.w_fp, w1.b_fp,
+           CAST(sum(2 * d.x * (w1.w_fp * d.x + w1.b_fp - d.y_fp))
+                AS BIGINT) AS gw,
+           CAST(sum(2 * (w1.w_fp * d.x + w1.b_fp - d.y_fp))
+                AS BIGINT) AS gb
+    FROM d JOIN w1 USING (l_returnflag)
+    GROUP BY d.l_returnflag, w1.n, w1.w_fp, w1.b_fp
+)
+SELECT l_returnflag, n,
+       CAST(w_fp - floor(CAST(gw AS DOUBLE) / 10000.0 / n) AS BIGINT)
+           AS w_fp,
+       CAST(b_fp - floor(CAST(gb AS DOUBLE) / 10000.0 / n) AS BIGINT)
+           AS b_fp
+FROM s1
+""",
+)
+def linreg_gd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO exact full-batch gradient-descent steps of linear
+    regression (price ~ quantity, per return flag) — the distributed
+    TRAINING LOOP itself made driver-checkable. The reference's
+    trainers are inherently hash-blind (float SGD); this query pins
+    the loop's structure with fixed-point weights (1e4): per step the
+    gradient is an exact int64 sum over the fact, the learning-rate
+    update is one floor of a double quotient (identical in both
+    engines even when |Σ| exceeds 2^53 — both convert the same int64
+    with the same rounding), and the next step re-scans with the new
+    integer weights. This is exactly the synchronous-rounds skeleton
+    SyncDistributedTrainer runs (broadcast weights → partial gradient
+    aggregate → driver update), with arithmetic the oracle can replay.
+
+    Scale shape per step: ONE partial-aggregated scan (two int sums
+    per group) + a model-sized join back — no collect, no windows.
+    int64 bound: |Σ 2x·res| ≈ rows·2·50·1e9 stays in-range to SF ≈ 10;
+    past that, promote the gradient sums to DECIMAL(38,0) (same
+    plan)."""
+    l = _lt(spark, sf_dir, "lineitem")
+    d = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
+    )
+
+    def step(weights: DataFrame) -> DataFrame:
+        j = d.join(weights, "l_returnflag")
+        res = F.col("w_fp") * F.col("x") + F.col("b_fp") - F.col("y_fp")
+        g = j.groupBy("l_returnflag", "n", "w_fp", "b_fp").agg(
+            F.sum(2 * F.col("x") * res).alias("gw"),
+            F.sum(2 * res).alias("gb"),
+        )
+        upd = lambda wcol, gcol: (  # noqa: E731
+            F.col(wcol)
+            - F.floor(F.col(gcol).cast("double") / 10000.0 / F.col("n"))
+        ).cast("long")
+        return g.select(
+            "l_returnflag",
+            "n",
+            upd("w_fp", "gw").alias("w_fp"),
+            upd("b_fp", "gb").alias("b_fp"),
+        )
+
+    w0 = d.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).select(
+        "l_returnflag",
+        "n",
+        F.lit(0).cast("long").alias("w_fp"),
+        F.lit(0).cast("long").alias("b_fp"),
+    )
+    w2 = step(step(w0))
+    return w2.select("l_returnflag", "n", "w_fp", "b_fp")

@@ -700,3 +700,42 @@ def test_point_in_time_no_leakage(spark, sf_dir):
             cands = [(t, e2, c) for t, e2, c in clicks.get(uid, []) if t <= ts]
             expect_click = max(cands)[2] if cands else None
             assert got[eid] == (expect_n, expect_spend, expect_click), eid
+
+
+def test_linreg_gd_two_steps_matches_python_and_descends(spark, sf_dir):
+    """Fixed-point GD recomputed in pure Python integers; also assert
+    the training loss strictly decreased over the two steps."""
+    import math
+
+    got = {
+        r.l_returnflag: (r.n, r.w_fp, r.b_fp)
+        for r in QUERIES["linreg_gd_two_steps"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("x"),
+            (F.floor("l_extendedprice").cast("long") * 10000).alias("y"),
+        )
+        .collect()
+    )
+    data: dict[str, list] = {}
+    for r in rows:
+        data.setdefault(r.l_returnflag, []).append((r.x, r.y))
+    for flag, pts in data.items():
+        n = len(pts)
+        w = b = 0
+
+        def loss(w, b):
+            return sum((w * x + b - y) ** 2 for x, y in pts)
+
+        losses = [loss(w, b)]
+        for _ in range(2):
+            gw = sum(2 * x * (w * x + b - y) for x, y in pts)
+            gb = sum(2 * (w * x + b - y) for x, y in pts)
+            w -= math.floor(float(gw) / 10000.0 / n)
+            b -= math.floor(float(gb) / 10000.0 / n)
+            losses.append(loss(w, b))
+        assert got[flag] == (n, w, b), flag
+        assert losses[2] < losses[1] < losses[0], flag
