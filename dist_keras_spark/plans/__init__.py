@@ -118,7 +118,8 @@ registry.promote(
 # events_session_dynamic_gap, arrow_blob_stats,
 # point_in_time_features, scalar_hof_suite, win_locf_forward_fill,
 # streaming_full_outer_join_live, compaction_roundtrip,
-# scalar_calendar_arithmetic, sql_identifier_clause. The
+# scalar_calendar_arithmetic, sql_identifier_clause,
+# linreg_gd_two_steps. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 

@@ -120,6 +120,8 @@ AUDITED = {
     "win_locf_forward_fill": "LOCF over the raw fact: last(ignorenulls) on a running user-keyed frame — O(1) window state, one data-scaling shuffle",
     "streaming_full_outer_join_live": "full-outer stream-stream join: both sides watermark-expire on ASYMMETRIC cuts derived from the time constraint; completes the streaming join matrix",
     "compaction_roundtrip": "small-file compaction with crash-safe rename dance; content hash-identical after rewrite, file count asserted reduced",
+    "scalar_calendar_arithmetic": "engine calendar conventions reconciled explicitly (dayofweek origin); pure scan-side expressions, zero shuffles",
+    "linreg_gd_two_steps": "per GD step: ONE partial-aggregated int64 gradient scan + model-sized join back — the synchronous-rounds trainer skeleton, hash-exact via fixed-point weights",
 }
 
 
