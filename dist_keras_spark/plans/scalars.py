@@ -400,3 +400,38 @@ def scalar_calendar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek(d) - 1).alias("dow_sun0"),
         F.quarter(d).alias("q"),
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE round(l_extendedprice / l_discount, 2) END AS price_per_disc,
+       CASE WHEN l_quantity - 25 = 0 THEN NULL
+            ELSE CAST(floor(l_extendedprice)
+                      / CAST(l_quantity - 25 AS BIGINT) AS DOUBLE) END
+           AS per_offset_qty
+FROM lineitem
+""",
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H-cond depth: error-safe arithmetic — try_divide yields NULL
+    where ANSI division would raise (zero divisors exist in the
+    fixture for both expressions: zero discounts and quantity = 25).
+    The oracle spells the NULL guard out as CASE, so the try_
+    functions' NULL-on-error contract is what the hash checks. The
+    integer division leg pins Spark double-division semantics against
+    DuckDB BIGINT division by casting explicitly on both sides."""
+    li = _lt(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2
+        ).alias("price_per_disc"),
+        F.try_divide(
+            F.floor("l_extendedprice").cast("double"),
+            (F.col("l_quantity") - 25).cast("long").cast("double"),
+        ).alias("per_offset_qty"),
+    )
