@@ -477,3 +477,32 @@ def sort_multikey_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_mktsegment", "c_acctbal", "c_custkey").orderBy(
         F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey")
     ).limit(100)
+
+
+@query(
+    "sort_paginate_offset",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+)
+def sort_paginate_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 depth: keyset-free pagination — page 3 of the price-ranked
+    orders via ORDER BY + LIMIT/OFFSET (DataFrame .offset(), Spark
+    3.4+). The full deterministic tie-break (price, orderkey) is what
+    makes a page stable across engines and executions; without it
+    OFFSET pagination silently duplicates/drops rows between pages.
+    Plan note: Spark still evaluates this as a global top-(offset+k)
+    (CollectLimit with skip), so at scale prefer keyset pagination
+    (WHERE (price, key) < last-seen) — documented here, demonstrated
+    as the range-filter pattern elsewhere; OFFSET stays the right
+    tool for small administrative pages."""
+    o = _lt(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+    )
