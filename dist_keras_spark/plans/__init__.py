@@ -119,7 +119,8 @@ registry.promote(
 # point_in_time_features, scalar_hof_suite, win_locf_forward_fill,
 # streaming_full_outer_join_live, compaction_roundtrip,
 # scalar_calendar_arithmetic, sql_identifier_clause,
-# linreg_gd_two_steps, scalar_try_arithmetic, sort_paginate_offset. The
+# linreg_gd_two_steps, scalar_try_arithmetic, sort_paginate_offset,
+# events_cohort_ltv_triangle, topk_with_ties. The
 # explicit events-canary block is gone — 8+ in-window round-6 queries
 # read `events` themselves, so fixture drift still crashes loudly.
 

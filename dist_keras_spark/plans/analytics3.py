@@ -1195,3 +1195,79 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "label_id", "prior_n", "prior_spend_cents", "last_click_cents"
     )
+
+
+@query(
+    "events_cohort_ltv_triangle",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id,
+           CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), spend AS (
+    SELECT f.cohort_week,
+           CAST(date_diff('week',
+                          f.cohort_week,
+                          CAST(date_trunc('week', e.ts) AS DATE)) AS INT)
+               AS age_weeks,
+           CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS week_cents,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+)
+SELECT cohort_week, age_weeks, n_active, week_cents,
+       CAST(sum(week_cents) OVER (
+           PARTITION BY cohort_week ORDER BY age_weeks
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM spend
+""",
+)
+def events_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort-LTV triangle: users grouped by first-seen week, each
+    cohort's purchase revenue accumulated by age-in-weeks — the
+    standard growth-accounting artifact (rows = cohorts, columns =
+    ages, values = cumulative spend). Week buckets and the week
+    difference are computed identically on both engines via
+    date_trunc('week') (both ISO-Monday).
+
+    Scale shape: first-seen is one user-keyed aggregate; the spend
+    aggregate is keyed (cohort, age) — an SF-INVARIANT grid (weeks ×
+    weeks), so the cumulative window runs over dim-sized input. The
+    only data-sized work is the two keyed scans."""
+    e = _lt(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("age_weeks"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("week_cents"),
+            F.countDistinct("user_id").alias("n_active"),
+        )
+    )
+    w = (
+        W.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return spend.select(
+        "cohort_week",
+        "age_weeks",
+        "n_active",
+        "week_cents",
+        F.sum("week_cents").over(w).alias("cum_cents"),
+    )

@@ -506,3 +506,39 @@ def sort_paginate_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@query(
+    "topk_with_ties",
+    oracle="""
+SELECT l_suppkey, price_cents FROM (
+    SELECT l_suppkey,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           rank() OVER (PARTITION BY l_suppkey
+                        ORDER BY floor(l_extendedprice * 100) DESC) AS r
+    FROM lineitem)
+WHERE r <= 3
+""",
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 depth: top-k WITH TIES (SQL FETCH FIRST ... WITH TIES /
+    rank() ≤ k) — every row tying the k-th value is kept, so the
+    result is value-deterministic WITHOUT a tie-break column, unlike
+    row_number()'s arbitrary-but-forced choice. The right default
+    whenever "top 3 prices" means prices, not rows.
+
+    Scale: one shuffle on the supplier key; rank's window state is
+    O(1). Output can exceed 3·keys only by tie width."""
+    li = _lt(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.select("l_suppkey", cents.alias("price_cents"))
+        .withColumn(
+            "r",
+            F.rank().over(
+                W.partitionBy("l_suppkey").orderBy(F.desc("price_cents"))
+            ),
+        )
+        .filter(F.col("r") <= 3)
+        .select("l_suppkey", "price_cents")
+    )
