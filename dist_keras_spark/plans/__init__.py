@@ -34,95 +34,71 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics3,
 )
 
-# Round-6 window (VERDICT r5 #1): (a) the 35 oracle-backed queries the
-# driver has NEVER checked — all judge-verified hash-green in the r5
-# session via the driver-parity local gate, promoted here so the
-# contract's hard signal (a CORRECTNESS row) exists for every
-# oracle-backed query at least once; (b) the remaining slots are
-# events-family re-checks — the fixture-drift canaries (VERDICT r5 #2)
-# — plus queries new this round. oracle=None queries are NEVER promoted
-# (driver emits err:no_oracle); they stay demoted at the very end.
-registry.promote(
-    # (a1) second wave, never driver-checked (19)
-    "agg_max_by",
-    "agg_boolean_conditional",
-    "agg_string_concat_ordered",
-    "agg_bitmap_event_types",
-    "union_schema_evolution",
-    "parquet_schema_merge",
-    "pipeline_curation_end2end",
-    "scalar_regex_mask",
-    "scalar_try_cast_tolerant",
-    "events_transition_matrix",
-    "events_session_bounce_rate",
-    "zorder_cluster_stats",
-    "share_of_total_broadcast",
-    "ab_test_t_stat",
-    "regression_trend_slope",
-    "dq_expectations_orders",
-    "join_null_safe_eq",
-    "win_range_numeric",
-    "explode_outer_empty_arrays",
-    # (a2) third wave + Spark-4 surface, never driver-checked (16)
-    "join_asof_nearest",
-    "bpe_first_merges",
-    "embedding_centroid_by_label",
-    "robust_outliers_mad",
-    "user_event_entropy",
-    "gini_customer_spend",
-    "gini_histogram_binned",
-    "setop_multiset_all",
-    "sort_null_ordering",
-    "join_shuffle_hash_hint",
-    "sql_recursive_cte",
-    "sql_lateral_topn",
-    "observed_scan_metrics",
-    "grouped_agg_pandas_udaf",
-    "custom_datasource_scan",
-    "custom_datasource_stream_live",
-    # (b) new round-6 queries — each displaces a tail entry of block
-    # (c) as it lands (the 35 above are fixed for the round).
-    "join_asof_left",
-    "tpch_q2_shape_min_cost_supplier",
-    "tpch_q11_shape_important_stock",
-    "tpch_q20_shape_excess_stock",
-    "levenshtein_blocked_pairs",
-    "tfidf_cosine_pairs",
-    "heavy_hitters_support",
-    "drift_chi2_daily",
-    "win_reset_running_sum",
-    "streaming_session_window_live",
-    "events_ohlc_daily",
-    "events_time_weighted_avg",
-    "incremental_rollup_merge",
-    "snapshot_time_travel",
-    "streaming_sliding_window_live",
-)
-# Round-6 queries that did NOT fit the 50-slot window (verified by
-# tools/verify_local.py at all 3 SFs; first in line for the r7
-# rotation): agg_percentile_disc_rank, pivot_multi_measure,
-# streaming_upsert_sink_live (multi-batch foreachBatch MERGE),
-# variant_semi_structured, sql_pipe_syntax, collation_case_insensitive,
-# win_moving_median, attribution_linear_touch, knn_ivf_persisted_top5,
-# plus the second wave (plans/analytics3.py + the live watermark
-# query): market_basket_lift, cdc_snapshot_diff, scd2_from_events,
+# Round-7 window (VERDICT r6 #1 + #6): generated MECHANICALLY by
+# `python tools/verify_local.py --window-plan` (output committed below
+# verbatim) — all 47 oracle-backed queries the driver has never
+# checked, in registration order, then the 3 oldest-checked re-checks
+# (r1). Fixture-drift canary coverage is inherent: 9+ of the 47 read
+# the `events` table directly (events_session_dynamic_gap,
+# events_path_top10, scd2_from_events, attribution_linear_touch,
 # concurrent_intervals_peak, sequence_pattern_match,
-# revenue_mom_growth, rfm_segment_quantile,
-# weighted_median_by_supplier, pareto_frontier_brand,
-# corr_sufficient_stats, streaming_watermark_late_drop_live,
-# dpp_partitioned_join, manifest_skipping_scan, events_path_top10,
-# custom_datasource_write_roundtrip, udtf_table_arg_summary,
-# streaming_left_outer_join_live, kmeans_lloyd_two_iters,
-# bucket_pruning_scan, sql_group_by_all, events_funnel_within_24h,
-# triangle_count_brands, pagerank_two_iters, logistic_newton_step,
-# events_session_dynamic_gap, arrow_blob_stats,
-# point_in_time_features, scalar_hof_suite, win_locf_forward_fill,
-# streaming_full_outer_join_live, compaction_roundtrip,
-# scalar_calendar_arithmetic, sql_identifier_clause,
-# linreg_gd_two_steps, scalar_try_arithmetic, sort_paginate_offset,
-# events_cohort_ltv_triangle, topk_with_ties. The
-# explicit events-canary block is gone — 8+ in-window round-6 queries
-# read `events` themselves, so fixture drift still crashes loudly.
+# events_funnel_within_24h, point_in_time_features,
+# events_cohort_ltv_triangle), so an events encoding drift fails
+# loudly in-window. oracle=None queries are never promoted (driver
+# errors on them); they stay demoted at the very end.
+# window plan: 47 never-checked, 3 re-checks (oldest round first), 244 oracle-backed total
+registry.promote(
+    "sort_paginate_offset",  # never checked
+    "topk_with_ties",  # never checked
+    "win_moving_median",  # never checked
+    "win_locf_forward_fill",  # never checked
+    "variant_semi_structured",  # never checked
+    "scalar_hof_suite",  # never checked
+    "scalar_calendar_arithmetic",  # never checked
+    "scalar_try_arithmetic",  # never checked
+    "streaming_upsert_sink_live",  # never checked
+    "streaming_watermark_late_drop_live",  # never checked
+    "streaming_left_outer_join_live",  # never checked
+    "arrow_blob_stats",  # never checked
+    "streaming_full_outer_join_live",  # never checked
+    "agg_percentile_disc_rank",  # never checked
+    "pivot_multi_measure",  # never checked
+    "events_session_dynamic_gap",  # never checked
+    "dpp_partitioned_join",  # never checked
+    "manifest_skipping_scan",  # never checked
+    "events_path_top10",  # never checked
+    "custom_datasource_write_roundtrip",  # never checked
+    "udtf_table_arg_summary",  # never checked
+    "bucket_pruning_scan",  # never checked
+    "compaction_roundtrip",  # never checked
+    "knn_ivf_persisted_top5",  # never checked
+    "kmeans_lloyd_two_iters",  # never checked
+    "linreg_gd_two_steps",  # never checked
+    "attribution_linear_touch",  # never checked
+    "sql_pipe_syntax",  # never checked
+    "collation_case_insensitive",  # never checked
+    "sql_group_by_all",  # never checked
+    "sql_identifier_clause",  # never checked
+    "market_basket_lift",  # never checked
+    "cdc_snapshot_diff",  # never checked
+    "scd2_from_events",  # never checked
+    "concurrent_intervals_peak",  # never checked
+    "sequence_pattern_match",  # never checked
+    "revenue_mom_growth",  # never checked
+    "rfm_segment_quantile",  # never checked
+    "weighted_median_by_supplier",  # never checked
+    "pareto_frontier_brand",  # never checked
+    "corr_sufficient_stats",  # never checked
+    "events_funnel_within_24h",  # never checked
+    "triangle_count_brands",  # never checked
+    "pagerank_two_iters",  # never checked
+    "logistic_newton_step",  # never checked
+    "point_in_time_features",  # never checked
+    "events_cohort_ltv_triangle",  # never checked
+    "sql_entry_q3",  # last r1
+    "grouped_zscore",  # last r1
+    "data_quality_summary",  # last r1
+)
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out
 # of the driver's 50-slot window permanently.

@@ -21,6 +21,15 @@ failures in r2 AND r3 — see VERDICT r3 "What's wrong" #2):
      non-hashable result column fails HERE first.
 
 Usage:  python tools/verify_local.py [sf_dir] [query ...]
+        python tools/verify_local.py --window-plan [N]
+
+`--window-plan` (VERDICT r6 #6) makes the per-round driver-window
+rotation mechanical: it reads every CORRECTNESS_r*.json in the repo
+root, orders oracle-backed queries never-driver-checked first (in
+registration order) then oldest-checked-round first, and prints a
+ready-to-paste `registry.promote(...)` block of N entries (default
+50, the driver's window size). oracle=None queries are excluded — the
+driver errors on them.
 """
 
 from __future__ import annotations
@@ -96,7 +105,60 @@ def _fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], li
     return len(rows), sorted_cols, norm_rows
 
 
+def window_plan(n_slots: int = 50) -> int:
+    """Emit the next round's `registry.promote(...)` block.
+
+    Ordering: (1) oracle-backed queries with NO row in any
+    CORRECTNESS_r*.json, in current registration order; (2) re-checks,
+    oldest driver-checked round first (ties by registration order).
+    The driver checks the first `n_slots` registered queries, so the
+    block is exactly that long.
+    """
+    import json
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    root = pathlib.Path(__file__).resolve().parents[1]
+    last_round: dict[str, int] = {}
+    rounds = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    for p in rounds:
+        rnum = int(re.search(r"r(\d+)", p.name).group(1))
+        for name in json.loads(p.read_text()):
+            last_round[name] = rnum
+    backed = [q for q in qs if q in oracles]
+    never = [q for q in backed if q not in last_round]
+    rechecks = sorted(
+        (q for q in backed if q in last_round),
+        key=lambda q: (last_round[q], backed.index(q)),
+    )
+    plan = (never + rechecks)[:n_slots]
+    print(f"# window plan: {len(never)} never-checked, "
+          f"{len(plan) - min(len(never), n_slots)} re-checks "
+          f"(oldest round first), {len(backed)} oracle-backed total")
+    print("registry.promote(")
+    for q in plan:
+        tag = "never checked" if q not in last_round else f"last r{last_round[q]}"
+        print(f'    "{q}",  # {tag}')
+    print(")")
+    overflow = (never + rechecks)[n_slots:]
+    never_overflow = [q for q in overflow if q not in last_round]
+    if never_overflow:
+        print(f"# OVERFLOW — {len(never_overflow)} never-checked did not fit; "
+              "first in line next round:")
+        for q in never_overflow:
+            print(f"#   {q}")
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--window-plan":
+        return window_plan(int(sys.argv[2]) if len(sys.argv) > 2 else 50)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
