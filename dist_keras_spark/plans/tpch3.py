@@ -79,13 +79,14 @@ eu AS (
     WHERE r_name = 'EUROPE'
 ),
 mc AS (SELECT ps_partkey, min(ps_cost_cents) AS min_cost FROM eu GROUP BY 1)
-SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+SELECT CAST(floor(e.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       e.s_name, e.n_name,
        p.p_partkey, e.ps_cost_cents AS supplycost_cents
 FROM eu e
 JOIN mc ON mc.ps_partkey = e.ps_partkey AND e.ps_cost_cents = mc.min_cost
 JOIN part p ON p.p_partkey = e.ps_partkey
 WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE'
-ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
 LIMIT 100
 """
 
@@ -122,14 +123,14 @@ def tpch_q2_shape_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("ps_cost_cents") == F.col("min_cost"))
         .join(pq, eu.ps_partkey == pq.p_partkey)
         .select(
-            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.floor(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
             "s_name",
             "n_name",
             "p_partkey",
             F.col("ps_cost_cents").alias("supplycost_cents"),
         )
         .orderBy(
-            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+            F.col("acctbal_cents").desc(), "n_name", "s_name", "p_partkey"
         )
         .limit(100)
     )
