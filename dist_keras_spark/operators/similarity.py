@@ -408,7 +408,16 @@ def build_ivf_index(
     `_centroids` sidecar exists), the build is skipped and the
     persisted centroids are returned — build-ONCE means repeat
     callers in the same session (bench warm-ups, retries) reuse the
-    on-disk index instead of re-paying the assignment pass."""
+    on-disk index instead of re-paying the assignment pass.
+
+    `path` ENCODES the build parameters: the short-circuit validates
+    the cached index against this call (centroid count == n_cells,
+    centroid dim == corpus vector dim) and raises on mismatch rather
+    than silently serving a stale index built with different
+    parameters (ADVICE r6) — callers wanting a different build must
+    use a different path (or delete the old one). A different corpus
+    or seed at the same path and same shape is undetectable from the
+    sidecar; the path-encodes-params contract covers it."""
     import os
 
     spark0 = corpus.sparkSession
@@ -418,6 +427,20 @@ def build_ivf_index(
             .orderBy("cell")
             .collect()
         )
+        if len(rows) != n_cells:
+            raise ValueError(
+                f"stale IVF index at {path!r}: persisted {len(rows)} "
+                f"centroids but this build asked for n_cells={n_cells}; "
+                "the path encodes the build params — use a new path or "
+                "delete the old index"
+            )
+        dim = len(rows[0].centroid)
+        first_vec = corpus.select(vec_col).first()
+        if first_vec is not None and len(first_vec[0]) != dim:
+            raise ValueError(
+                f"stale IVF index at {path!r}: centroid dim {dim} != "
+                f"corpus vector dim {len(first_vec[0])}"
+            )
         return np.array([r.centroid for r in rows])
     cents_raw = sample_centroids(corpus, id_col, vec_col, n_cells, seed)
     cents = cents_raw / np.maximum(

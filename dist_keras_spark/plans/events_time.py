@@ -362,15 +362,18 @@ WITH g AS (
                 ELSE ts + INTERVAL 30 MINUTE END AS reach
     FROM events
 ), flagged AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, event_id, value,
            CASE WHEN ts <= max(reach) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                 THEN 0 ELSE 1 END AS new_sess
     FROM g
 ), numbered AS (
+    -- ORDER BY (ts, event_id) MUST match the flagged CTE's window:
+    -- with ties on ts alone, engine-arbitrary tied-row order would
+    -- make session ids nondeterministic (ADVICE r6).
     SELECT user_id, ts, value,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
     FROM flagged
 )

@@ -1365,7 +1365,16 @@ def kmeans_lloyd_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing; iterations chain as one lazy plan. More iterations = the
     same two stages repeated; a convergence loop would check
     assignment-change counts per round (deliberately fixed at 2 here
-    so the oracle is finitely expressible)."""
+    so the oracle is finitely expressible).
+
+    int64 valve (ADVICE r6): the distance accumulator sums
+    (v·n − s)² over dim=64 terms. With |coord|≤C millis and cluster
+    size n, each term ≤ (2·C·n)², so the sum stays in int64 while
+    dim·4·C²·n² < 2⁶³ — for C≈1e3 (unit-norm embeddings quantized
+    ·1000) that bounds n < ~6e6 members per cluster. Past that,
+    promote the fold accumulator to DECIMAL(38,0) (or carry the
+    centroid as (Σ/g, n/g) with g = gcd) before trusting the
+    arithmetic; the query asserts nothing at larger n."""
     k, dim = 8, 64
     e = _lt(spark, sf_dir, "embeddings")
     q = e.select(

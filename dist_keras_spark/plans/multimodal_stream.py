@@ -615,7 +615,13 @@ def streaming_left_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
-       ascii(substring(text, 1, 1)) AS first_byte,
+       -- first BYTE of the utf-8 encoding (hex prefix → int), NOT the
+       -- first code point: ascii(substring(text,1,1)) diverges from
+       -- the Spark side's byte slice on any non-ASCII leading char
+       -- (ADVICE r6) — byte-based on both sides by construction now.
+       -- (nullif: empty text → NULL, matching index_in on b'')
+       CAST(('0x' || nullif(left(hex(encode(text)), 2), '')) AS INT)
+           AS first_byte,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
            AS n_words
 FROM documents

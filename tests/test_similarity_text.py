@@ -292,3 +292,27 @@ def test_persisted_ivf_equals_inline_ivf(spark, sf_dir, tmp_path):
         map(tuple, knn_ivf(e, q, k=3, n_cells=8, n_probe=2, seed=7).collect())
     )
     assert persisted == inline
+
+
+def test_ivf_rebuild_param_mismatch_raises(spark, sf_dir, tmp_path):
+    """The idempotence short-circuit must VALIDATE the cached index:
+    re-calling build_ivf_index at the same path with a different
+    n_cells (or a corpus of different dim) raises instead of silently
+    serving the stale index (ADVICE r6). Matching params still reuse."""
+    import numpy as np
+    import pytest
+
+    from dist_keras_spark.operators.similarity import build_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf2")
+    built = build_ivf_index(e, path, n_cells=4, seed=7)
+    reused = build_ivf_index(e, path, n_cells=4, seed=7)
+    assert np.allclose(built, reused)
+    with pytest.raises(ValueError, match="n_cells=8"):
+        build_ivf_index(e, path, n_cells=8, seed=7)
+    bad_dim = e.select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="vector dim"):
+        build_ivf_index(bad_dim, path, n_cells=4, seed=7)
