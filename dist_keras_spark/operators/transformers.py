@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dist_keras_spark.operators.utils import bounded_window_key
+
 
 class Transformer:
     """Base: subclasses define `_expr(df) -> Column`; transform appends it.
@@ -146,7 +148,9 @@ class StringIndexTransformer(Transformer):
         counts = df.groupBy(F.col(self.input_col).alias("__val")).agg(
             F.count(F.lit(1)).alias("__n")
         )
-        w = W.orderBy(F.col("__n").desc(), F.col("__val"))
+        w = W.partitionBy(bounded_window_key(F.col("__n"))).orderBy(
+            F.col("__n").desc(), F.col("__val")
+        )
         mapping = counts.select(
             "__val", (F.row_number().over(w) - 1).cast("double").alias(self.output_col)
         )

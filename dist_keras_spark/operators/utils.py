@@ -32,3 +32,25 @@ def precache(df: DataFrame) -> int:
     """Cache + force materialization; returns the row count."""
     df.cache()
     return df.count()
+
+
+def bounded_window_key(col) -> "F.Column":
+    """Constant-zero partition key for REVIEWED bounded-input global
+    windows (VERDICT r6 #7).
+
+    A window with an empty partition spec makes WindowExec log "No
+    Partition Defined … moving all data to a single partition" — noise
+    when the input is provably dim-sized (≤1000-row bin grids,
+    post-limit top-k), and noise that buries a REAL unpartitioned
+    window regression. `F.lit(0)` does not work: Catalyst constant-
+    folds a foldable partition key away and the warning stays. This
+    key — pmod(hash(col), 1) over any column already in the frame —
+    always evaluates to 0 (one partition, identical semantics; hash is
+    total, so nulls hash too) but no optimizer rule simplifies it
+    (col·0 and coalesce(col·0, 0) both fold away when the column is
+    non-nullable), so it survives into the physical plan and the
+    warning is silenced ONLY where this helper was deliberately
+    placed. The plan-hygiene gate (tests/test_plan_hygiene.py) then
+    treats any remaining empty-partition window as a failure with no
+    allowlist."""
+    return F.pmod(F.hash(col), F.lit(1))

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dist_keras_spark.operators.utils import bounded_window_key
 from dist_keras_spark.plans.registry import query
 from dist_keras_spark.sources.tables import load_table as _lt
 
@@ -1349,7 +1350,9 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    wi = W.orderBy("cents", "o_custkey")
+    wi = W.partitionBy(bounded_window_key(F.col("o_custkey"))).orderBy(
+        "cents", "o_custkey"
+    )
     ranked = spend.select(
         "cents",
         F.row_number().over(wi).alias("i"),
@@ -1426,7 +1429,11 @@ def gini_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("mass"))
     )
-    wb = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wb = (
+        W.partitionBy(bounded_window_key(F.col("bin")))
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     lorenz = binned.select(
         "bin", "cnt", "mass", F.sum("mass").over(wb).alias("cm")
     )

@@ -29,6 +29,7 @@ from dist_keras_spark.operators.dedup import (
     simhash_pairs,
 )
 from dist_keras_spark.operators.similarity import knn_bruteforce, knn_lsh
+from dist_keras_spark.operators.utils import bounded_window_key
 from dist_keras_spark.plans.registry import query
 from dist_keras_spark.sources.tables import load_table as _lt
 
@@ -473,7 +474,9 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank the k survivors — a bare row_number() over an unpartitioned
     # window would sort the whole scored corpus through one task (the
     # global-window rule the plan-hygiene gate enforces).
-    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    w = W.partitionBy(bounded_window_key(F.col("doc_id"))).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    )
     top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(k)
     return (
         top.withColumn("bm25_rank", F.row_number().over(w).cast("int"))
@@ -1225,7 +1228,11 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10 survivors; a bare row_number() over an unpartitioned window
     # would drag every distinct pair through one task.
     top = counted.orderBy(F.desc("cnt"), F.asc("pair")).limit(10)
-    rn = F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("pair")))
+    rn = F.row_number().over(
+        W.partitionBy(bounded_window_key(F.col("cnt"))).orderBy(
+            F.desc("cnt"), F.asc("pair")
+        )
+    )
     return top.withColumn("merge_rank", rn).select("merge_rank", "pair", "cnt")
 
 

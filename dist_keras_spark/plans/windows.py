@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dist_keras_spark.operators.utils import bounded_window_key
 from dist_keras_spark.plans.registry import query
 from dist_keras_spark.sources.tables import load_table as _lt
 
@@ -167,7 +168,9 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     because orders-per-window is bounded; at 100 TB you'd bucket by
     percentile_approx instead (see tests for that variant)."""
     o = _lt(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w = W.partitionBy(bounded_window_key(F.col("o_orderkey"))).orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
     return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
 
 

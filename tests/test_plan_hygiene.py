@@ -33,16 +33,15 @@ SANCTIONED_CARTESIAN: set[str] = {
     "join_cross",  # C6: the cross-join operator itself, tiny inputs
 }
 
-# Unpartitioned (global) windows reviewed individually: each one's
-# input is bounded BEFORE the window reaches it.
-SANCTIONED_GLOBAL_WINDOW: set[str] = {
-    "bpe_first_merges",  # window runs AFTER limit(10) — 10-row input
-    "bm25_topk_docs",  # window runs AFTER limit(k) — k-row input
-    "feature_string_index",  # dense_rank over the DISTINCT label vocab (dim-sized)
-    "win_ntile",  # documented global-ordering demo; approx_ntile_buckets is the scale path
-    "gini_customer_spend",  # rank over the per-customer AGGREGATE (customer-count rows); histogram integration is the 100 TB path (docstring)
-    "gini_histogram_binned",  # cumulative window over the ≤1000-row BIN dimension, never the data
-}
+# Unpartitioned (global) windows: ZERO allowed (VERDICT r6 #7). The
+# six formerly-sanctioned bounded-input windows (bpe_first_merges,
+# bm25_topk_docs, feature_string_index, win_ntile, gini_*) now carry
+# `bounded_window_key(...)` (operators/utils.py) — a non-foldable
+# constant-zero partition key: identical single-partition semantics,
+# but WindowExec's "No Partition Defined" warning is silenced exactly
+# where a reviewer placed the helper, and THIS gate flags any other
+# empty-partition window with no allowlist to hide behind.
+SANCTIONED_GLOBAL_WINDOW: set[str] = set()
 
 
 def _has_global_window(plan: str) -> bool:
