@@ -88,6 +88,7 @@ EXTENDED = [
     "events_funnel_within_24h",
     "triangle_count_brands",
     "udtf_table_arg_summary",
+    "arrow_journey_summary",  # mapInArrow twin — the protocol delta, measured
     "win_moving_median",
     "attribution_linear_touch",
     "knn_ivf_persisted_top5",
