@@ -69,6 +69,28 @@ def _xy(pdf_iter: Iterator[pd.DataFrame], features_col: str, label_col: str):
             ].to_numpy().astype(np.int64)
 
 
+def adam_step(
+    center: np.ndarray,
+    m: np.ndarray,
+    v: np.ndarray,
+    t: int,
+    grad: np.ndarray,
+    lr: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ONE ADAG ('adag' mode = Adam) center update — the exact
+    arithmetic SyncDistributedTrainer applies per round, factored out
+    so the hash-exact replay query (plans/ml.py::linreg_adam_two_steps)
+    and its pytest can pin THIS code rather than a re-derivation.
+    Returns (new_center, new_m, new_v); t is 1-based."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    m = b1 * m + (1 - b1) * grad
+    v = b2 * v + (1 - b2) * grad * grad
+    mh = m / (1 - b1**t)
+    vh = v / (1 - b2**t)
+    center = center - lr * mh / (np.sqrt(vh) + eps)
+    return center, m, v
+
+
 class Trainer:
     """Base trainer: dims + SGD hyperparameters + wall-clock history
     (parity with distkeras/trainers.py §Trainer.add_history ~L60-120).
@@ -358,12 +380,7 @@ class SyncDistributedTrainer(Trainer):
             elif self.mode == "dynsgd":
                 center -= (lr / (1 + 0.05 * t)) * grad
             elif self.mode == "adag":
-                b1, b2, eps = 0.9, 0.999, 1e-8
-                m = b1 * m + (1 - b1) * grad
-                v = b2 * v + (1 - b2) * grad * grad
-                mh = m / (1 - b1**t)
-                vh = v / (1 - b2**t)
-                center -= lr * mh / (np.sqrt(vh) + eps)
+                center, m, v = adam_step(center, m, v, t, grad, lr)
             elif self.mode == "easgd":
                 # elastic: center moves toward the gradient-implied
                 # worker consensus with coupling rho

@@ -235,3 +235,174 @@ def linreg_gd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = step(step(w0))
     return w2.select("l_returnflag", "n", "w_fp", "b_fp")
+
+
+# Adam ('adag' mode) constants, precomputed in Python and inlined as
+# repr() DOUBLE literals on BOTH engine sides — writing `1 - 0.9` in
+# DuckDB SQL would run in DECIMAL arithmetic (exact 0.1) while Spark
+# and numpy compute the IEEE double 0.09999999999999998; inlining the
+# Python-computed double makes the three arithmetics (query, oracle,
+# operators/trainers.py::adam_step) bit-identical by construction.
+_ADAM_B1, _ADAM_B2, _ADAM_EPS, _ADAM_LR = 0.9, 0.999, 1e-8, 0.05
+_ADAM_C1 = 1 - _ADAM_B1  # (1-b1) m-coefficient
+_ADAM_C2 = 1 - _ADAM_B2  # (1-b2) v-coefficient
+_ADAM_BIAS1 = {1: 1 - _ADAM_B1**1, 2: 1 - _ADAM_B1**2}
+_ADAM_BIAS2 = {1: 1 - _ADAM_B2**1, 2: 1 - _ADAM_B2**2}
+
+_ADAM_ORACLE = f"""
+WITH d AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice) AS BIGINT) * 10000 AS y_fp
+    FROM lineitem
+), s0 AS (  -- step 1 exact int64 gradient sums at (w,b) = (0,0)
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(2 * x * (-y_fp)) AS BIGINT) AS gw,
+           CAST(sum(2 * (-y_fp)) AS BIGINT) AS gb
+    FROM d GROUP BY l_returnflag
+), a1 AS (  -- Adam t=1: zero state, so m1=(1-b1)·g, v1=((1-b2)·g)·g
+    SELECT l_returnflag, n,
+           {_ADAM_C1!r} * (CAST(gw AS DOUBLE) / n) AS m_w,
+           {_ADAM_C2!r} * (CAST(gw AS DOUBLE) / n)
+               * (CAST(gw AS DOUBLE) / n) AS v_w,
+           {_ADAM_C1!r} * (CAST(gb AS DOUBLE) / n) AS m_b,
+           {_ADAM_C2!r} * (CAST(gb AS DOUBLE) / n)
+               * (CAST(gb AS DOUBLE) / n) AS v_b
+    FROM s0
+), w1 AS (  -- quantized center update: w -= floor(step·1e4)
+    SELECT l_returnflag, n, m_w, v_w, m_b, v_b,
+           0 - CAST(floor({_ADAM_LR!r} * (m_w / {_ADAM_BIAS1[1]!r})
+                 / (sqrt(v_w / {_ADAM_BIAS2[1]!r}) + {_ADAM_EPS!r})
+                 * 10000.0) AS BIGINT) AS w_fp,
+           0 - CAST(floor({_ADAM_LR!r} * (m_b / {_ADAM_BIAS1[1]!r})
+                 / (sqrt(v_b / {_ADAM_BIAS2[1]!r}) + {_ADAM_EPS!r})
+                 * 10000.0) AS BIGINT) AS b_fp
+    FROM a1
+), s1 AS (  -- step 2 gradients at the quantized (w1, b1)
+    SELECT d.l_returnflag, w1.n, w1.m_w, w1.v_w, w1.m_b, w1.v_b,
+           w1.w_fp, w1.b_fp,
+           CAST(sum(2 * d.x * (w1.w_fp * d.x + w1.b_fp - d.y_fp))
+                AS BIGINT) AS gw,
+           CAST(sum(2 * (w1.w_fp * d.x + w1.b_fp - d.y_fp))
+                AS BIGINT) AS gb
+    FROM d JOIN w1 USING (l_returnflag)
+    GROUP BY d.l_returnflag, w1.n, w1.m_w, w1.v_w, w1.m_b, w1.v_b,
+             w1.w_fp, w1.b_fp
+), a2 AS (  -- Adam t=2: m2=b1·m1+(1-b1)·g2, v2=b2·v1+((1-b2)·g2)·g2
+    SELECT l_returnflag, n, w_fp, b_fp,
+           {_ADAM_B1!r} * m_w + {_ADAM_C1!r} * (CAST(gw AS DOUBLE) / n)
+               AS m_w2,
+           {_ADAM_B2!r} * v_w + {_ADAM_C2!r} * (CAST(gw AS DOUBLE) / n)
+               * (CAST(gw AS DOUBLE) / n) AS v_w2,
+           {_ADAM_B1!r} * m_b + {_ADAM_C1!r} * (CAST(gb AS DOUBLE) / n)
+               AS m_b2,
+           {_ADAM_B2!r} * v_b + {_ADAM_C2!r} * (CAST(gb AS DOUBLE) / n)
+               * (CAST(gb AS DOUBLE) / n) AS v_b2
+    FROM s1
+)
+SELECT l_returnflag, n,
+       w_fp - CAST(floor({_ADAM_LR!r} * (m_w2 / {_ADAM_BIAS1[2]!r})
+              / (sqrt(v_w2 / {_ADAM_BIAS2[2]!r}) + {_ADAM_EPS!r})
+              * 10000.0) AS BIGINT) AS w_fp,
+       b_fp - CAST(floor({_ADAM_LR!r} * (m_b2 / {_ADAM_BIAS1[2]!r})
+              / (sqrt(v_b2 / {_ADAM_BIAS2[2]!r}) + {_ADAM_EPS!r})
+              * 10000.0) AS BIGINT) AS b_fp
+FROM a2
+"""
+
+
+@query("linreg_adam_two_steps", oracle=_ADAM_ORACLE)
+def linreg_adam_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO exact ADAG (Adam) optimizer steps of the same linear model
+    as `linreg_gd_two_steps` — the ADAPTIVE update rule itself made
+    driver-checkable (VERDICT r6 #3). Where the GD query proved the
+    synchronous-rounds loop (broadcast → partial int64 gradient sums →
+    center update), this one replays the full Adam state machine
+    (operators/trainers.py::adam_step, the 'adag' mode): first/second
+    moment EMAs, bias correction, eps-guarded rsqrt scaling — in
+    DOUBLE, deterministically, because every input is an exact int64
+    gradient sum and every constant is the same inlined IEEE double on
+    all three sides (Spark, DuckDB, numpy). The weight applied to the
+    next scan is quantized to integer 1e-4 fixed point per step
+    (w -= floor(step·1e4)), which is what keeps step-2's gradient sums
+    exactly summable; tests/test_ml.py pins this query's output to a
+    numpy replay that calls the trainer's own adam_step on the same
+    sums.
+
+    Scale shape: identical to linreg_gd_two_steps — per step ONE
+    partial-aggregated scan plus a model-sized join back; Adam state
+    (m, v per group) rides in the model frame, never the fact. Same
+    int64 valve: gradient sums stay in-range to SF ≈ 10, then promote
+    to DECIMAL(38,0)."""
+    l = _lt(spark, sf_dir, "lineitem")
+    d = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
+    )
+    s0 = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(2 * F.col("x") * (-F.col("y_fp"))).alias("gw"),
+        F.sum(2 * (-F.col("y_fp"))).alias("gb"),
+    )
+
+    def _grad(gcol: str):
+        return F.col(gcol).cast("double") / F.col("n")
+
+    def _delta(mcol, vcol, t: int):
+        mh = mcol / F.lit(_ADAM_BIAS1[t])
+        vh = vcol / F.lit(_ADAM_BIAS2[t])
+        return F.floor(
+            F.lit(_ADAM_LR) * mh / (F.sqrt(vh) + F.lit(_ADAM_EPS))
+            * F.lit(10000.0)
+        ).cast("long")
+
+    a1 = s0.select(
+        "l_returnflag",
+        "n",
+        (F.lit(_ADAM_C1) * _grad("gw")).alias("m_w"),
+        (F.lit(_ADAM_C2) * _grad("gw") * _grad("gw")).alias("v_w"),
+        (F.lit(_ADAM_C1) * _grad("gb")).alias("m_b"),
+        (F.lit(_ADAM_C2) * _grad("gb") * _grad("gb")).alias("v_b"),
+    )
+    w1 = a1.select(
+        "l_returnflag",
+        "n",
+        "m_w",
+        "v_w",
+        "m_b",
+        "v_b",
+        (F.lit(0).cast("long") - _delta(F.col("m_w"), F.col("v_w"), 1)).alias("w_fp"),
+        (F.lit(0).cast("long") - _delta(F.col("m_b"), F.col("v_b"), 1)).alias("b_fp"),
+    )
+    res = F.col("w_fp") * F.col("x") + F.col("b_fp") - F.col("y_fp")
+    s1 = (
+        d.join(w1, "l_returnflag")
+        .groupBy("l_returnflag", "n", "m_w", "v_w", "m_b", "v_b", "w_fp", "b_fp")
+        .agg(
+            F.sum(2 * F.col("x") * res).alias("gw"),
+            F.sum(2 * res).alias("gb"),
+        )
+    )
+    a2 = s1.select(
+        "l_returnflag",
+        "n",
+        "w_fp",
+        "b_fp",
+        (F.lit(_ADAM_B1) * F.col("m_w") + F.lit(_ADAM_C1) * _grad("gw")).alias("m_w2"),
+        (
+            F.lit(_ADAM_B2) * F.col("v_w")
+            + F.lit(_ADAM_C2) * _grad("gw") * _grad("gw")
+        ).alias("v_w2"),
+        (F.lit(_ADAM_B1) * F.col("m_b") + F.lit(_ADAM_C1) * _grad("gb")).alias("m_b2"),
+        (
+            F.lit(_ADAM_B2) * F.col("v_b")
+            + F.lit(_ADAM_C2) * _grad("gb") * _grad("gb")
+        ).alias("v_b2"),
+    )
+    return a2.select(
+        "l_returnflag",
+        "n",
+        (F.col("w_fp") - _delta(F.col("m_w2"), F.col("v_w2"), 2)).alias("w_fp"),
+        (F.col("b_fp") - _delta(F.col("m_b2"), F.col("v_b2"), 2)).alias("b_fp"),
+    )

@@ -217,3 +217,50 @@ def test_mnist_style_reshape_convnet_pipeline(train_df):
     ).predict(shaped.withColumn("label", F.col("label")))
     acc = AccuracyEvaluator(argmax=True).evaluate(pred)
     assert acc >= 0.1  # trained-better-than-nothing on 10 classes
+
+
+def test_adam_replay_query_matches_trainer_adam_step(spark, sf_dir):
+    """linreg_adam_two_steps must equal a numpy replay that drives the
+    TRAINER'S OWN adam_step (operators/trainers.py) on the same exact
+    int64 gradient sums with the same per-step 1e-4 quantization —
+    pinning the query's arithmetic to the 'adag' optimizer branch,
+    not a re-derivation of it (VERDICT r6 #3)."""
+    import pandas as pd
+
+    from dist_keras_spark.operators.trainers import adam_step
+    from dist_keras_spark.plans.ml import (
+        _ADAM_LR,
+        linreg_adam_two_steps,
+    )
+
+    got = {
+        r.l_returnflag: (r.n, r.w_fp, r.b_fp)
+        for r in linreg_adam_two_steps(spark, sf_dir).collect()
+    }
+
+    pdf = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    x = pdf["l_quantity"].astype("int64").to_numpy()
+    y_fp = np.floor(pdf["l_extendedprice"].to_numpy()).astype("int64") * 10000
+    for flag, grp in pdf.groupby("l_returnflag"):
+        idx = grp.index.to_numpy()
+        xs, ys = x[idx], y_fp[idx]
+        n = len(xs)
+        center = np.zeros(2)  # continuous Adam center (w, b)
+        m, v = np.zeros(2), np.zeros(2)
+        w_fp = np.zeros(2, dtype=np.int64)  # quantized applied weights
+        for t in (1, 2):
+            res = w_fp[0] * xs + w_fp[1] - ys  # int64, exact
+            grad = np.array(
+                [
+                    float(np.sum(2 * xs * res, dtype=np.int64)) / n,
+                    float(np.sum(2 * res, dtype=np.int64)) / n,
+                ]
+            )
+            new_center, m, v = adam_step(center, m, v, t, grad, _ADAM_LR)
+            step = center - new_center  # what Adam subtracted
+            w_fp = w_fp - np.floor(step * 10000.0).astype(np.int64)
+            center = np.zeros(2)  # center is only a step carrier here
+        assert got[flag] == (n, int(w_fp[0]), int(w_fp[1])), flag
