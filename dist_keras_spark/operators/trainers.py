@@ -91,6 +91,14 @@ def adam_step(
     return center, m, v
 
 
+def dynsgd_lr(lr: float, t: int) -> float:
+    """The DynSGD decayed learning rate — factored out of the 'dynsgd'
+    mode for the same reason as adam_step: the fixed-point replay
+    query (plans/ml.py::linreg_dynsgd_two_steps) and its pytest pin
+    THIS expression, not a re-derivation. t is 1-based."""
+    return lr / (1 + 0.05 * t)
+
+
 class Trainer:
     """Base trainer: dims + SGD hyperparameters + wall-clock history
     (parity with distkeras/trainers.py §Trainer.add_history ~L60-120).
@@ -378,7 +386,7 @@ class SyncDistributedTrainer(Trainer):
             if self.mode == "downpour":
                 center -= lr * grad
             elif self.mode == "dynsgd":
-                center -= (lr / (1 + 0.05 * t)) * grad
+                center -= dynsgd_lr(lr, t) * grad
             elif self.mode == "adag":
                 center, m, v = adam_step(center, m, v, t, grad, lr)
             elif self.mode == "easgd":

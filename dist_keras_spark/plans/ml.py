@@ -237,6 +237,92 @@ def linreg_gd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w2.select("l_returnflag", "n", "w_fp", "b_fp")
 
 
+_DYN_K = {1: 1 / (1 + 0.05 * 1), 2: 1 / (1 + 0.05 * 2)}
+
+_DYNSGD_ORACLE = f"""
+WITH d AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice) AS BIGINT) * 10000 AS y_fp
+    FROM lineitem
+), s0 AS (
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(2 * x * (-y_fp)) AS BIGINT) AS gw,
+           CAST(sum(2 * (-y_fp)) AS BIGINT) AS gb
+    FROM d GROUP BY l_returnflag
+), w1 AS (  -- t=1: base-lr step scaled by the decayed factor 1/1.05
+    SELECT l_returnflag, n,
+           CAST(0 - floor(CAST(gw AS DOUBLE) / 10000.0 / n * {_DYN_K[1]!r})
+                AS BIGINT) AS w_fp,
+           CAST(0 - floor(CAST(gb AS DOUBLE) / 10000.0 / n * {_DYN_K[1]!r})
+                AS BIGINT) AS b_fp
+    FROM s0
+), s1 AS (
+    SELECT d.l_returnflag, w1.n, w1.w_fp, w1.b_fp,
+           CAST(sum(2 * d.x * (w1.w_fp * d.x + w1.b_fp - d.y_fp))
+                AS BIGINT) AS gw,
+           CAST(sum(2 * (w1.w_fp * d.x + w1.b_fp - d.y_fp))
+                AS BIGINT) AS gb
+    FROM d JOIN w1 USING (l_returnflag)
+    GROUP BY d.l_returnflag, w1.n, w1.w_fp, w1.b_fp
+)
+SELECT l_returnflag, n,
+       CAST(w_fp - floor(CAST(gw AS DOUBLE) / 10000.0 / n * {_DYN_K[2]!r})
+            AS BIGINT) AS w_fp,
+       CAST(b_fp - floor(CAST(gb AS DOUBLE) / 10000.0 / n * {_DYN_K[2]!r})
+            AS BIGINT) AS b_fp
+FROM s1
+"""
+
+
+@query("linreg_dynsgd_two_steps", oracle=_DYNSGD_ORACLE)
+def linreg_dynsgd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO exact DynSGD steps — the DECAYED-LEARNING-RATE mode's
+    arithmetic driver-checked, completing a second optimizer branch
+    after linreg_adam_two_steps. Identical loop skeleton to
+    linreg_gd_two_steps; the only delta is the per-step multiplier
+    dynsgd_lr(lr, t) = lr/(1 + 0.05·t) (operators/trainers.py, the
+    'dynsgd' mode), inlined as the same Python-computed IEEE double on
+    both engine sides and pinned to the trainer's function by
+    tests/test_ml.py. Same scale shape and int64 valve as the GD
+    query."""
+    l = _lt(spark, sf_dir, "lineitem")
+    d = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
+    )
+
+    def step(weights: DataFrame, t: int) -> DataFrame:
+        j = d.join(weights, "l_returnflag")
+        res = F.col("w_fp") * F.col("x") + F.col("b_fp") - F.col("y_fp")
+        g = j.groupBy("l_returnflag", "n", "w_fp", "b_fp").agg(
+            F.sum(2 * F.col("x") * res).alias("gw"),
+            F.sum(2 * res).alias("gb"),
+        )
+        upd = lambda wcol, gcol: (  # noqa: E731
+            F.col(wcol)
+            - F.floor(
+                F.col(gcol).cast("double") / 10000.0 / F.col("n")
+                * F.lit(_DYN_K[t])
+            )
+        ).cast("long")
+        return g.select(
+            "l_returnflag",
+            "n",
+            upd("w_fp", "gw").alias("w_fp"),
+            upd("b_fp", "gb").alias("b_fp"),
+        )
+
+    w0 = d.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).select(
+        "l_returnflag",
+        "n",
+        F.lit(0).cast("long").alias("w_fp"),
+        F.lit(0).cast("long").alias("b_fp"),
+    )
+    return step(step(w0, 1), 2).select("l_returnflag", "n", "w_fp", "b_fp")
+
+
 # Adam ('adag' mode) constants, precomputed in Python and inlined as
 # repr() DOUBLE literals on BOTH engine sides — writing `1 - 0.9` in
 # DuckDB SQL would run in DECIMAL arithmetic (exact 0.1) while Spark

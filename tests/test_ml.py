@@ -264,3 +264,40 @@ def test_adam_replay_query_matches_trainer_adam_step(spark, sf_dir):
             w_fp = w_fp - np.floor(step * 10000.0).astype(np.int64)
             center = np.zeros(2)  # center is only a step carrier here
         assert got[flag] == (n, int(w_fp[0]), int(w_fp[1])), flag
+
+
+def test_dynsgd_replay_query_matches_trainer_lr_decay(spark, sf_dir):
+    """linreg_dynsgd_two_steps must equal a numpy replay using the
+    trainer's own dynsgd_lr decay expression on the same exact int64
+    gradient sums (base step = g/1e4/n, matching linreg_gd_two_steps'
+    lr convention)."""
+    import math
+
+    import pandas as pd
+
+    from dist_keras_spark.operators.trainers import dynsgd_lr
+    from dist_keras_spark.plans.ml import linreg_dynsgd_two_steps
+
+    got = {
+        r.l_returnflag: (r.n, r.w_fp, r.b_fp)
+        for r in linreg_dynsgd_two_steps(spark, sf_dir).collect()
+    }
+    pdf = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    x = pdf["l_quantity"].astype("int64").to_numpy()
+    y_fp = np.floor(pdf["l_extendedprice"].to_numpy()).astype("int64") * 10000
+    for flag, grp in pdf.groupby("l_returnflag"):
+        idx = grp.index.to_numpy()
+        xs, ys = x[idx], y_fp[idx]
+        n = len(xs)
+        w_fp, b_fp = 0, 0
+        for t in (1, 2):
+            res = w_fp * xs + b_fp - ys
+            gw = int(np.sum(2 * xs * res, dtype=np.int64))
+            gb = int(np.sum(2 * res, dtype=np.int64))
+            k = dynsgd_lr(1.0, t)
+            w_fp -= math.floor(float(gw) / 10000.0 / n * k)
+            b_fp -= math.floor(float(gb) / 10000.0 / n * k)
+        assert got[flag] == (n, w_fp, b_fp), flag
