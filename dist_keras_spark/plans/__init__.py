@@ -32,6 +32,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     tpch3,
     textsim,
     analytics3,
+    analytics4,
 )
 
 # Round-7 window (VERDICT r6 #1 + #6): generated MECHANICALLY by

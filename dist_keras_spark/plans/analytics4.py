@@ -1,0 +1,316 @@
+"""Round-7 analytics operators: skew-salted joins, sequence training
+examples, deterministic negative sampling, seasonal-naive backtesting,
+and cross-validation fold assignment.
+
+The first is a pure scale technique demonstrated under an invariance
+oracle (salting must not change the answer); the middle three are the
+training-data-pipeline shapes the brief calls first-class (sequence
+dataset construction, contrastive negatives, deterministic splits);
+the backtest is the classic forecasting-baseline evaluation loop.
+dist-keras has no analogue — "beyond the reference" surface, mapped
+in COVERAGE.md.
+
+House rules: integer cents via floor(x*100); pseudo-randomness is
+MULTIPLICATIVE integer hashing (Knuth 2654435761 mod 2^32), never
+F.hash/rand — Spark's murmur3 and DuckDB's hash disagree, while plain
+int64 arithmetic is engine-portable; windows partition on data-scaling
+keys (user_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+# Knuth's multiplicative constant and a large odd mixer for the
+# per-negative offset; both fit comfortably in int64 products with
+# key spaces up to ~2^30 rows.
+_KNUTH = 2654435761
+_MIX = 968665207
+_M32 = 4294967296
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+SELECT s.s_nationkey,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join — THE manual remedy when one join key is hot
+    enough that a single shuffle partition holds the whole key and AQE
+    skew-split can't help (e.g. the hot key exceeds one task's memory,
+    or the build side must be replicated anyway). The dimension side
+    is replicated SALT_N ways (explode over the salt domain); each
+    fact row picks ONE deterministic salt from its row identity; the
+    join runs on (key, salt), so the hot key's rows spread over SALT_N
+    tasks while every fact row still matches exactly one dim replica —
+    the oracle is the PLAIN join, because salting that changes the
+    answer is a bug, and the driver hash pins that invariance.
+
+    The in-plan assertion requires a ShuffledHashJoin keyed on the
+    salt (a broadcast would bypass the shuffle being fixed and make
+    the demo vacuous). Scale: dim replication costs SALT_N× a
+    model-sized table; the fact side's extra column is one int. At
+    100 TB pick SALT_N ≈ hot-key-rows / rows-per-task, and salt ONLY
+    when AQE's skewedJoin (which splits without replication) doesn't
+    apply — it can't split the build side of a SHJ."""
+    SALT_N = 8
+    s = _lt(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    salted_dim = s.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1)))
+    ).hint("shuffle_hash")
+    fact = _lt(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.pmod(
+            F.col("l_orderkey").cast("long") * _KNUTH
+            + F.col("l_linenumber").cast("long") * _MIX,
+            F.lit(SALT_N),
+        ).alias("salt"),
+    )
+    out = (
+        fact.join(
+            salted_dim,
+            (fact.l_suppkey == salted_dim.s_suppkey)
+            & (fact.salt == salted_dim.salt),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan and "salt" in plan, (
+        "salted join must run as a ShuffledHashJoin on (key, salt); "
+        "got:\n" + plan[:800]
+    )
+    return out
+
+
+@query(
+    "next_event_training_examples",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, event_type,
+           lag(event_type, 3) OVER w AS t3,
+           lag(event_type, 2) OVER w AS t2,
+           lag(event_type, 1) OVER w AS t1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       t3 || '|' || t2 || '|' || t1 AS context,
+       event_type AS label
+FROM seq WHERE t3 IS NOT NULL
+""",
+)
+def next_event_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model dataset construction: every event becomes a
+    supervised example (context = the 3 preceding event types in time
+    order, label = the current type) — the next-event-prediction /
+    session-recommendation shape. Three lags over ONE user-keyed
+    window share a single shuffle+sort; rows without a full context
+    are dropped (no padding — padded variants are a projection away).
+    At 100 TB this is the canonical one-pass windowed featurization:
+    no self-joins, no collect_list of whole histories, output is
+    O(events) rows with O(1) context each."""
+    e = _lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 3).over(w).alias("t3"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    )
+    return seq.filter(F.col("t3").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.concat_ws("|", "t3", "t2", "t1").alias("context"),
+        F.col("event_type").alias("label"),
+    )
+
+
+@query(
+    "negative_sampling_contrastive",
+    oracle=f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+cand AS (
+    SELECT d.doc_id, k.k,
+           (d.doc_id * {_KNUTH} + CAST(k.k AS BIGINT) * {_MIX})
+               % {_M32} % n.n_docs AS neg_raw
+    FROM documents d, (SELECT unnest([0, 1, 2, 3]) AS k) k, n
+), resolved AS (
+    SELECT doc_id, k,
+           CASE WHEN neg_raw = doc_id
+                THEN (neg_raw + 1) % (SELECT n_docs FROM n)
+                ELSE neg_raw END AS neg_id
+    FROM cand
+)
+SELECT r.doc_id, r.k, r.neg_id
+FROM resolved r JOIN documents d2 ON r.neg_id = d2.doc_id
+""",
+)
+def negative_sampling_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets K=4 pseudo-random negative partners via Knuth
+    multiplicative hashing over (doc_id, k) — reproducible across
+    runs, engines, and retries, which is what a training pipeline
+    needs from its sampling (a rand() here makes every epoch a
+    different dataset and every backfill unverifiable). Collision
+    with the positive remaps to the next id; the join back to
+    `documents` pins existence (and keeps both engines honest if ids
+    were ever non-contiguous — matching is by VALUE, not position).
+
+    Scale: the candidate generator is a projection (no shuffle); the
+    existence join shuffles ids only — at 100 TB you'd broadcast the
+    id-universe bloom or bucket both sides on doc_id. K and the mix
+    constants are the only knobs."""
+    d = _lt(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ks = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    cand = (
+        d.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "k",
+            F.pmod(
+                F.pmod(
+                    F.col("doc_id").cast("long") * _KNUTH
+                    + F.col("k").cast("long") * _MIX,
+                    F.lit(_M32)
+                ),
+                F.col("n_docs"),
+            ).alias("neg_raw"),
+            "n_docs",
+        )
+    )
+    resolved = cand.select(
+        "doc_id",
+        "k",
+        F.when(
+            F.col("neg_raw") == F.col("doc_id"),
+            F.pmod(F.col("neg_raw") + 1, F.col("n_docs")),
+        )
+        .otherwise(F.col("neg_raw"))
+        .alias("neg_id"),
+    )
+    d2 = _lt(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neg_id")
+    )
+    return resolved.join(d2, "neg_id").select("doc_id", "k", "neg_id")
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY 1, 2
+)
+SELECT a.pri,
+       count(*) AS n_days_scored,
+       CAST(sum(abs(a.cents - f.cents)) AS BIGINT) AS sae_cents,
+       CAST(sum(a.cents) AS BIGINT) AS actual_cents
+FROM daily a JOIN daily f
+  ON a.pri = f.pri AND f.d = a.d - INTERVAL 7 DAY
+GROUP BY a.pri
+""",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: seasonal-naive (ŷ(d) = y(d−7), same
+    weekday last week) scored over the whole history per order
+    priority — the baseline every real forecasting system must beat,
+    and the evaluation loop (point forecast → absolute error →
+    aggregate) expressed as one self-join on the DATE GRID, not a lag:
+    a lag-7-rows window silently misaligns wherever a day is missing,
+    the date-shifted join scores exactly the days with a valid
+    counterpart. Errors accumulate as integer cents (sum of |Δ|), so
+    the WAPE = sae/actual division is left to the consumer and the
+    driver hash stays exact.
+
+    Scale: the daily aggregate collapses the fact to (priority × day)
+    rows — SF-invariant in width, ~date-range in length; the self-join
+    runs on that aggregate, never the fact."""
+    o = _lt(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    a = daily.alias("a")
+    f = daily.alias("f")
+    return (
+        a.join(
+            f,
+            (F.col("a.pri") == F.col("f.pri"))
+            & (F.col("f.d") == F.date_sub(F.col("a.d"), 7)),
+        )
+        .groupBy(F.col("a.pri").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            F.sum(F.abs(F.col("a.cents") - F.col("f.cents"))).alias("sae_cents"),
+            F.sum(F.col("a.cents")).alias("actual_cents"),
+        )
+    )
+
+
+@query(
+    "crossval_fold_assign",
+    oracle=f"""
+SELECT (o_orderkey * {_KNUTH}) % {_M32} % 5 AS fold,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY 1
+""",
+)
+def crossval_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) by multiplicative hash of
+    the example key — the split every training pipeline needs to be
+    REPRODUCIBLE: the same row lands in the same fold on every engine,
+    every rerun, every backfill, with no persisted assignment table
+    and no rand(). The per-fold summary (count, spend mass, distinct
+    customers) is the balance check run before trusting a split; a
+    skewed fold here means the key is correlated with the hash — swap
+    the constant, not the method. randomSplit() is the anti-pattern
+    this replaces: it's weight-approximate, plan-sensitive, and
+    unreproducible across engines.
+
+    Scale: pure map-side expression + one aggregate; fold count and
+    constants are the only state."""
+    o = _lt(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.pmod(
+                F.pmod(F.col("o_orderkey").cast("long") * _KNUTH, F.lit(_M32)),
+                F.lit(5)
+            ).alias("fold"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_custkey",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
