@@ -314,3 +314,166 @@ def crossval_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+@query(
+    "passage_chunk_overlap",
+    oracle="""
+SELECT d.doc_id,
+       CAST(u.i AS BIGINT) AS chunk_id,
+       substring(d.text, CAST(u.i * 150 + 1 AS INT), 200) AS chunk_text
+FROM documents d,
+     unnest(range(0, 1 + (greatest(d.n_chars - 200, 0) + 149) // 150))
+         AS u(i)
+""",
+)
+def passage_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style passage chunking: every document split into 200-char
+    windows with 50-char overlap (stride 150) — the step between raw
+    corpus and embedding in every retrieval pipeline. Chunk COUNT is
+    computed arithmetically from the stored n_chars (1 + ceil(max(n−C,
+    0)/S), positive-int `div` — engine-portable) and the offsets
+    exploded from a sequence, so chunking is a pure projection +
+    generator: no shuffle, no UDF, and each chunk is sliced with one
+    substring. The overlap guarantees no boundary-straddling span
+    longer than 50 chars is ever unseen by retrieval.
+
+    Scale: output is ~n_chars/S rows per doc, generated scan-side;
+    at 100 TB the only knobs are (C, S) and the usual advice is to
+    chunk at WRITE time into a chunks table partitioned like its
+    corpus — this query IS that write's SELECT."""
+    C, S = 200, 150
+    d = _lt(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    k = F.expr(f"1 + ((greatest(n_chars - {C}, 0) + {S - 1}) div {S})")
+    return (
+        d.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), k - 1)))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr(f"substring(text, chunk_id * {S} + 1, {C})").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@query(
+    "interpolate_linear_gaps",
+    oracle="""
+WITH hourly AS (  -- observed: per-user hourly mean value, in cents
+    SELECT user_id,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+           CAST(floor(avg(value) * 100) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+), grid AS (      -- dense hour grid per user between first/last obs
+    SELECT u.user_id, g.h
+    FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+          FROM hourly GROUP BY user_id) u,
+         unnest(generate_series(u.h0, u.h1, INTERVAL 1 HOUR)) AS g(h)
+), joined AS (
+    SELECT g.user_id, g.h, o.cents
+    FROM grid g LEFT JOIN hourly o
+      ON g.user_id = o.user_id AND g.h = o.h
+), bounded AS (
+    SELECT user_id, h, cents,
+           last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_c,
+           max(CASE WHEN cents IS NOT NULL THEN h END) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_h,
+           first_value(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_c,
+           min(CASE WHEN cents IS NOT NULL THEN h END) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_h
+    FROM joined
+)
+SELECT user_id, h,
+       CASE WHEN cents IS NOT NULL THEN cents * 3600 ELSE
+         prev_c * 3600
+         + CAST(floor(
+             (next_c - prev_c)
+             * CAST(date_diff('second', prev_h, h) AS BIGINT) * 3600
+             / CAST(date_diff('second', prev_h, next_h) AS BIGINT)
+           ) AS BIGINT)
+       END AS interp_num,
+       CAST(3600 AS BIGINT) AS interp_den
+FROM bounded
+""",
+)
+def interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing points on a dense per-user
+    hourly grid — the M2 completion past LOCF (win_locf_forward_fill):
+    gaps are filled on the line between the PREVIOUS and NEXT observed
+    hours, weighted by time distance. Four IGNORE-NULLS/conditional
+    windows over ONE user-keyed sort deliver (prev, next) value+time
+    per gap row; the grid itself is a sequence explode between each
+    user's first and last observation (never a global calendar).
+
+    EXACTNESS: the interpolated value is emitted as an integer
+    RATIONAL (numerator scaled by den=3600; the slope term is
+    floor-of-a-double-quotient of exact int64s — the house-portable
+    signed division, since trunc-vs-floor `div` semantics differ
+    across engines on negative slopes) instead of a raw double —
+    cross-engine float output on arbitrary gap ratios is exactly the
+    class of hash-divergence the house rules ban. Consumers divide
+    num/den; the driver hashes exact ints.
+
+    Scale: everything partitions on user_id; grid width is bounded by
+    each user's observed span, and the four windows share one
+    shuffle."""
+    e = _lt(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.floor(F.avg("value") * 100).cast("long").alias("cents"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cents").isNotNull(), F.col("h"))
+    bounded = joined.select(
+        "user_id",
+        "h",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.max(obs_h).over(wb).alias("prev_h"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.min(obs_h).over(wf).alias("next_h"),
+    )
+    sec = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    interp = F.col("prev_c") * 3600 + F.floor(
+        (F.col("next_c") - F.col("prev_c"))
+        * (sec("h") - sec("prev_h"))
+        * 3600
+        / (sec("next_h") - sec("prev_h"))
+    ).cast("long")
+    return bounded.select(
+        "user_id",
+        "h",
+        F.when(F.col("cents").isNotNull(), F.col("cents") * 3600)
+        .otherwise(interp)
+        .alias("interp_num"),
+        F.lit(3600).cast("long").alias("interp_den"),
+    )
