@@ -111,6 +111,57 @@ def streaming_session_window_live(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_session_dynamic_gap_live",
+    oracle="""
+WITH g AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN event_type = 'purchase'
+                THEN ts + INTERVAL 60 MINUTE
+                ELSE ts + INTERVAL 30 MINUTE END AS reach
+    FROM events
+), flagged AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN ts <= max(reach) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 0 ELSE 1 END AS new_sess
+    FROM g
+), numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, sid
+""",
+)
+def streaming_session_dynamic_gap_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K3 dynamic-gap sessions as REAL streaming: the per-event gap
+    expression (purchase holds 60 min, else 30) evaluated inside the
+    streaming `session_window` state merge, AvailableNow-drained —
+    the live twin of the batch `events_session_dynamic_gap`, sharing
+    its running-max gaps-and-islands oracle. The dynamic gap is the
+    production shape (per-event-type engagement half-lives); state is
+    still bounded by ACTIVE sessions because each open session's
+    expiry is the max reach of its events, which the watermark
+    eventually passes."""
+    from dist_keras_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+        streaming_session_dynamic_agg,
+    )
+
+    return run_available_now(
+        streaming_session_dynamic_agg(stream_events(spark, sf_dir)),
+        "complete",
+    )
+
+
+@query(
     "streaming_sliding_window_live",
     oracle="""
 SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'

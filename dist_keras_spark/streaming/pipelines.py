@@ -77,6 +77,27 @@ def streaming_session_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_session_dynamic_agg(events: DataFrame) -> DataFrame:
+    """K3 extension: session windows with a PER-EVENT gap on the
+    stream — purchases hold the session open 60 minutes, everything
+    else 30 (the dynamic-gap `session_window` form; twin of the batch
+    plans/events_time.events_session_dynamic_gap)."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n", "sum_value"
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame) -> DataFrame:
     """K5: streaming dropDuplicates on event_id within the watermark."""
     return events.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
