@@ -91,6 +91,24 @@ def adam_step(
     return center, m, v
 
 
+def eamsgd_center_step(
+    center: np.ndarray,
+    m: np.ndarray,
+    grad: np.ndarray,
+    lr: float,
+    rho: float,
+    momentum: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ONE EAMSGD center update (elastic step + damped Nesterov
+    momentum) — factored out of the 'eamsgd' mode for the fixed-point
+    replay query (plans/ml.py::linreg_eamsgd_two_steps) and its
+    pytest. Returns (new_center, new_m)."""
+    step = lr * (rho * grad)
+    m = momentum * m + (1 - momentum) * step
+    center = center - (momentum * m + (1 - momentum) * step)
+    return center, m
+
+
 def dynsgd_lr(lr: float, t: int) -> float:
     """The DynSGD decayed learning rate — factored out of the 'dynsgd'
     mode for the same reason as adam_step: the fixed-point replay
@@ -402,9 +420,9 @@ class SyncDistributedTrainer(Trainer):
                 # (≈10× at momentum .9), overshooting past the worker
                 # consensus every round and oscillating instead of
                 # converging.
-                step = lr * (self.rho * grad)
-                m = self.momentum * m + (1 - self.momentum) * step
-                center -= self.momentum * m + (1 - self.momentum) * step
+                center, m = eamsgd_center_step(
+                    center, m, grad, lr, self.rho, self.momentum
+                )
 
             model.set_weights(_unflatten(center, like))
             self.add_history(round=rnd, loss=mean_loss, n=n_total)

@@ -323,6 +323,150 @@ def linreg_dynsgd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return step(step(w0, 1), 2).select("l_returnflag", "n", "w_fp", "b_fp")
 
 
+_EAM_LR, _EAM_RHO, _EAM_MOM = 1e-11, 0.9, 0.9
+_EAM_DAMP = 1 - _EAM_MOM  # 0.09999999999999998 as an IEEE double
+
+_EAMSGD_ORACLE = f"""
+WITH d AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice) AS BIGINT) * 10000 AS y_fp
+    FROM lineitem
+), s0 AS (
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(2 * x * (-y_fp)) AS BIGINT) AS gw,
+           CAST(sum(2 * (-y_fp)) AS BIGINT) AS gb
+    FROM d GROUP BY l_returnflag
+), a1 AS (  -- t=1: zero velocity, so m1 = damp·step1
+    SELECT l_returnflag, n,
+           {_EAM_DAMP!r} * ({_EAM_LR!r} * ({_EAM_RHO!r}
+               * (CAST(gw AS DOUBLE) / n))) AS m_w,
+           {_EAM_DAMP!r} * ({_EAM_LR!r} * ({_EAM_RHO!r}
+               * (CAST(gb AS DOUBLE) / n))) AS m_b,
+           {_EAM_LR!r} * ({_EAM_RHO!r} * (CAST(gw AS DOUBLE) / n))
+               AS st_w,
+           {_EAM_LR!r} * ({_EAM_RHO!r} * (CAST(gb AS DOUBLE) / n))
+               AS st_b
+    FROM s0
+), w1 AS (  -- center -= mom·m + damp·step, quantized to 1e-4
+    SELECT l_returnflag, n, m_w, m_b,
+           0 - CAST(floor(({_EAM_MOM!r} * m_w + {_EAM_DAMP!r} * st_w)
+                 * 10000.0) AS BIGINT) AS w_fp,
+           0 - CAST(floor(({_EAM_MOM!r} * m_b + {_EAM_DAMP!r} * st_b)
+                 * 10000.0) AS BIGINT) AS b_fp
+    FROM a1
+), s1 AS (
+    SELECT d.l_returnflag, w1.n, w1.m_w, w1.m_b, w1.w_fp, w1.b_fp,
+           CAST(sum(2 * d.x * (w1.w_fp * d.x + w1.b_fp - d.y_fp))
+                AS BIGINT) AS gw,
+           CAST(sum(2 * (w1.w_fp * d.x + w1.b_fp - d.y_fp))
+                AS BIGINT) AS gb
+    FROM d JOIN w1 USING (l_returnflag)
+    GROUP BY d.l_returnflag, w1.n, w1.m_w, w1.m_b, w1.w_fp, w1.b_fp
+), a2 AS (
+    SELECT l_returnflag, n, w_fp, b_fp,
+           {_EAM_MOM!r} * m_w + {_EAM_DAMP!r} * ({_EAM_LR!r}
+               * ({_EAM_RHO!r} * (CAST(gw AS DOUBLE) / n))) AS m_w2,
+           {_EAM_MOM!r} * m_b + {_EAM_DAMP!r} * ({_EAM_LR!r}
+               * ({_EAM_RHO!r} * (CAST(gb AS DOUBLE) / n))) AS m_b2,
+           {_EAM_LR!r} * ({_EAM_RHO!r} * (CAST(gw AS DOUBLE) / n))
+               AS st_w2,
+           {_EAM_LR!r} * ({_EAM_RHO!r} * (CAST(gb AS DOUBLE) / n))
+               AS st_b2
+    FROM s1
+)
+SELECT l_returnflag, n,
+       w_fp - CAST(floor(({_EAM_MOM!r} * m_w2 + {_EAM_DAMP!r} * st_w2)
+              * 10000.0) AS BIGINT) AS w_fp,
+       b_fp - CAST(floor(({_EAM_MOM!r} * m_b2 + {_EAM_DAMP!r} * st_b2)
+              * 10000.0) AS BIGINT) AS b_fp
+FROM a2
+"""
+
+
+@query("linreg_eamsgd_two_steps", oracle=_EAMSGD_ORACLE)
+def linreg_eamsgd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO exact EAMSGD center updates — the ELASTIC + damped-Nesterov
+    mode's arithmetic driver-checked, the third optimizer branch after
+    Adam and DynSGD. The update (operators/trainers.py::
+    eamsgd_center_step): step = lr·(rho·grad), velocity m = mom·m +
+    (1−mom)·step, center −= mom·m + (1−mom)·step — velocity carried as
+    a DOUBLE column between rounds, deterministic because grads are
+    exact int64 sums and every constant is the same inlined IEEE
+    double on all three sides; the applied weight quantizes to 1e-4
+    fixed point per step. tests/test_ml.py replays the trainer's own
+    eamsgd_center_step. Same scale shape and int64 valve as the other
+    replay queries."""
+    l = _lt(spark, sf_dir, "lineitem")
+    d = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
+    )
+    s0 = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(2 * F.col("x") * (-F.col("y_fp"))).alias("gw"),
+        F.sum(2 * (-F.col("y_fp"))).alias("gb"),
+    )
+
+    def _step_col(gcol: str):
+        return F.lit(_EAM_LR) * (
+            F.lit(_EAM_RHO) * (F.col(gcol).cast("double") / F.col("n"))
+        )
+
+    def _delta(mcol, stcol):
+        return F.floor(
+            (F.lit(_EAM_MOM) * mcol + F.lit(_EAM_DAMP) * stcol)
+            * F.lit(10000.0)
+        ).cast("long")
+
+    a1 = s0.select(
+        "l_returnflag",
+        "n",
+        (F.lit(_EAM_DAMP) * _step_col("gw")).alias("m_w"),
+        (F.lit(_EAM_DAMP) * _step_col("gb")).alias("m_b"),
+        _step_col("gw").alias("st_w"),
+        _step_col("gb").alias("st_b"),
+    )
+    w1 = a1.select(
+        "l_returnflag",
+        "n",
+        "m_w",
+        "m_b",
+        (F.lit(0).cast("long") - _delta(F.col("m_w"), F.col("st_w"))).alias("w_fp"),
+        (F.lit(0).cast("long") - _delta(F.col("m_b"), F.col("st_b"))).alias("b_fp"),
+    )
+    res = F.col("w_fp") * F.col("x") + F.col("b_fp") - F.col("y_fp")
+    s1 = (
+        d.join(w1, "l_returnflag")
+        .groupBy("l_returnflag", "n", "m_w", "m_b", "w_fp", "b_fp")
+        .agg(
+            F.sum(2 * F.col("x") * res).alias("gw"),
+            F.sum(2 * res).alias("gb"),
+        )
+    )
+    a2 = s1.select(
+        "l_returnflag",
+        "n",
+        "w_fp",
+        "b_fp",
+        (F.lit(_EAM_MOM) * F.col("m_w") + F.lit(_EAM_DAMP) * _step_col("gw")).alias(
+            "m_w2"
+        ),
+        (F.lit(_EAM_MOM) * F.col("m_b") + F.lit(_EAM_DAMP) * _step_col("gb")).alias(
+            "m_b2"
+        ),
+        _step_col("gw").alias("st_w2"),
+        _step_col("gb").alias("st_b2"),
+    )
+    return a2.select(
+        "l_returnflag",
+        "n",
+        (F.col("w_fp") - _delta(F.col("m_w2"), F.col("st_w2"))).alias("w_fp"),
+        (F.col("b_fp") - _delta(F.col("m_b2"), F.col("st_b2"))).alias("b_fp"),
+    )
+
+
 # Adam ('adag' mode) constants, precomputed in Python and inlined as
 # repr() DOUBLE literals on BOTH engine sides — writing `1 - 0.9` in
 # DuckDB SQL would run in DECIMAL arithmetic (exact 0.1) while Spark

@@ -301,3 +301,49 @@ def test_dynsgd_replay_query_matches_trainer_lr_decay(spark, sf_dir):
             w_fp -= math.floor(float(gw) / 10000.0 / n * k)
             b_fp -= math.floor(float(gb) / 10000.0 / n * k)
         assert got[flag] == (n, w_fp, b_fp), flag
+
+
+def test_eamsgd_replay_query_matches_trainer_center_step(spark, sf_dir):
+    """linreg_eamsgd_two_steps must equal a numpy replay driving the
+    trainer's own eamsgd_center_step on the same exact int64 gradient
+    sums, with the query's per-step 1e-4 delta quantization."""
+    import pandas as pd
+
+    from dist_keras_spark.operators.trainers import eamsgd_center_step
+    from dist_keras_spark.plans.ml import (
+        _EAM_LR,
+        _EAM_MOM,
+        _EAM_RHO,
+        linreg_eamsgd_two_steps,
+    )
+
+    got = {
+        r.l_returnflag: (r.n, r.w_fp, r.b_fp)
+        for r in linreg_eamsgd_two_steps(spark, sf_dir).collect()
+    }
+    pdf = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    x = pdf["l_quantity"].astype("int64").to_numpy()
+    y_fp = np.floor(pdf["l_extendedprice"].to_numpy()).astype("int64") * 10000
+    for flag, grp in pdf.groupby("l_returnflag"):
+        idx = grp.index.to_numpy()
+        xs, ys = x[idx], y_fp[idx]
+        n = len(xs)
+        m = np.zeros(2)
+        w_fp = np.zeros(2, dtype=np.int64)
+        for t in (1, 2):
+            res = w_fp[0] * xs + w_fp[1] - ys
+            grad = np.array(
+                [
+                    float(np.sum(2 * xs * res, dtype=np.int64)) / n,
+                    float(np.sum(2 * res, dtype=np.int64)) / n,
+                ]
+            )
+            new_center, m = eamsgd_center_step(
+                np.zeros(2), m, grad, _EAM_LR, _EAM_RHO, _EAM_MOM
+            )
+            delta = -new_center  # center started at 0: the applied step
+            w_fp = w_fp - np.floor(delta * 10000.0).astype(np.int64)
+        assert got[flag] == (n, int(w_fp[0]), int(w_fp[1])), flag
