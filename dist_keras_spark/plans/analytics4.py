@@ -477,3 +477,46 @@ def interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("interp_num"),
         F.lit(3600).cast("long").alias("interp_den"),
     )
+
+
+@query(
+    "sample_exact_n_per_group",
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey, rn
+FROM (
+    SELECT o_orderpriority, o_orderkey,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY (o_orderkey * {_KNUTH}) % {_M32}, o_orderkey
+           ) AS rn
+    FROM orders)
+WHERE rn <= 20
+""",
+)
+def sample_exact_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-N-per-group deterministic sampling: rank each group by
+    the multiplicative hash of the row key and keep the first 20 — the
+    stratified pull every eval-set builder needs where
+    `sampleBy()` gives only approximate fractions and rand() a
+    different sample per run. The hash order is uniform-ish but FIXED:
+    same 20 rows per group on every engine, rerun, and backfill, and
+    growing the sample to N=50 keeps the first 20 stable (hash order
+    is a total order per group — samples are PREFIX-monotone, the
+    property that lets eval sets grow without churning).
+
+    Scale: one shuffle on the group key; the rank window never crosses
+    groups. For very hot groups the same AQE/salting remedies as any
+    keyed window apply."""
+    o = _lt(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.pmod(F.col("o_orderkey").cast("long") * _KNUTH, F.lit(_M32)),
+        "o_orderkey",
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
