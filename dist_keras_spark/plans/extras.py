@@ -827,6 +827,44 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_rollback_restore",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+""",
+)
+def snapshot_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family completion: ROLLBACK as roll-forward restore — commit
+    v1 (nations < 10), v2 (append the rest), then
+    `rollback_snapshot(path, 1)` publishes v3 whose manifest is v1's
+    exact file list. The latest read must equal v1's content (the
+    oracle), v2 stays pinned-readable (asserted in-query), and history
+    is append-only: restore never deletes published metadata, the
+    only rollback shape that doesn't race concurrent readers on an
+    object store. The dir is reset per run so the version history is
+    deterministic."""
+    import shutil
+
+    from dist_keras_spark.sources.snapshots import (
+        read_snapshot,
+        rollback_snapshot,
+        write_snapshot,
+    )
+
+    n = _lt(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    path = scratch_path(spark, "snapshot_rb")
+    shutil.rmtree(path, ignore_errors=True)
+    write_snapshot(n.filter(F.col("n_nationkey") < 10), path)
+    write_snapshot(n.filter(F.col("n_nationkey") >= 10), path)
+    new_v = rollback_snapshot(path, 1)
+    assert new_v == 3, f"restore must publish v3, got v{new_v}"
+    # intermediate history intact: v2 still reads the full table
+    assert read_snapshot(spark, path, version=2).count() == n.count(), (
+        "v2 snapshot must remain readable after restore"
+    )
+    return read_snapshot(spark, path)  # latest == v1 content
+
+
+@query(
     "dpp_partitioned_join",
     oracle="""
 SELECT e.event_type, count(*) AS n,

@@ -70,3 +70,25 @@ def read_snapshot(
     )
     files = json.load(open(pick))["files"]
     return spark.read.parquet(*files)
+
+
+def rollback_snapshot(path: str, to_version: int) -> int:
+    """ROLL-FORWARD restore: publish a NEW version whose file list is
+    exactly `to_version`'s — history is never rewritten (readers
+    pinned to intermediate versions keep their snapshot; the bad
+    version stays inspectable), which is how Iceberg/Delta implement
+    rollback on object stores where deleting published metadata races
+    with readers. Returns the new version number."""
+    src = f"{path}/_manifests/v{to_version:05d}.json"
+    if not os.path.exists(src):
+        raise FileNotFoundError(f"no version {to_version} at {path}")
+    files = json.load(open(src))["files"]
+    version = len(_manifest_paths(path)) + 1
+    tmp = f"{path}/_manifests/.v{version:05d}.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"version": version, "restored_from": to_version, "files": files},
+            fh,
+        )
+    os.rename(tmp, f"{path}/_manifests/v{version:05d}.json")
+    return version
