@@ -36,7 +36,10 @@ WARM_DIR = "/root/testdata/sf0.001"
 # inference — plus (round 6) the heaviest of the newer families so a
 # regression there is driver-visible, not just extended-trace-visible:
 # int8-quantized kNN, binned Gini, window-free share-of-total, and the
-# nearest-direction as-of composition.
+# nearest-direction as-of composition. Round 7 adds one: the
+# mapInArrow journey summary, so the Arrow-native Python boundary (the
+# recommended fast path for per-key sequential logic) has a
+# driver-visible number. Like-for-like vs r6 = total minus that entry.
 BENCH_QUERIES = [
     "revenue_by_nation",
     "tpch_q5_local_supplier",
@@ -57,6 +60,7 @@ BENCH_QUERIES = [
     "gini_histogram_binned",
     "share_of_total_broadcast",
     "join_asof_nearest",
+    "arrow_journey_summary",
 ]
 
 

@@ -97,16 +97,24 @@ def asof_join(
         )
         fill = F.last("__rvals", ignorenulls=True).over(w)
     else:
-        # Forward: frame looks ahead; left rows sort before right rows
-        # at equal timestamps (__is_left desc, left=1 first) so an
-        # exactly-simultaneous right row is inside [current, +inf) and
-        # matchable (>=); first() takes the earliest, tiebreak asc.
+        # Forward: the left row takes the EARLIEST right row at-or-after
+        # it; at equal timestamps left sorts before right so a
+        # simultaneous right row is matchable (>=). Implemented as the
+        # REVERSE of the forward total order (__t asc, __is_left desc,
+        # __tb asc) with a RUNNING frame + last(): last non-null over
+        # the reversed prefix == first non-null over the forward
+        # suffix. The naive form — first() over [currentRow,
+        # unboundedFollowing] — is what you'd write first, but Spark's
+        # UnboundedFollowingWindowFunctionFrame RECOMPUTES the
+        # aggregate per row (O(rows²) per key partition): invisible on
+        # fixture-sized keys, quadratic on a 100 TB hot key. Running
+        # frames are incremental (O(rows)).
         w = (
             W.partitionBy("__k")
-            .orderBy(F.col("__t").asc(), F.col("__is_left").desc(), F.col("__tb").asc())
-            .rowsBetween(0, W.unboundedFollowing)
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc(), F.col("__tb").desc())
+            .rowsBetween(W.unboundedPreceding, 0)
         )
-        fill = F.first("__rvals", ignorenulls=True).over(w)
+        fill = F.last("__rvals", ignorenulls=True).over(w)
     unioned = l_tagged.unionByName(r_tagged)
     filled = unioned.select(
         "__is_left",

@@ -100,6 +100,14 @@ registry.promote(
     "grouped_zscore",  # last r1
     "data_quality_summary",  # last r1
 )
+# Round-7 additions NOT in this window (all verified by
+# tools/verify_local.py at 3 SFs; `--window-plan` picks them up first
+# for r8 automatically): arrow_journey_summary, linreg_adam_two_steps,
+# linreg_dynsgd_two_steps, linreg_eamsgd_two_steps, join_skew_salted,
+# next_event_training_examples, negative_sampling_contrastive,
+# seasonal_naive_backtest, crossval_fold_assign, passage_chunk_overlap,
+# interpolate_linear_gaps, sample_exact_n_per_group,
+# snapshot_rollback_restore, streaming_session_dynamic_gap_live.
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out
 # of the driver's 50-slot window permanently.

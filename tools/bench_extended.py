@@ -92,6 +92,20 @@ EXTENDED = [
     "win_moving_median",
     "attribution_linear_touch",
     "knn_ivf_persisted_top5",
+    # round 7
+    "arrow_journey_summary",
+    "linreg_adam_two_steps",
+    "linreg_dynsgd_two_steps",
+    "linreg_eamsgd_two_steps",
+    "join_skew_salted",
+    "next_event_training_examples",
+    "negative_sampling_contrastive",
+    "seasonal_naive_backtest",
+    "crossval_fold_assign",
+    "passage_chunk_overlap",
+    "interpolate_linear_gaps",
+    "sample_exact_n_per_group",
+    "snapshot_rollback_restore",
 ]
 
 

@@ -122,6 +122,20 @@ AUDITED = {
     "compaction_roundtrip": "small-file compaction with crash-safe rename dance; content hash-identical after rewrite, file count asserted reduced",
     "scalar_calendar_arithmetic": "engine calendar conventions reconciled explicitly (dayofweek origin); pure scan-side expressions, zero shuffles",
     "linreg_gd_two_steps": "per GD step: ONE partial-aggregated int64 gradient scan + model-sized join back — the synchronous-rounds trainer skeleton, hash-exact via fixed-point weights",
+    # round 7
+    "arrow_journey_summary": "one user_id shuffle + in-partition sort; Python boundary crossed once per Arrow batch (vs per-row in the UDTF twin); numpy run-length segmentation inside",
+    "linreg_adam_two_steps": "per Adam step: ONE partial-aggregated scan (int64 gradient sums) + model-sized join back; moment state rides the 3-row model frame",
+    "linreg_dynsgd_two_steps": "same two-scan skeleton as the GD replay; decayed-LR multiplier is a literal per step",
+    "linreg_eamsgd_two_steps": "same skeleton; velocity column carried between rounds in the model frame",
+    "join_skew_salted": "ShuffledHashJoin on (suppkey, salt): hot keys spread over 8 tasks; dim replicated 8x (model-sized), fact adds one int column",
+    "next_event_training_examples": "three lags share ONE user-keyed shuffle+sort; no self-join, no collect_list",
+    "negative_sampling_contrastive": "candidates are a projection over broadcast (k, n) frames; only the id-existence join shuffles, ids only",
+    "seasonal_naive_backtest": "self-join runs on the (priority x day) aggregate, never the fact; date-shifted equi-join, gap-correct",
+    "crossval_fold_assign": "pure map-side hash expression + one aggregate; no shuffle beyond the final 5-group agg",
+    "passage_chunk_overlap": "scan-side explode of arithmetic chunk offsets; zero shuffles, zero UDFs",
+    "interpolate_linear_gaps": "grid explode + four IGNORE-NULLS windows over ONE user_id shuffle; rational integer output",
+    "sample_exact_n_per_group": "rank window on the group key only; per-group top-20 by deterministic hash order",
+    "snapshot_rollback_restore": "metadata-only restore: new manifest reuses v1's file list; reads scan exactly the manifest files",
 }
 
 
