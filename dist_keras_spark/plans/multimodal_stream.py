@@ -553,6 +553,125 @@ def streaming_watermark_late_drop_live(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "streaming_two_level_window_live",
+    oracle="""
+WITH m AS (SELECT max(ts) AS mx FROM events),
+l1 AS (
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS s15, event_type,
+           count(*) AS n1,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('hour', s15) AS TIMESTAMP) AS window_start,
+       CAST(sum(n1) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       count(*) AS n_subwindows
+FROM l1, m
+WHERE date_trunc('hour', s15) + INTERVAL 1 HOUR <= m.mx - INTERVAL 31 MINUTE
+GROUP BY 1
+""",
+)
+def streaming_two_level_window_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators (Spark 3.4+ multiple-stateful-
+    operator support): a 15-minute windowed aggregate RE-AGGREGATED
+    into 1-hour windows inside ONE streaming query —
+    `window(window_time(w), '1 hour')` over the first aggregate's
+    window column, watermark propagated through both state stores.
+    This is the streaming rollup pyramid (minute → hour → day) that
+    previously required one job per level chained through storage;
+    here the engine manages both levels' state and emits each hourly
+    window exactly once.
+
+    Emission determinism: append mode emits a level-2 window only
+    when the PROPAGATED watermark passes its end. Two staged files —
+    all events (holds the global max ts), then an EMPTY file — give
+    exactly two micro-batches: batch 0 accepts everything (its late
+    filter is the epoch watermark, SPARK-39781 two-watermark
+    semantics), and the empty batch 1 advances emission to the final
+    watermark max(ts) − 31 min. The oracle replays that cutoff as a
+    plain predicate: hourly windows with end ≤ max − 31 min. The
+    31-minute delay keeps the watermark off hour boundaries (µs
+    fixture noise), so <-vs-≤ eviction semantics cannot flip the
+    emitted set.
+
+    Scale: level-1 state is (15-min window × type) rows, level-2 one
+    row per open hour — both bounded by the watermark horizon, which
+    is the whole point of running the pyramid inside the engine.
+    Aggregates carry integer cents; n_subwindows counts the 15-min
+    buckets feeding each hour (≤ 4 × types)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    src = scratch_path(spark, "two_level_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = scratch_path(spark, "two_level_tmp_" + uuid.uuid4().hex[:8])
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    now = os.stat(src).st_mtime
+    stage(e, "a-batch0.parquet", now - 300)
+    stage(e.filter(F.lit(False)), "b-batch1-empty.parquet", now - 100)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    l1 = (
+        stream.withWatermark("ts", "31 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    l2 = (
+        l1.groupBy(F.window(F.window_time("w"), "1 hour").alias("w2"))
+        .agg(
+            F.sum("n1").alias("n_events"),
+            F.sum("cents").alias("cents"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+        )
+    )
+    name = "twolvl" + uuid.uuid4().hex[:10]
+    q = (
+        l2.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_state_ops = max(
+        (len(p["stateOperators"]) for p in q.recentProgress), default=0
+    )
+    assert n_state_ops >= 2, (
+        f"expected 2 chained stateful operators, saw {n_state_ops}"
+    )
+    return spark.table(name).select(
+        F.col("w2.start").alias("window_start"),
+        "n_events",
+        "cents",
+        "n_subwindows",
+    )
+
+
+@query(
     "streaming_left_outer_join_live",
     oracle="""
 WITH m AS (SELECT max(ts) AS mx FROM events)
