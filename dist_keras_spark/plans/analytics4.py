@@ -526,3 +526,77 @@ def sample_exact_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "bloom_runtime_filter_join",
+    oracle="""
+SELECT l.l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY l.l_returnflag
+""",
+)
+def bloom_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter RUNTIME join pruning — the third runtime-pruning
+    mechanism after dynamic partition pruning (dpp_partitioned_join)
+    and bucket pruning (bucket_pruning_scan): when a selective filter
+    sits on one join side and neither broadcast nor partition layout
+    applies, Catalyst's InjectRuntimeFilter builds a bloom filter from
+    the filtered side and pushes `might_contain(xxhash64(key))` into
+    the OTHER side's scan — fact rows that cannot match are dropped
+    BEFORE the shuffle. The query asserts the might_contain subquery
+    is present in its own plan; the oracle is the plain join (a
+    probabilistic filter may only pass extra rows into the join, never
+    change its result).
+
+    Conditions that gate injection (learned here, session-restored in
+    finally): the join must carry NO strategy hint (a merge/shuffle
+    hint suppresses the rule), broadcast must not apply (a broadcast
+    join IS already a perfect runtime filter), and the application
+    side must exceed applicationSideScanSizeThreshold (default 10GB —
+    lowered for fixture scale; at 100 TB the defaults fire on their
+    own). This is THE shuffle-reduction lever for selective star
+    joins too big to broadcast."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        o = (
+            _lt(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        l = _lt(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        out = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100).cast("long")
+                ).alias("cents"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "bloom runtime filter was not injected; plan:\n" + plan[:800]
+        )
+        # Materialize UNDER the lowered thresholds (plan is frozen at
+        # action time; restoring confs first would re-plan without the
+        # bloom filter on some Spark versions).
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return out
