@@ -107,7 +107,9 @@ registry.promote(
 # next_event_training_examples, negative_sampling_contrastive,
 # seasonal_naive_backtest, crossval_fold_assign, passage_chunk_overlap,
 # interpolate_linear_gaps, sample_exact_n_per_group,
-# snapshot_rollback_restore, streaming_session_dynamic_gap_live.
+# snapshot_rollback_restore, streaming_session_dynamic_gap_live,
+# streaming_two_level_window_live (chained stateful aggs),
+# bloom_runtime_filter_join.
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out
 # of the driver's 50-slot window permanently.

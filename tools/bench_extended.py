@@ -92,8 +92,7 @@ EXTENDED = [
     "win_moving_median",
     "attribution_linear_touch",
     "knn_ivf_persisted_top5",
-    # round 7
-    "arrow_journey_summary",
+    # round 7 (arrow_journey_summary already above, next to its twin)
     "linreg_adam_two_steps",
     "linreg_dynsgd_two_steps",
     "linreg_eamsgd_two_steps",
@@ -106,6 +105,7 @@ EXTENDED = [
     "interpolate_linear_gaps",
     "sample_exact_n_per_group",
     "snapshot_rollback_restore",
+    "bloom_runtime_filter_join",
 ]
 
 

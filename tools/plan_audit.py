@@ -136,6 +136,7 @@ AUDITED = {
     "interpolate_linear_gaps": "grid explode + four IGNORE-NULLS windows over ONE user_id shuffle; rational integer output",
     "sample_exact_n_per_group": "rank window on the group key only; per-group top-20 by deterministic hash order",
     "snapshot_rollback_restore": "metadata-only restore: new manifest reuses v1's file list; reads scan exactly the manifest files",
+    "bloom_runtime_filter_join": "might_contain(xxhash64) runtime filter pushed into the fact scan from the selective dim side; rows that cannot match die before the shuffle",
 }
 
 
