@@ -1,0 +1,51 @@
+"""Runnable tour of the training-data pipeline surface (round 7) —
+the queries an LLM/ML data-engineering team runs to turn a raw corpus
+and event stream into reproducible training sets.
+
+    python examples/training_data_tour.py [sf_dir]  # default /root/testdata/sf0.001
+
+Every stop is oracle-backed (DuckDB differential hash,
+tools/verify_local.py) and plan-audited (PLANS.md). The common thread:
+DETERMINISM — multiplicative-hash sampling instead of rand(), exact
+integer arithmetic instead of floats, prefix-monotone samples — so the
+same command produces the same dataset on every engine, rerun, and
+backfill.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from dist_keras_spark.plans import QUERIES  # noqa: E402
+from dist_keras_spark.session import get_spark  # noqa: E402
+
+TOUR = [
+    ("passage_chunk_overlap", "corpus → 200/50-overlap passages, scan-side arithmetic, no UDF"),
+    ("negative_sampling_contrastive", "K=4 contrastive negatives per doc — hash-deterministic, existence-joined"),
+    ("next_event_training_examples", "sequence examples (3-event context → next-type label), one user shuffle"),
+    ("crossval_fold_assign", "reproducible 5-fold split + balance summary — no rand(), no assignment table"),
+    ("sample_exact_n_per_group", "exactly-20-per-group eval pull, prefix-monotone as N grows"),
+    ("point_in_time_features", "leakage-safe feature assembly — label spine + backward as-of"),
+    ("dedup_exact_priority", "exact dedup keeping the highest-priority copy — one md5 shuffle"),
+    ("minhash_lsh_neardup", "near-dedup via MinHash-LSH bands — candidates only, never all-pairs"),
+    ("knn_ivf_persisted_top5", "ANN over a persisted cell-partitioned IVF index — build once, probe few"),
+    ("linreg_adam_two_steps", "the Adam training loop itself, hash-exact in fixed point"),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training_data_tour")
+    for name, why in TOUR:
+        df = QUERIES[name](spark, sf_dir)
+        rows = df.collect()
+        head = rows[0].asDict() if rows else {}
+        print(f"{name:34s} {len(rows):>7d} rows  | {why}")
+        print(f"{'':34s} e.g. {head}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
