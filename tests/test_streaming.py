@@ -73,3 +73,55 @@ def test_upsert_state_ignores_torn_versions(spark, tmp_path):
     os.remove(f"{state}/v00002/_SUCCESS")  # simulate the crash
     assert current_state(spark, state).count() == 5
     assert current_state(spark, str(tmp_path / "nope")) is None
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across a RESTART: a dropDuplicates stream writes
+    to a parquet sink with a checkpoint; after stopping, a second file
+    arrives whose rows OVERLAP the first batch's. Restarting from the
+    same checkpoint must (a) not reprocess file A (source offsets
+    recovered), and (b) suppress the cross-restart duplicates
+    (dedup state recovered) — every event_id appears exactly once in
+    the sink. This is the production recovery contract no
+    single-lifetime availableNow test exercises."""
+    from pyspark.sql import functions as F
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    a = e.filter((F.col("event_id") % 3 != 0) | (F.col("event_id") % 5 == 0))
+    b = e.filter((F.col("event_id") % 3 == 0) | (F.col("event_id") % 5 == 0))
+    a.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .parquet(src)
+            .dropDuplicates(["event_id"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # lifetime 1: file A only
+    n_after_a = spark.read.parquet(out).count()
+    assert n_after_a == a.count()
+    b.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # lifetime 2: same checkpoint, file B arrives
+
+    sink = spark.read.parquet(out)
+    assert sink.count() == e.count(), "missing or duplicated rows after restart"
+    dupes = (
+        sink.groupBy("event_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0, "cross-restart duplicates leaked through dedup state"
