@@ -35,70 +35,69 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics4,
 )
 
-# Round-7 window (VERDICT r6 #1 + #6): generated MECHANICALLY by
+# Round-8 window (VERDICT r7 #1): generated MECHANICALLY by
 # `python tools/verify_local.py --window-plan` (output committed below
-# verbatim) — all 47 oracle-backed queries the driver has never
-# checked, in registration order, then the 3 oldest-checked re-checks
-# (r1). Fixture-drift canary coverage is inherent: 9+ of the 47 read
-# the `events` table directly (events_session_dynamic_gap,
-# events_path_top10, scd2_from_events, attribution_linear_touch,
-# concurrent_intervals_peak, sequence_pattern_match,
-# events_funnel_within_24h, point_in_time_features,
-# events_cohort_ltv_triangle), so an events encoding drift fails
-# loudly in-window. oracle=None queries are never promoted (driver
-# errors on them); they stay demoted at the very end.
-# window plan: 47 never-checked, 3 re-checks (oldest round first), 244 oracle-backed total
+# verbatim) — the 16 oracle-backed round-7 additions the driver has
+# never checked (judge-verified 16/16 hash-green in the r7 session),
+# then the 34 oldest re-checks (r1/r2). Landing this window completes
+# first-time driver coverage of EVERY oracle-backed query in the
+# registry. Fixture-drift canary coverage: next_event_training_examples,
+# seasonal_naive_backtest, interpolate_linear_gaps, crossval_fold_assign,
+# sample_exact_n_per_group and both streaming _live queries read
+# `events` directly, so an events encoding drift fails loudly in-window.
+# oracle=None queries are never promoted (driver errors on them).
+# window plan: 16 never-checked, 34 re-checks (oldest round first), 260 oracle-backed total
 registry.promote(
-    "sort_paginate_offset",  # never checked
-    "topk_with_ties",  # never checked
-    "win_moving_median",  # never checked
-    "win_locf_forward_fill",  # never checked
-    "variant_semi_structured",  # never checked
-    "scalar_hof_suite",  # never checked
-    "scalar_calendar_arithmetic",  # never checked
-    "scalar_try_arithmetic",  # never checked
-    "streaming_upsert_sink_live",  # never checked
-    "streaming_watermark_late_drop_live",  # never checked
-    "streaming_left_outer_join_live",  # never checked
-    "arrow_blob_stats",  # never checked
-    "streaming_full_outer_join_live",  # never checked
-    "agg_percentile_disc_rank",  # never checked
-    "pivot_multi_measure",  # never checked
-    "events_session_dynamic_gap",  # never checked
-    "dpp_partitioned_join",  # never checked
-    "manifest_skipping_scan",  # never checked
-    "events_path_top10",  # never checked
-    "custom_datasource_write_roundtrip",  # never checked
-    "udtf_table_arg_summary",  # never checked
-    "bucket_pruning_scan",  # never checked
-    "compaction_roundtrip",  # never checked
-    "knn_ivf_persisted_top5",  # never checked
-    "kmeans_lloyd_two_iters",  # never checked
-    "linreg_gd_two_steps",  # never checked
-    "attribution_linear_touch",  # never checked
-    "sql_pipe_syntax",  # never checked
-    "collation_case_insensitive",  # never checked
-    "sql_group_by_all",  # never checked
-    "sql_identifier_clause",  # never checked
-    "market_basket_lift",  # never checked
-    "cdc_snapshot_diff",  # never checked
-    "scd2_from_events",  # never checked
-    "concurrent_intervals_peak",  # never checked
-    "sequence_pattern_match",  # never checked
-    "revenue_mom_growth",  # never checked
-    "rfm_segment_quantile",  # never checked
-    "weighted_median_by_supplier",  # never checked
-    "pareto_frontier_brand",  # never checked
-    "corr_sufficient_stats",  # never checked
-    "events_funnel_within_24h",  # never checked
-    "triangle_count_brands",  # never checked
-    "pagerank_two_iters",  # never checked
-    "logistic_newton_step",  # never checked
-    "point_in_time_features",  # never checked
-    "events_cohort_ltv_triangle",  # never checked
-    "sql_entry_q3",  # last r1
-    "grouped_zscore",  # last r1
-    "data_quality_summary",  # last r1
+    "streaming_session_dynamic_gap_live",  # never checked
+    "streaming_two_level_window_live",  # never checked
+    "snapshot_rollback_restore",  # never checked
+    "arrow_journey_summary",  # never checked
+    "linreg_dynsgd_two_steps",  # never checked
+    "linreg_eamsgd_two_steps",  # never checked
+    "linreg_adam_two_steps",  # never checked
+    "join_skew_salted",  # never checked
+    "next_event_training_examples",  # never checked
+    "negative_sampling_contrastive",  # never checked
+    "seasonal_naive_backtest",  # never checked
+    "crossval_fold_assign",  # never checked
+    "passage_chunk_overlap",  # never checked
+    "interpolate_linear_gaps",  # never checked
+    "sample_exact_n_per_group",  # never checked
+    "bloom_runtime_filter_join",  # never checked
+    "deterministic_hash_sample",  # last r1
+    "feature_minmax",  # last r1
+    "feature_one_hot",  # last r1
+    "feature_label_index",  # last r1
+    "feature_string_index",  # last r1
+    "feature_vector_assemble",  # last r1
+    "feature_onehot_argmax_identity",  # last r1
+    "feature_vector_roundtrip",  # last r1
+    "dedup_exact_priority",  # last r1
+    "jaccard_neardup_pairs",  # last r1
+    "minhash_lsh_neardup",  # last r1
+    "knn_bruteforce_top5",  # last r1
+    "cosine_pairs_threshold",  # last r1
+    "text_stats_by_lang",  # last r1
+    "quality_filter",  # last r1
+    "lang_id_fingerprint",  # last r1
+    "tfidf_top_term",  # last r1
+    "token_count_bpeish",  # last r1
+    "multimodal_join",  # last r1
+    "ml_linear_scorer",  # last r1
+    "filter_predicates",  # last r2
+    "filter_regexp_not",  # last r2
+    "distinct_projection",  # last r2
+    "join_inner_equi",  # last r2
+    "join_left_outer_agg",  # last r2
+    "join_full_outer",  # last r2
+    "join_semi",  # last r2
+    "join_anti",  # last r2
+    "join_cross",  # last r2
+    "join_theta_range",  # last r2
+    "setop_union_all",  # last r2
+    "setop_intersect",  # last r2
+    "setop_except",  # last r2
+    "topk_global",  # last r2
 )
 # Round-7 additions NOT in this window (all verified by
 # tools/verify_local.py at 3 SFs; `--window-plan` picks them up first
