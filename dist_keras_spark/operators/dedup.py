@@ -531,3 +531,64 @@ def neardup_clusters(
         f"neardup_clusters: no fixpoint after {max_iter} rounds — "
         "graph diameter exceeds max_iter; raise it for path-like graphs"
     )
+
+
+def substring_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 50
+) -> DataFrame:
+    """(id, fp) postings: md5 fingerprint of every DISTINCT n-token
+    span of the document. Scan-side: tokenize → sliding n-gram →
+    md5 — the gram text exists only inside the scan stage; nothing
+    bigger than (id, 32-hex-char fp) ever reaches a shuffle. md5 is
+    the house engine-portable fingerprint (J1 exact dedup uses it the
+    same way): Spark's md5() and DuckDB's md5() agree byte-for-byte,
+    so the oracle replays the identical fingerprint arithmetic.
+    Documents shorter than n tokens yield no postings (shingles()
+    returns the empty array)."""
+    sh = shingles(tokens(F.col(text_col)), n=n, distinct=True)
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        .select("id", F.explode("sh").alias("gram"))
+        .select("id", F.md5("gram").alias("fp"))
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact substring dedup at n-grams — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    public knowledge) ExactSubstr shape re-expressed for Spark: two
+    documents are duplicates when they share ANY n-token span
+    (n=50 canonical). Instead of the paper's single-node suffix
+    array, candidates come from a bucketed inverted index of n-gram
+    fingerprints: explode spans scan-side, md5 each, self-join the
+    (id, fp) postings list on fp. Returns (doc_a, doc_b, n_shared)
+    with doc_a < doc_b, n_shared = number of distinct shared spans.
+
+    100 TB shape: ONE shuffle of (id, 32-byte fp) postings — document
+    text never shuffles; the self-join is bucketed by fingerprint so
+    only documents sharing a span ever meet. `max_df` is the same
+    stop-shingle valve as jaccard_pairs/tfidf: a boilerplate span
+    appearing in m docs contributes m² join rows, so production runs
+    cap document frequency (recall for real duplicates is preserved —
+    near-identical docs share many rare spans); the default None
+    keeps exact semantics for the oracle."""
+    postings = substring_fingerprints(df, id_col, text_col, n)
+    if max_df is not None:
+        dfreq = postings.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        postings = postings.join(
+            dfreq.filter(F.col("__df") <= max_df).select("fp"), "fp"
+        )
+    a = postings.select(F.col("id").alias("doc_a"), "fp")
+    b = postings.select(F.col("id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -277,3 +277,42 @@ def test_weighted_median_cumulative_property(spark, wv):
             expect = v
             break
     assert got == expect
+
+
+# --- exact substring (50-gram) dedup: injected span is always caught,
+# --- token-disjoint docs never pair (operators/dedup.py:substring_dup_pairs)
+
+_span_case = st.tuples(
+    st.integers(min_value=50, max_value=70),   # shared span length
+    st.integers(min_value=0, max_value=20),    # prefix tokens on doc A
+    st.integers(min_value=0, max_value=20),    # suffix tokens on doc B
+    st.integers(min_value=0, max_value=3),     # extra disjoint docs
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_span_case)
+def test_substring_dedup_injects_and_disjoint(spark, case):
+    """A pair sharing an injected >=50-token span is ALWAYS reported;
+    documents over disjoint token alphabets are NEVER reported."""
+    from dist_keras_spark.operators.dedup import substring_dup_pairs
+
+    span_len, n_pre, n_suf, n_extra = case
+    span = " ".join(f"s{i}" for i in range(span_len))
+    doc_a = " ".join(["a"] * n_pre + [span])
+    doc_b = " ".join([span] + ["b"] * n_suf)
+    # Disjoint docs: unique alphabet per doc, 60 tokens each (long
+    # enough to have 50-grams, so absence of pairs is non-vacuous).
+    extras = [
+        (100 + j, " ".join(f"x{j}_{k}" for k in range(60)))
+        for j in range(n_extra)
+    ]
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)] + extras, "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in substring_dup_pairs(df, n=50).collect()
+    }
+    assert (0, 1) in pairs, "injected shared 50-token span not caught"
+    assert pairs == {(0, 1)}, f"disjoint docs falsely paired: {pairs}"
