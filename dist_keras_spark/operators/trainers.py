@@ -61,6 +61,24 @@ def _unflatten(flat: np.ndarray, like: list[np.ndarray]) -> list[np.ndarray]:
     return out
 
 
+def weighted_mean_merge(payloads: list[np.ndarray], ns: list[int]) -> np.ndarray:
+    """I3/D10 merge rule: n-weighted mean of flattened weight vectors.
+
+    Factored out of AveragingTrainer.train so the arithmetic itself is
+    driver-checkable (the optimizer-replay pattern, plans/ml.py): the
+    single-rounding formulation Σ(payload·n) / Σn — integer-exact up
+    to 2^53 when payloads are integer-valued — is replayed hash-exact
+    by the `weight_average_exact` query (plans/analytics5.py), which
+    pins this function via tests/test_ml.py. Mathematically identical
+    to the per-shard Σ(payload·(n/total)) form and numerically tighter
+    (one rounding instead of one per shard)."""
+    total = float(sum(ns))
+    acc = np.zeros_like(payloads[0])
+    for p, n in zip(payloads, ns):
+        acc += p * float(n)
+    return acc / total
+
+
 def _xy(pdf_iter: Iterator[pd.DataFrame], features_col: str, label_col: str):
     for pdf in pdf_iter:
         if len(pdf):
@@ -254,12 +272,12 @@ class AveragingTrainer(EnsembleTrainer):
         rows = self._train_partitions(df).collect()
         if not rows:
             return like
-        total = sum(r["n"] for r in rows)
-        acc = np.zeros_like(_flatten(like))
         for r in rows:
             self.add_history(part_id=r["part_id"], n=r["n"], loss=r["loss"])
-            acc += np.asarray(r["payload"]) * (r["n"] / total)
-        return _unflatten(acc, like)
+        merged = weighted_mean_merge(
+            [np.asarray(r["payload"]) for r in rows], [r["n"] for r in rows]
+        )
+        return _unflatten(merged, like)
 
 
 class SyncDistributedTrainer(Trainer):

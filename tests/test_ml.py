@@ -347,3 +347,42 @@ def test_eamsgd_replay_query_matches_trainer_center_step(spark, sf_dir):
             delta = -new_center  # center started at 0: the applied step
             w_fp = w_fp - np.floor(delta * 10000.0).astype(np.int64)
         assert got[flag] == (n, int(w_fp[0]), int(w_fp[1])), flag
+
+
+def test_weighted_mean_merge_pinned_to_weight_average_exact(spark, sf_dir):
+    """The weight_average_exact query (plans/analytics5.py) replays
+    AveragingTrainer's OWN merge function: weighted_mean_merge on the
+    query's integer-quantized shard payloads must equal the query's
+    `merged` column BITWISE (integer-valued float64 sums are exact in
+    any order, so the single final division is the only rounding on
+    either side)."""
+    from dist_keras_spark.operators.trainers import weighted_mean_merge
+    from dist_keras_spark.plans.analytics5 import weight_average_exact
+
+    got = {
+        r["component"]: r["merged"]
+        for r in weight_average_exact(spark, sf_dir).collect()
+    }
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    shards = (
+        l.groupBy(F.pmod(F.col("l_suppkey"), F.lit(8)).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.pmod(F.sum(F.col("l_quantity").cast("long")), F.lit(997)).alias("w1"),
+            F.pmod(
+                F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")),
+                F.lit(997),
+            ).alias("w2"),
+            F.pmod(F.sum(F.col("l_partkey").cast("long")), F.lit(997)).alias("w3"),
+            F.pmod(F.sum(F.col("l_orderkey").cast("long")), F.lit(997)).alias("w4"),
+        )
+        .collect()
+    )
+    payloads = [
+        np.array([r["w1"], r["w2"], r["w3"], r["w4"]], dtype=np.float64)
+        for r in shards
+    ]
+    ns = [r["n"] for r in shards]
+    merged = weighted_mean_merge(payloads, ns)
+    for j, comp in enumerate(["w1", "w2", "w3", "w4"]):
+        assert merged[j] == got[comp], (comp, merged[j], got[comp])
