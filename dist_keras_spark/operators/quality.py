@@ -57,3 +57,68 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep rows whose hash bucket < fraction_pct (out of 100)."""
     return df.filter(hash_split(df, key_col, 100) < fraction_pct)
+
+
+# Gopher (Rae et al. 2021, public) / C4 (Raffel et al. 2020, public)
+# named document-quality rules. Thresholds are the published ones where
+# applicable; every rule is a pure column expression so the whole suite
+# runs inside the scan stage — zero shuffles until the final
+# counters aggregation.
+GOPHER_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with", "a", "in",
+]
+
+
+def gopher_rule_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document boolean rejection flag per named Gopher/C4 rule.
+
+    Rules (rejection conditions):
+      word_count          — not in [50, 100000] words (Gopher)
+      mean_word_length    — mean characters/word outside [3, 10] (Gopher)
+      symbol_word_ratio   — (#, ellipsis) symbols / words > 0.1 (Gopher)
+      bullet_line_ratio   — > 90% of lines start with a bullet (Gopher)
+      ellipsis_line_ratio — > 30% of lines end with an ellipsis (Gopher)
+      stopword_presence   — fewer than 2 distinct common stopwords (Gopher)
+      alpha_word_ratio    — < 80% of words contain a letter (Gopher)
+      curly_brace         — contains '{' (C4 code/JS filter)
+      lorem_ipsum         — contains 'lorem ipsum' (C4 placeholder filter)
+
+    Every expression is engine-portable arithmetic (length/replace/
+    split/list ops exist identically in DuckDB), so the oracle replays
+    the SAME rule definitions, not a reimplementation."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    nw = F.size(toks)
+    lines = F.split(text, "\n")
+    nl = F.size(lines)
+    mwl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / nw
+    occ = lambda sub: F.length(text) - F.length(  # noqa: E731
+        F.replace(text, F.lit(sub), F.lit(""))
+    )
+    symbol_cnt = occ("#") + occ("...") / 3 + occ("…")
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• "),
+        )
+    )
+    ells = F.size(F.filter(lines, lambda l: l.endswith("...") | l.endswith("…")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    return df.select(
+        "*",
+        ((nw < 50) | (nw > 100000)).alias("r_word_count"),
+        ((mwl < 3) | (mwl > 10)).alias("r_mean_word_length"),
+        (symbol_cnt / nw > 0.1).alias("r_symbol_word_ratio"),
+        (bullets / nl > 0.9).alias("r_bullet_line_ratio"),
+        (ells / nl > 0.3).alias("r_ellipsis_line_ratio"),
+        (stop_hits < 2).alias("r_stopword_presence"),
+        (alpha / nw < 0.8).alias("r_alpha_word_ratio"),
+        F.contains(text, F.lit("{")).alias("r_curly_brace"),
+        F.contains(F.lower(text), F.lit("lorem ipsum")).alias("r_lorem_ipsum"),
+    )

@@ -119,3 +119,115 @@ def weight_average_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("merged"),
         F.count(F.lit(1)).alias("n_shards"),
     )
+
+
+_GOPHER_RULES = [
+    "word_count",
+    "mean_word_length",
+    "symbol_word_ratio",
+    "bullet_line_ratio",
+    "ellipsis_line_ratio",
+    "stopword_presence",
+    "alpha_word_ratio",
+    "curly_brace",
+    "lorem_ipsum",
+]
+
+
+@query(
+    "quality_gopher_rules",
+    oracle="""
+WITH d AS (
+  SELECT text,
+         len(string_split(text, ' ')) AS nw,
+         string_split(text, chr(10)) AS ln,
+         len(string_split(text, chr(10))) AS nl,
+         string_split(text, ' ') AS t
+  FROM documents
+), f AS (
+  SELECT
+    (nw < 50 OR nw > 100000) AS r_word_count,
+    (length(replace(text, ' ', '')) / nw < 3
+     OR length(replace(text, ' ', '')) / nw > 10) AS r_mean_word_length,
+    (((length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) / 3
+      + (length(text) - length(replace(text, '…', '')))) / nw
+     > 0.1) AS r_symbol_word_ratio,
+    (len(list_filter(ln, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                              OR starts_with(l, '• '))) / nl
+     > 0.9) AS r_bullet_line_ratio,
+    (len(list_filter(ln, l -> ends_with(l, '...') OR ends_with(l, '…'))) / nl
+     > 0.3) AS r_ellipsis_line_ratio,
+    (len(list_intersect(list_distinct(t),
+         ['the','be','to','of','and','that','have','with','a','in'])) < 2)
+        AS r_stopword_presence,
+    (len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) / nw < 0.8)
+        AS r_alpha_word_ratio,
+    contains(text, '{') AS r_curly_brace,
+    contains(lower(text), 'lorem ipsum') AS r_lorem_ipsum
+  FROM d
+), w AS (
+  SELECT
+    CAST(sum(CAST(r_word_count AS BIGINT)) AS BIGINT) AS word_count,
+    CAST(sum(CAST(r_mean_word_length AS BIGINT)) AS BIGINT) AS mean_word_length,
+    CAST(sum(CAST(r_symbol_word_ratio AS BIGINT)) AS BIGINT) AS symbol_word_ratio,
+    CAST(sum(CAST(r_bullet_line_ratio AS BIGINT)) AS BIGINT) AS bullet_line_ratio,
+    CAST(sum(CAST(r_ellipsis_line_ratio AS BIGINT)) AS BIGINT) AS ellipsis_line_ratio,
+    CAST(sum(CAST(r_stopword_presence AS BIGINT)) AS BIGINT) AS stopword_presence,
+    CAST(sum(CAST(r_alpha_word_ratio AS BIGINT)) AS BIGINT) AS alpha_word_ratio,
+    CAST(sum(CAST(r_curly_brace AS BIGINT)) AS BIGINT) AS curly_brace,
+    CAST(sum(CAST(r_lorem_ipsum AS BIGINT)) AS BIGINT) AS lorem_ipsum,
+    CAST(sum(CAST((r_word_count OR r_mean_word_length OR r_symbol_word_ratio
+         OR r_bullet_line_ratio OR r_ellipsis_line_ratio
+         OR r_stopword_presence OR r_alpha_word_ratio OR r_curly_brace
+         OR r_lorem_ipsum) AS BIGINT)) AS BIGINT) AS any_rule,
+    CAST(count(*) AS BIGINT) AS total_docs
+  FROM f
+)
+SELECT 'word_count' AS rule, word_count AS n_rejected FROM w
+UNION ALL SELECT 'mean_word_length', mean_word_length FROM w
+UNION ALL SELECT 'symbol_word_ratio', symbol_word_ratio FROM w
+UNION ALL SELECT 'bullet_line_ratio', bullet_line_ratio FROM w
+UNION ALL SELECT 'ellipsis_line_ratio', ellipsis_line_ratio FROM w
+UNION ALL SELECT 'stopword_presence', stopword_presence FROM w
+UNION ALL SELECT 'alpha_word_ratio', alpha_word_ratio FROM w
+UNION ALL SELECT 'curly_brace', curly_brace FROM w
+UNION ALL SELECT 'lorem_ipsum', lorem_ipsum FROM w
+UNION ALL SELECT 'any_rule', any_rule FROM w
+UNION ALL SELECT 'total_docs', total_docs FROM w
+""",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named Gopher/C4 quality-filter suite (J7 extended from
+    generic predicates to the published rule set production corpora
+    use) as ONE zero-shuffle scan: every rule is a column expression
+    over the document text (operators/quality.py:gopher_rule_flags),
+    the per-rule rejection counters come from a single partial
+    aggregation, and the 11-row (rule, n_rejected) output includes
+    the any-rule union and the total for rejection-rate math. Each
+    counter is independently oracle-checked — the DuckDB side replays
+    the SAME rule arithmetic, so a drifted threshold or expression
+    fails the hash, not just the row count.
+
+    100 TB shape: scan → map-side combine → 1-row exchange. No
+    shuffle touches document text."""
+    from dist_keras_spark.operators.quality import gopher_rule_flags
+
+    docs = _lt(spark, sf_dir, "documents")
+    flags = gopher_rule_flags(docs)
+    rules = _GOPHER_RULES
+    any_rule = None
+    for r in rules:
+        c = F.col(f"r_{r}")
+        any_rule = c if any_rule is None else (any_rule | c)
+    aggs = [
+        F.sum(F.col(f"r_{r}").cast("long")).alias(r) for r in rules
+    ] + [
+        F.sum(any_rule.cast("long")).alias("any_rule"),
+        F.count(F.lit(1)).alias("total_docs"),
+    ]
+    wide = flags.agg(*aggs)
+    stack_args = ", ".join(f"'{r}', {r}" for r in rules + ["any_rule", "total_docs"])
+    return wide.select(
+        F.expr(f"stack({len(rules) + 2}, {stack_args}) AS (rule, n_rejected)")
+    )

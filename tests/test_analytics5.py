@@ -1,0 +1,62 @@
+"""Round-8 operator gates: Gopher/C4 rule suite fires per-rule on
+crafted documents (fixture text never trips the symbol/bullet rules,
+so the oracle alone can't prove those thresholds)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dist_keras_spark.operators.quality import gopher_rule_flags
+
+# A base document that passes EVERY rule: 60 common-ish words
+# including two stopwords, all alphabetic.
+_CLEAN = " ".join(["the", "and"] + ["word"] * 58)
+
+_TRIP = {
+    # 10 words only → word_count
+    "r_word_count": " ".join(["the", "and"] + ["word"] * 8),
+    # 60 single-char words → mean word length 1 (and alpha stays ok)
+    "r_mean_word_length": " ".join(["the", "and"] + ["a"] * 58),
+    # 10 hashes over 60 words > 0.1 ratio
+    "r_symbol_word_ratio": " ".join(["the", "and"] + ["#"] * 10 + ["word"] * 48),
+    # every line bulleted
+    "r_bullet_line_ratio": "\n".join(["- " + _CLEAN] * 3),
+    # every line ends with ellipsis
+    "r_ellipsis_line_ratio": "\n".join([_CLEAN + " ..."] * 2),
+    # only one distinct stopword
+    "r_stopword_presence": " ".join(["the"] + ["word"] * 59),
+    # 30% numeric tokens < 80% alpha
+    "r_alpha_word_ratio": " ".join(["the", "and"] + ["123"] * 20 + ["word"] * 38),
+    "r_curly_brace": _CLEAN + " {x}",
+    "r_lorem_ipsum": _CLEAN + " Lorem Ipsum dolor",
+}
+
+_RULES = list(_TRIP)
+
+
+def test_gopher_rules_fire_exactly_per_rule(spark):
+    rows = [(-1, _CLEAN)] + [
+        (i, _TRIP[r]) for i, r in enumerate(_RULES)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: {k: r[k] for k in _RULES}
+        for r in gopher_rule_flags(df).collect()
+    }
+    # the clean doc passes everything
+    assert not any(got[-1].values()), f"clean doc tripped: {got[-1]}"
+    # each crafted doc trips its own rule
+    for i, rule in enumerate(_RULES):
+        assert got[i][rule], f"doc for {rule} did not trip it: {got[i]}"
+
+
+def test_gopher_bullet_and_symbol_thresholds_are_strict(spark):
+    """Ratios AT the published threshold pass (rejection is strictly
+    greater-than): 10 lines with 9 bulleted = 0.9 exactly → keep."""
+    doc_at = "\n".join(["- " + _CLEAN] * 9 + [_CLEAN])
+    doc_over = "\n".join(["- " + _CLEAN] * 10)
+    df = spark.createDataFrame(
+        [(0, doc_at), (1, doc_over)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["r_bullet_line_ratio"] for r in gopher_rule_flags(df).collect()}
+    assert got == {0: False, 1: True}
