@@ -39,7 +39,12 @@ WARM_DIR = "/root/testdata/sf0.001"
 # nearest-direction as-of composition. Round 7 adds one: the
 # mapInArrow journey summary, so the Arrow-native Python boundary (the
 # recommended fast path for per-key sequential logic) has a
-# driver-visible number. Like-for-like vs r6 = total minus that entry.
+# driver-visible number. Round 8 adds interpolate_linear_gaps as the
+# O(rows^2)-frame regression guard: it was 18.2s under a
+# [currentRow, unboundedFollowing] frame and 1.24s with the
+# reversed-order running frame, so a regression to the quadratic
+# pattern shows up as a >10x spike the driver sees.
+# Like-for-like vs r7 = total minus that entry.
 BENCH_QUERIES = [
     "revenue_by_nation",
     "tpch_q5_local_supplier",
@@ -61,6 +66,7 @@ BENCH_QUERIES = [
     "share_of_total_broadcast",
     "join_asof_nearest",
     "arrow_journey_summary",
+    "interpolate_linear_gaps",
 ]
 
 
