@@ -958,3 +958,130 @@ def streaming_full_outer_join_live(spark: SparkSession, sf_dir: str) -> DataFram
         "no left-null rows emitted"
     )
     return res
+
+
+@query(
+    "streaming_join_then_window_live",
+    oracle="""
+WITH m AS (SELECT max(ts) AS mx FROM events),
+pairs AS (
+    SELECT a.ts AS ts_a, b.value AS val_b
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+                 AND a.event_id < b.event_id
+                 AND b.ts >= a.ts
+                 AND b.ts <= a.ts + INTERVAL 5 MINUTE
+)
+SELECT CAST(time_bucket(INTERVAL '30 minutes', ts_a) AS TIMESTAMP)
+           AS window_start,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(floor(val_b * 100) AS BIGINT)) AS BIGINT) AS cents_b
+FROM pairs, m
+WHERE time_bucket(INTERVAL '30 minutes', ts_a) + INTERVAL 30 MINUTE
+      <= m.mx - INTERVAL 31 MINUTE
+GROUP BY 1
+""",
+)
+def streaming_join_then_window_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Third chained-stateful composition (after the rollup pyramid
+    and dynamic-gap sessions): a stream-stream INTERVAL JOIN feeding a
+    WINDOWED AGGREGATION in ONE streaming query — two state stores,
+    join state bounded by the 5-minute time constraint on both sides,
+    agg state by the watermark horizon. This is the streaming funnel
+    metric (pair events, then rate them per half-hour) that
+    pre-Spark-3.4 required two jobs chained through storage.
+
+    Emission determinism (probed, not assumed): the watermark
+    PROPAGATES THROUGH THE JOIN UN-SHIFTED — after the empty batch the
+    downstream agg's watermark is exactly max(ts) − 31 min (Spark
+    truncates to ms; SPARK-39781 separates late-row filtering from
+    state eviction, so the join's 5-minute interval does NOT subtract
+    from the propagated value). Inner-join pairs all emit in batch 0
+    (the late filter there is the epoch watermark); the empty batch 1
+    advances the agg watermark, emitting every 30-minute window whose
+    end ≤ max − 31 min. Window ends are whole minutes while max(ts)
+    carries µs fixture noise, so the ms truncation can never flip a
+    boundary. The oracle replays the pairs then the cutoff predicate.
+
+    Scale: join state ≈ rows within a 5-min + watermark horizon per
+    side; agg state one row per open 30-min window. Both
+    watermark-evicted — no manual TTL, no unbounded state."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    e = _lt(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = scratch_path(spark, "jwa_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = scratch_path(spark, "jwa_tmp_" + uuid.uuid4().hex[:8])
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    now = os.stat(src).st_mtime
+    stage(e, "a-batch0.parquet", now - 300)
+    stage(e.filter(F.lit(False)), "b-batch1-empty.parquet", now - 100)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    a = stream.select(
+        F.col("user_id").alias("ua"),
+        F.col("event_id").alias("eid_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "31 minutes")
+    b = stream.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("eid_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("value").alias("val_b"),
+    ).withWatermark("ts_b", "31 minutes")
+    cond = (
+        (F.col("ua") == F.col("ub"))
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    l2 = (
+        a.join(b, cond, "inner")
+        .groupBy(F.window("ts_a", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.floor(F.col("val_b") * 100).cast("long")).alias(
+                "cents_b"
+            ),
+        )
+    )
+    name = "jwa" + uuid.uuid4().hex[:10]
+    q = (
+        l2.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_state_ops = max(
+        (len(p["stateOperators"]) for p in q.recentProgress), default=0
+    )
+    assert n_state_ops >= 2, (
+        f"expected join + agg state operators, saw {n_state_ops}"
+    )
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n_pairs", "cents_b"
+    )
