@@ -153,6 +153,15 @@ def window_plan(n_slots: int = 50) -> int:
               "first in line next round:")
         for q in never_overflow:
             print(f"#   {q}")
+    # Rotation horizon (VERDICT r7 #7): with a fixed driver window the
+    # re-check debt grows with the registry; keep it visible each round.
+    horizon = math.ceil(len(backed) / n_slots)
+    oldest = min(last_round.values(), default=None) if last_round else None
+    print(
+        f"# rotation horizon: {len(backed)} oracle-backed / {n_slots} "
+        f"slots = {horizon} rounds to re-check every query once"
+        + (f"; oldest standing driver signal: r{oldest}" if oldest else "")
+    )
     return 0
 
 
