@@ -231,3 +231,87 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.expr(f"stack({len(rules) + 2}, {stack_args}) AS (rule, n_rejected)")
     )
+
+
+@query(
+    "power_iteration_two_steps",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS qv
+  FROM embeddings
+), post AS (
+  SELECT vec_id, i.i AS i, qv[i.i] AS qi
+  FROM q, unnest(range(1, 65)) i(i)
+), t AS (
+  SELECT vec_id, CAST(sum(qi) AS BIGINT) AS t FROM post GROUP BY vec_id
+), v1 AS (
+  SELECT p.i, CAST(sum(p.qi * t.t) AS BIGINT) AS v1
+  FROM post p JOIN t ON p.vec_id = t.vec_id GROUP BY p.i
+), u AS (
+  SELECT p.vec_id, CAST(sum(p.qi * v1.v1) AS BIGINT) AS u
+  FROM post p JOIN v1 ON p.i = v1.i GROUP BY p.vec_id
+), v2 AS (
+  SELECT p.i, CAST(sum(p.qi * u.u) AS BIGINT) AS v2
+  FROM post p JOIN u ON p.vec_id = u.vec_id GROUP BY p.i
+)
+SELECT v1.i AS component, v1.v1 AS v1, v2.v2 AS v2
+FROM v1 JOIN v2 ON v1.i = v2.i
+""",
+)
+def power_iteration_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO exact power-iteration steps toward the dominant eigenvector
+    of the embedding second-moment matrix C = XᵀX — the iterative
+    linear-algebra family (PCA/spectral init) driver-checked the
+    optimizer-replay way. Embeddings are integer-quantized
+    (floor(x·10), float→double cast first — exact and identical IEEE
+    on both engines), v0 = ones, and every step stays in BIGINT, so
+    engine sum order cannot perturb a bit.
+
+    THE SCALE SHAPE: C is d×d but is NEVER materialized — each step
+    is vₖ₊₁ = Xᵀ(X·vₖ), two passes over the (row, i, qᵢ) postings:
+    a per-row dot product u_r = q_r·vₖ (64-row broadcast-sized join),
+    then component sums Σ_r qᵢ·u_r. At 100 TB that is two shuffles of
+    d-width partial sums instead of an O(d²)-cell covariance build —
+    and v1 = C·1 needs no join at all (t_r = Σⱼ q_r[j] is scan-side
+    arithmetic). Magnitudes: |q|≤10·64 ⇒ |t|≤640, |v1|≤~3e7 at
+    sf0.1, |v2|≤~2e15 — int64-safe with 3 orders of margin
+    (valve: re-quantize v between steps beyond ~1e7 rows)."""
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(10.0)).cast("long"),
+        ).alias("qv"),
+    )
+    post = q.select(
+        "vec_id",
+        F.posexplode("qv").alias("i0", "qi"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "qi")
+    t = q.select(
+        "vec_id",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("t"),
+    )
+    v1 = (
+        post.join(t, "vec_id")
+        .groupBy("i")
+        .agg(F.sum(F.col("qi") * F.col("t")).alias("v1"))
+    )
+    u = (
+        post.join(F.broadcast(v1), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qi") * F.col("v1")).alias("u"))
+    )
+    v2 = (
+        post.join(u, "vec_id")
+        .groupBy("i")
+        .agg(F.sum(F.col("qi") * F.col("u")).alias("v2"))
+    )
+    return (
+        v1.join(v2, "i")
+        .select(F.col("i").alias("component"), "v1", "v2")
+    )

@@ -60,3 +60,30 @@ def test_gopher_bullet_and_symbol_thresholds_are_strict(spark):
     )
     got = {r["doc_id"]: r["r_bullet_line_ratio"] for r in gopher_rule_flags(df).collect()}
     assert got == {0: False, 1: True}
+
+
+def test_power_iteration_matches_numpy_exactly(spark, sf_dir):
+    """v1 = C·1 and v2 = C·v1 on the integer-quantized second-moment
+    matrix, computed by numpy int64 dense algebra, must equal the
+    X^T(Xv) factorized query BITWISE (all-integer arithmetic)."""
+    import numpy as np
+
+    from dist_keras_spark.plans.analytics5 import power_iteration_two_steps
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.array(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 10.0)
+            for r in emb
+        ],
+        dtype=np.int64,
+    )
+    C = X.T @ X
+    v1 = C @ np.ones(X.shape[1], dtype=np.int64)
+    v2 = C @ v1
+    got = {
+        r["component"]: (r["v1"], r["v2"])
+        for r in power_iteration_two_steps(spark, sf_dir).collect()
+    }
+    for i in range(X.shape[1]):
+        assert got[i + 1] == (v1[i], v2[i]), (i, got[i + 1], (v1[i], v2[i]))
