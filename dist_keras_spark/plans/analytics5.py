@@ -315,3 +315,165 @@ def power_iteration_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1.join(v2, "i")
         .select(F.col("i").alias("component"), "v1", "v2")
     )
+
+
+@query(
+    "bigram_pmi_top",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT t[i.i] AS w1, t[i.i + 1] AS w2, count(*) AS c12
+  FROM toks, unnest(range(1, len(t))) i(i)
+  GROUP BY 1, 2
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY 1
+), tot AS (
+  SELECT CAST((SELECT sum(c) FROM uni) AS BIGINT) AS n_uni,
+         CAST((SELECT sum(c12) FROM big) AS BIGINT) AS n_big
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(floor(
+           CAST(c12 * n_uni * n_uni AS DOUBLE)
+           / CAST(u1.c * u2.c * n_big AS DOUBLE) * 1000000.0
+       ) AS BIGINT) AS pmi_micro
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN tot
+WHERE c12 >= 5
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT 50
+""",
+)
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token bigrams by pointwise mutual information —
+    the corpus-statistics collocation measure (J6/J8 family). PMI's
+    log is monotone, so ranking by the RATIO p(w1,w2)/(p(w1)p(w2)) =
+    c12·N²/(c1·c2·N_big) is the same ranking with no libm in the
+    answer: integer products first (all < 2^53, so the int→double
+    casts are exact), then ONE division and the floor(·1e6)
+    micro-quantization — two float ops, bit-identical across engines.
+    Ties broken by (w1, w2) for a deterministic top-50 SET under the
+    driver's order-insensitive hash. c12 ≥ 5 is the standard PMI
+    noise floor.
+
+    100 TB shape: bigrams are scan-side zip_with (text never
+    shuffles), counts are two partial-agg shuffles keyed on the
+    bigram/token, totals broadcast back, and the top-50 is a
+    TakeOrdered — no global sort materialization. Count magnitudes:
+    c12·N² ≲ 1e15 at sf0.1 needs int64 anyway; the valve at larger
+    corpora is dropping the ·N² scale factor into the final double
+    (ranking-invariant)."""
+    docs = _lt(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    big = (
+        toks.select(
+            F.explode(
+                F.filter(
+                    F.zip_with(
+                        "t",
+                        F.slice(F.col("t"), 2, F.size("t") - 1),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    ),
+                    lambda s: s["w2"].isNotNull(),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        big.agg(F.sum("c12").alias("n_big"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    score = F.floor(
+        (F.col("c12") * F.col("n_uni") * F.col("n_uni")).cast("double")
+        / (F.col("c1") * F.col("c2") * F.col("n_big")).cast("double")
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        big.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", score.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "substring_dedup_survivors",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+49], ' ')) AS fp
+  FROM toks, unnest(range(1, len(t) - 49 + 1)) AS r(i)
+  WHERE len(t) >= 50
+), blockers AS (
+  SELECT b.doc_id,
+         min(a.doc_id) AS min_blocker,
+         CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_blockers
+  FROM grams a JOIN grams b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       (bl.doc_id IS NULL) AS keep,
+       bl.min_blocker,
+       COALESCE(bl.n_blockers, 0) AS n_blockers
+FROM documents d LEFT JOIN blockers bl ON d.doc_id = bl.doc_id
+""",
+)
+def substring_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION half of exact-substring dedup: Lee et al. keep the
+    first occurrence, so a document is dropped when it shares any
+    50-token span with a LOWER doc_id. Per document: the keep flag,
+    the lowest blocking doc, and how many distinct earlier documents
+    block it — the keep-list a curation pipeline joins back to the
+    corpus (kept docs pass through; NULL min_blocker marks
+    survivors). Pairwise keep-first is deliberately NOT transitive
+    closure: each drop is witnessed by a retained-or-dropped earlier
+    doc sharing literal text, matching the paper's pairwise criterion
+    (the clustering variant is neardup_clusters).
+
+    Same 100 TB shape as substring_dedup_50gram — one (id, fp)
+    postings shuffle, a fingerprint-bucketed self-join, then a
+    broadcast-sized left join of blockers back onto the corpus
+    keyed by doc_id."""
+    from dist_keras_spark.operators.dedup import substring_fingerprints
+
+    docs = _lt(spark, sf_dir, "documents")
+    grams = substring_fingerprints(docs, n=50)
+    a = grams.select(F.col("id").alias("blocker"), "fp")
+    b = grams.select(F.col("id").alias("doc_id"), "fp")
+    blockers = (
+        a.join(b, "fp")
+        .filter(F.col("blocker") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("blocker").alias("min_blocker"),
+            F.countDistinct("blocker").alias("n_blockers"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(blockers.withColumnRenamed("doc_id", "bid"),
+              F.col("doc_id") == F.col("bid"), "left")
+        .select(
+            "doc_id",
+            F.col("bid").isNull().alias("keep"),
+            "min_blocker",
+            F.coalesce("n_blockers", F.lit(0).cast("long")).alias("n_blockers"),
+        )
+    )
