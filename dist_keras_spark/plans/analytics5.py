@@ -477,3 +477,169 @@ def substring_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_blockers", F.lit(0).cast("long")).alias("n_blockers"),
         )
     )
+
+
+@query(
+    "vocab_coverage_topn",
+    oracle="""
+WITH uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+), ranked AS (
+  SELECT w, CAST(c AS BIGINT) AS c,
+         row_number() OVER (ORDER BY c DESC, w) AS rank,
+         CAST(sum(c) OVER (ORDER BY c DESC, w
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(c) OVER () AS BIGINT) AS total
+  FROM uni
+)
+SELECT CAST(rank AS BIGINT) AS rank, w AS word, c, cum,
+       CAST(floor(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS coverage_micro
+FROM ranked
+WHERE rank <= 50
+""",
+)
+def vocab_coverage_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design statistic
+    (J8 family): rank words by corpus frequency and report what
+    fraction of all token occurrences the top-N cover. Drives vocab
+    truncation / OOV-rate decisions before training a tokenizer.
+    Deterministic total order (count desc, word asc); coverage is the
+    floor(·1e6) micro-quantized double of an exact-integer quotient —
+    one division + one multiply, bit-identical across engines.
+
+    100 TB shape: token counts partial-aggregate in the scan; the
+    ranking window runs over the VOCABULARY (≪ corpus, bounded by
+    distinct words), not the token stream — a reviewed bounded-input
+    window carrying bounded_window_key (the non-foldable constant-zero
+    partition key; VERDICT r6 #7). Top-50 keeps the result
+    driver-sized."""
+    from pyspark.sql import Window as W
+
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    docs = _lt(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    order = [F.col("c").desc(), F.col("w").asc()]
+    bk = bounded_window_key(F.col("w"))
+    wr = W.partitionBy(bk).orderBy(*order)
+    wcum = (
+        W.partitionBy(bk)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy(bk)
+    ranked = uni.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        F.col("w").alias("word"),
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("total"),
+    )
+    return ranked.filter(F.col("rank") <= 50).select(
+        "rank",
+        "word",
+        "c",
+        "cum",
+        F.floor(
+            F.col("cum").cast("double") / F.col("total").cast("double")
+            * F.lit(1000000.0)
+        ).cast("long").alias("coverage_micro"),
+    )
+
+
+@query(
+    "token_budget_largest_remainder",
+    oracle="""
+WITH src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+         CAST(sum(tokens) // 2 AS BIGINT) AS budget
+  FROM src
+), base AS (
+  SELECT source, tokens,
+         CAST((budget * tokens) // total AS BIGINT) AS base_alloc,
+         CAST((budget * tokens) % total AS BIGINT) AS rem,
+         budget, total
+  FROM src, tot
+), seats AS (
+  SELECT CAST(max(budget) - sum(base_alloc) AS BIGINT) AS leftover FROM base
+)
+SELECT source, tokens, base_alloc,
+       CAST(CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                 <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       CAST(base_alloc + CASE WHEN row_number()
+            OVER (ORDER BY rem DESC, source) <= leftover
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM base, seats
+""",
+)
+def token_budget_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget apportionment across sources by the largest-
+    remainder (Hamilton) method — the data-mixture accounting step a
+    training run does before sampling: give source s
+    floor(B·tokens_s / total) tokens of a budget B (here total/2),
+    then hand the Σfloor shortfall out one token each to the largest
+    integer remainders (ties by source name). ALL-INTEGER arithmetic:
+    div/% on int64 (positive operands, so Spark `div` == DuckDB `//`),
+    so the allocation is exact and Σ alloc == B by construction —
+    the invariant the oracle hash pins.
+
+    100 TB shape: per-source token counts partial-aggregate in the
+    scan; apportionment runs over the SOURCE dimension (a handful of
+    rows) under a reviewed bounded-input window carrying
+    bounded_window_key."""
+    from pyspark.sql import Window as W
+
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    docs = _lt(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tokens")
+    )
+    tot = src.agg(
+        F.sum("tokens").alias("total"),
+        F.expr("sum(tokens) div 2").alias("budget"),
+    )
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("(budget * tokens) div total").alias("base_alloc"),
+        ((F.col("budget") * F.col("tokens")) % F.col("total")).alias("rem"),
+        "budget",
+    )
+    seats = base.agg(
+        (F.max("budget") - F.sum("base_alloc")).alias("leftover")
+    )
+    wr = W.partitionBy(bounded_window_key(F.col("source"))).orderBy(
+        F.col("rem").desc(), F.col("source").asc()
+    )
+    return (
+        base.crossJoin(F.broadcast(seats))
+        .select(
+            "source",
+            "tokens",
+            "base_alloc",
+            (F.row_number().over(wr) <= F.col("leftover"))
+            .cast("long")
+            .alias("extra"),
+        )
+        .select(
+            "source",
+            "tokens",
+            "base_alloc",
+            "extra",
+            (F.col("base_alloc") + F.col("extra")).alias("alloc"),
+        )
+    )
