@@ -16,6 +16,7 @@ same Python-computed IEEE double on both sides.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dist_keras_spark.operators.dedup import substring_dup_pairs
@@ -641,5 +642,133 @@ def token_budget_largest_remainder(
             "base_alloc",
             "extra",
             (F.col("base_alloc") + F.col("extra")).alias("alloc"),
+        )
+    )
+
+
+@query(
+    "pq_adc_top5",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS v
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, t.s,
+         v[CAST(t.s * 8 + 1 AS BIGINT):CAST(t.s * 8 + 8 AS BIGINT)] AS sub
+  FROM q, unnest(range(0, 8)) t(s)
+), cb AS (
+  SELECT vec_id AS c, s, sub AS cbsub FROM subs WHERE vec_id < 16
+), cdist AS (
+  SELECT subs.vec_id, subs.s, cb.c,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (sub[i] - cbsub[i]) * (sub[i] - cbsub[i])))
+              AS BIGINT) AS d2
+  FROM subs JOIN cb ON subs.s = cb.s
+), codes AS (
+  SELECT vec_id, s, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, c) AS rn FROM cdist)
+  WHERE rn = 1
+), qtab AS (
+  SELECT vec_id AS query_id, s, c,
+         d2 AS t
+  FROM cdist WHERE vec_id % 20 = 0
+), scored AS (
+  SELECT qt.query_id, cd.vec_id AS neighbor_id,
+         CAST(sum(qt.t) AS BIGINT) AS adist
+  FROM codes cd JOIN qtab qt ON cd.s = qt.s AND cd.code = qt.c
+  WHERE cd.vec_id <> qt.query_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS pq_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, pq_rank, adist FROM ranked WHERE pq_rank <= 5
+""",
+)
+def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 compressed-domain variant: Product Quantization with
+    Asymmetric Distance Computation (Jégou et al. 2011, public) —
+    THE standard billion-scale ANN compression. The 64-dim
+    integer-quantized vector is split into m=8 subspaces of 8 dims;
+    each subspace gets a k=16-entry codebook (deterministically the
+    16 lowest vec_ids' subvectors — a seeding, not a trained
+    k-means, so every engine agrees bit-for-bit); a corpus vector
+    compresses to 8 nibbles (codes = argmin squared distance,
+    ties to the lowest centroid via the (d2, c) struct-min). A query
+    is NOT compressed: it precomputes an 8×16 distance TABLE and a
+    neighbor's score is Σ_s table[s][code_s] — all int64, so the
+    oracle replays the identical arithmetic.
+
+    100 TB shape: encoding is a corpus×16-centroid broadcast join with
+    partial-agg argmin (the corpus never shuffles for it); the 8×16
+    per-query tables broadcast; scoring shuffles only
+    (query_id, vec_id, partial-sum) triples. The fixture-scale scorer
+    is exhaustive over codes — at real scale the SAME codes join
+    composes with the IVF cell pruning (knn_ivf_persisted_top5) for
+    the classic IVF-PQ index; 4-bit codes cut the corpus to
+    64 bits/vector, which is the whole point."""
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(10.0)).cast("long"),
+        ).alias("v"),
+    )
+    subs = q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.slice("v", s * 8 + 1, 8),
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cdist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "c", d2.alias("d2")
+    )
+    codes = (
+        cdist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"))
+    )
+    qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("s").alias("qs"),
+        "c",
+        F.col("d2").alias("t"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("c")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("t").alias("adist"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    )
+    return (
+        scored.withColumn("pq_rank", rn)
+        .filter(F.col("pq_rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "pq_rank",
+            "adist",
         )
     )
