@@ -772,3 +772,122 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adist",
         )
     )
+
+
+@query(
+    "pq_recall_vs_exact",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS v
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, t.s,
+         v[CAST(t.s * 8 + 1 AS BIGINT):CAST(t.s * 8 + 8 AS BIGINT)] AS sub
+  FROM q, unnest(range(0, 8)) t(s)
+), cb AS (
+  SELECT vec_id AS c, s, sub AS cbsub FROM subs WHERE vec_id < 16
+), cdist AS (
+  SELECT subs.vec_id, subs.s, cb.c,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (sub[i] - cbsub[i]) * (sub[i] - cbsub[i])))
+              AS BIGINT) AS d2
+  FROM subs JOIN cb ON subs.s = cb.s
+), codes AS (
+  SELECT vec_id, s, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, c) AS rn FROM cdist)
+  WHERE rn = 1
+), qtab AS (
+  SELECT vec_id AS query_id, s, c, d2 AS t
+  FROM cdist WHERE vec_id % 20 = 0
+), pq5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qt.query_id, cd.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qt.query_id
+               ORDER BY sum(qt.t), cd.vec_id) AS pq_rank
+    FROM codes cd JOIN qtab qt ON cd.s = qt.s AND cd.code = qt.c
+    WHERE cd.vec_id <> qt.query_id
+    GROUP BY qt.query_id, cd.vec_id
+  ) WHERE pq_rank <= 5
+), ex5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY qq.vec_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (c.v[i] - qq.v[i]) * (c.v[i] - qq.v[i]))),
+                   c.vec_id) AS ex_rank
+    FROM q c, q qq
+    WHERE qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id
+  ) WHERE ex_rank <= 5
+)
+SELECT e.query_id,
+       CAST(count(p.neighbor_id) AS BIGINT) AS n_common,
+       CAST(floor(count(p.neighbor_id) / 5.0 * 1000000.0) AS BIGINT)
+           AS recall_micro
+FROM ex5 e LEFT JOIN pq5 p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id
+""",
+)
+def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ-ADC index against the EXACT top-5 on the
+    same integer-quantized vectors — the measurement that makes a
+    compressed ANN index trustworthy (a claimed speedup without a
+    recall number is not an index, it's a guess). Both rankings are
+    deterministic integer arithmetic with (dist, id) tie-breaks, so
+    the per-query overlap count is oracle-exact; recall is the
+    floor-micro quotient of ints.
+
+    100 TB shape: the exact side is the brute-force O(corpus·queries)
+    baseline you run on a SAMPLE of queries to certify the index
+    (here every 20th vector); the PQ side reuses the codes/table
+    joins of pq_adc_top5. Self-measurement composes: swap the PQ CTE
+    for the IVF-PQ one to certify cell-pruning loss too."""
+    pq5 = pq_adc_top5(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(10.0)).cast("long"),
+        ).alias("v"),
+    )
+    queries = q.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ex_scored = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+    )
+    exw = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    )
+    ex5 = (
+        ex_scored.withColumn("ex_rank", exw)
+        .filter(F.col("ex_rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    joined = ex5.join(
+        pq5.withColumnRenamed("neighbor_id", "pq_neighbor").withColumnRenamed(
+            "query_id", "pq_query"
+        ),
+        (F.col("query_id") == F.col("pq_query"))
+        & (F.col("neighbor_id") == F.col("pq_neighbor")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("pq_neighbor").alias("n_common"),
+        F.floor(
+            F.count("pq_neighbor") / F.lit(5.0) * F.lit(1000000.0)
+        ).cast("long").alias("recall_micro"),
+    )

@@ -87,3 +87,49 @@ def test_power_iteration_matches_numpy_exactly(spark, sf_dir):
     }
     for i in range(X.shape[1]):
         assert got[i + 1] == (v1[i], v2[i]), (i, got[i + 1], (v1[i], v2[i]))
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """A codebook vector's nearest centroid in every subspace is
+    itself (distance 0; random float fixtures make duplicate
+    subvectors impossible), so its 8 codes must all equal its own
+    vec_id — the structural invariant of the PQ encoder."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(10.0)).cast("long"),
+        ).alias("v"),
+    )
+    subs = q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.slice("v", s * 8 + 1, 8),
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    codes = (
+        subs.filter(F.col("vec_id") < 16)
+        .join(F.broadcast(cb), "s")
+        .select("vec_id", "s", "c", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"))
+        .collect()
+    )
+    assert len(codes) == 16 * 8
+    for r in codes:
+        assert r["code"] == r["vec_id"], (r["vec_id"], r["s"], r["code"])
