@@ -891,3 +891,148 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("pq_neighbor") / F.lit(5.0) * F.lit(1000000.0)
         ).cast("long").alias("recall_micro"),
     )
+
+
+@query(
+    "ngram_novelty_rate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS fp
+  FROM toks, unnest(range(1, len(t) - 2 + 1)) AS r(i)
+  WHERE len(t) >= 3
+), firsts AS (
+  SELECT fp, min(doc_id) AS first_doc FROM grams GROUP BY fp
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(floor(
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS novelty_micro
+FROM grams g JOIN firsts f ON g.fp = f.fp
+GROUP BY g.doc_id
+""",
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the memorization-risk metric a
+    curation pipeline tracks per ingestion batch: the fraction of a
+    document's distinct 3-gram shingles whose FIRST corpus occurrence
+    (lowest doc_id — ingestion order) is this document. Low novelty
+    = the document is mostly restating earlier text (near-boilerplate
+    even when no single 50-gram span matches); the metric complements
+    exact-substring dedup the way soft near-dup complements exact.
+
+    100 TB shape: shingles fingerprint to md5 scan-side (text never
+    shuffles), first-occurrence is ONE partial-agg min keyed on the
+    fingerprint, and the verdict join is fingerprint-bucketed. The
+    novelty quotient is floor-micro of an exact-int ratio — engine
+    bit-identical."""
+    from dist_keras_spark.functions.text import shingles, tokens
+
+    docs = _lt(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col("text")), n=3)).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("fp"))
+    )
+    firsts = grams.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.join(firsts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.floor(
+                F.sum(novel).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(1000000.0)
+            ).cast("long").alias("novelty_micro"),
+        )
+    )
+
+
+# Integer inverse-CDF thresholds for Poisson(1): floor(P(X<=k) * 2^32)
+# for k = 0..5 (computed once in Python from exp(-1)/k!; beyond 5 the
+# tail mass is 3e-7 and the multiplicity caps at 6). Comparing the
+# 32-bit row hash against INTEGER thresholds keeps the whole bootstrap
+# float-free, hence engine-exact.
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+           4292415291]
+_KNUTH = 2654435761
+_MIX = 968665207
+_M32 = 4294967296
+
+
+def _pois_case_sql(h: str) -> str:
+    """CASE expression mapping a 32-bit hash to a Poisson(1) draw —
+    identical text works in Spark SQL and DuckDB."""
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "poisson_bootstrap_replicas",
+    oracle=f"""
+WITH reps AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         b.b AS replica,
+         (o_orderkey * {_KNUTH} + b.b * {_MIX}) % {_M32} AS h
+  FROM orders, unnest(range(0, 20)) b(b)
+)
+SELECT CAST(replica AS BIGINT) AS replica,
+       CAST(sum(({_pois_case_sql('h')}) * cents) AS BIGINT)
+           AS total_cents,
+       CAST(sum({_pois_case_sql('h')}) AS BIGINT) AS n_sampled
+FROM reps GROUP BY replica
+""",
+)
+def poisson_bootstrap_replicas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012 — the
+    large-scale bootstrap: per-replica multiplicities drawn
+    independently per row as Poisson(1), so resampling never needs
+    the global row count or a shuffle) over total order revenue,
+    B = 20 replicas — the uncertainty-quantification step for any
+    pipeline metric. DETERMINISTIC: the 'draw' is the row's Knuth
+    multiplicative hash mixed with the replica id, mapped through
+    integer inverse-CDF thresholds floor(P(X≤k)·2³²) — no RNG state,
+    no floats anywhere, so replicas are reproducible across engines,
+    retries, and partitionings, and the oracle hash-pins all 20
+    totals. Downstream CI = percentiles over the replica column.
+
+    100 TB shape: the ×20 replica fan-out is scan-side (explode of a
+    20-element sequence), multiplicities are column arithmetic, and
+    the only shuffle is a 20-group partial-agg — the bootstrap costs
+    one extra scan constant, not a resample-sized shuffle."""
+    o = _lt(spark, sf_dir, "orders")
+    reps = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(19).cast("long"))
+        ).alias("replica"),
+    ).withColumn(
+        "h",
+        (
+            F.col("o_orderkey") * F.lit(_KNUTH)
+            + F.col("replica") * F.lit(_MIX)
+        )
+        % F.lit(_M32),
+    )
+    mult = F.expr(_pois_case_sql("h"))
+    return reps.groupBy(F.col("replica").cast("long").alias("replica")).agg(
+        F.sum(mult * F.col("cents")).alias("total_cents"),
+        F.sum(mult).alias("n_sampled"),
+    )
