@@ -122,6 +122,17 @@ def weight_average_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _quant(col: str = "embedding"):
+    """The shared integer quantization floor(x·10) (float→double cast
+    first — exact, and double·10 is the identical IEEE op in DuckDB's
+    list_transform twin). Every linear-algebra/ANN query in this
+    module quantizes embeddings through this one expression."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(10.0)).cast("long")
+    )
+
+
 _GOPHER_RULES = [
     "word_count",
     "mean_word_length",
@@ -282,10 +293,7 @@ def power_iteration_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _lt(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(10.0)).cast("long"),
-        ).alias("qv"),
+        _quant().alias("qv"),
     )
     post = q.select(
         "vec_id",
@@ -714,10 +722,7 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _lt(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(10.0)).cast("long"),
-        ).alias("v"),
+        _quant().alias("v"),
     )
     subs = q.select(
         "vec_id",
@@ -851,10 +856,7 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _lt(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(10.0)).cast("long"),
-        ).alias("v"),
+        _quant().alias("v"),
     )
     queries = q.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1035,4 +1037,185 @@ def poisson_bootstrap_replicas(
     return reps.groupBy(F.col("replica").cast("long").alias("replica")).agg(
         F.sum(mult * F.col("cents")).alias("total_cents"),
         F.sum(mult).alias("n_sampled"),
+    )
+
+
+@query(
+    "ivf_pq_top5",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS v
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, t.s,
+         v[CAST(t.s * 8 + 1 AS BIGINT):CAST(t.s * 8 + 8 AS BIGINT)] AS sub
+  FROM q, unnest(range(0, 8)) t(s)
+), cb AS (
+  SELECT vec_id AS c, s, sub AS cbsub FROM subs WHERE vec_id < 16
+), cdist AS (
+  SELECT subs.vec_id, subs.s, cb.c,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (sub[i] - cbsub[i]) * (sub[i] - cbsub[i])))
+              AS BIGINT) AS d2
+  FROM subs JOIN cb ON subs.s = cb.s
+), codes AS (
+  SELECT vec_id, s, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, c) AS rn FROM cdist)
+  WHERE rn = 1
+), qtab AS (
+  SELECT vec_id AS query_id, s, c, d2 AS t
+  FROM cdist WHERE vec_id % 20 = 0
+), coarse AS (
+  SELECT vec_id AS j, v AS cv FROM q WHERE vec_id >= 16 AND vec_id < 24
+), adist_full AS (
+  SELECT q.vec_id, coarse.j,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.v[i] - cv[i]) * (q.v[i] - cv[i]))) AS BIGINT)
+             AS d2full
+  FROM q, coarse
+), cells AS (
+  SELECT vec_id, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2full, j) AS rn
+        FROM adist_full)
+  WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2full, j) AS rn
+        FROM adist_full)
+  WHERE rn <= 2 AND vec_id % 20 = 0
+), cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, c.cell
+  FROM probes p JOIN cells c ON p.cell = c.cell
+  WHERE c.vec_id <> p.query_id
+), scored AS (
+  SELECT ca.query_id, ca.neighbor_id, ca.cell,
+         CAST(sum(qt.t) AS BIGINT) AS adist
+  FROM cand ca
+  JOIN codes cd ON cd.vec_id = ca.neighbor_id
+  JOIN qtab qt ON qt.query_id = ca.query_id
+              AND qt.s = cd.s AND qt.c = cd.code
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS ivfpq_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ivfpq_rank, adist, CAST(cell AS BIGINT) AS cell
+FROM ranked WHERE ivfpq_rank <= 5
+""",
+)
+def ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition the billion-scale indexes actually
+    ship (FAISS IVFPQ, public): a COARSE quantizer (8 full-dim
+    centroids, deterministically vec_ids 16–23) partitions the corpus
+    into cells; a query probes its nprobe=2 nearest cells and scores
+    ONLY those candidates with the PQ-ADC table of pq_adc_top5. All
+    integer arithmetic end-to-end (assignment, probing, and scoring
+    argmins tie-broken by id), so the full index — pruning included —
+    is replayed exactly by the oracle.
+
+    100 TB shape: the cell assignment is a corpus×8 broadcast-join
+    argmin computed once at index build (in production: persisted and
+    partitioned BY cell, as knn_ivf_persisted_top5 demonstrates —
+    probing then reads 2/8 of the data by partition pruning); query
+    tables broadcast; the candidate join is cell-bucketed. Scoring
+    work drops by the probe ratio vs pq_adc_top5 — recall loss is
+    measurable by swapping this CTE into pq_recall_vs_exact."""
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quant().alias("v"))
+    subs = q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.slice("v", s * 8 + 1, 8),
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
+    )
+    d2sub = F.aggregate(
+        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cdist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "c", d2sub.alias("d2")
+    )
+    codes = (
+        cdist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select(
+            F.col("vec_id").alias("code_vec"),
+            F.col("s").alias("code_s"),
+            F.col("m.c").alias("code"),
+        )
+    )
+    qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tq"),
+        F.col("s").alias("qs"),
+        F.col("c").alias("qc"),
+        F.col("d2").alias("t"),
+    )
+    coarse = q.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 24)
+    ).select(F.col("vec_id").alias("j"), F.col("v").alias("cv"))
+    d2full = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    afull = q.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "j", d2full.alias("d2full")
+    )
+    rn_cell = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.asc("d2full"), F.asc("j"))
+    )
+    ranked_cells = afull.withColumn("rn", rn_cell)
+    cells = ranked_cells.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("j").alias("cell")
+    )
+    probes = (
+        ranked_cells.filter(
+            (F.col("rn") <= 2) & (F.col("vec_id") % 20 == 0)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("j").alias("cell"))
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cell")
+    )
+    scored = (
+        cand.join(
+            codes, F.col("neighbor_id") == F.col("code_vec")
+        )
+        .join(
+            F.broadcast(qtab),
+            (F.col("query_id") == F.col("tq"))
+            & (F.col("qs") == F.col("code_s"))
+            & (F.col("qc") == F.col("code")),
+        )
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(F.sum("t").alias("adist"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    )
+    return (
+        scored.withColumn("ivfpq_rank", rn)
+        .filter(F.col("ivfpq_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "ivfpq_rank",
+            "adist",
+            F.col("cell").cast("long").alias("cell"),
+        )
     )
