@@ -1219,3 +1219,77 @@ def ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").cast("long").alias("cell"),
         )
     )
+
+
+@query(
+    "quality_filter_effect_by_source",
+    oracle="""
+WITH d AS (
+  SELECT source, text,
+         len(string_split(text, ' ')) AS nw,
+         string_split(text, chr(10)) AS ln,
+         len(string_split(text, chr(10))) AS nl,
+         string_split(text, ' ') AS t
+  FROM documents
+), f AS (
+  SELECT source, nw,
+    ((nw < 50 OR nw > 100000)
+     OR (length(replace(text, ' ', '')) / nw < 3
+         OR length(replace(text, ' ', '')) / nw > 10)
+     OR (((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) / 3
+          + (length(text) - length(replace(text, '…', '')))) / nw > 0.1)
+     OR (len(list_filter(ln, l -> starts_with(l, '- ')
+             OR starts_with(l, '* ') OR starts_with(l, '• '))) / nl > 0.9)
+     OR (len(list_filter(ln, l -> ends_with(l, '...')
+             OR ends_with(l, '…'))) / nl > 0.3)
+     OR (len(list_intersect(list_distinct(t),
+             ['the','be','to','of','and','that','have','with','a','in'])) < 2)
+     OR (len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) / nw < 0.8)
+     OR contains(text, '{')
+     OR contains(lower(text), 'lorem ipsum')) AS rejected
+  FROM d
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rejected THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(nw) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN rejected THEN 0 ELSE nw END) AS BIGINT)
+           AS tokens_kept,
+       CAST(floor(CAST(sum(CASE WHEN rejected THEN 0 ELSE nw END) AS DOUBLE)
+            / CAST(sum(nw) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS kept_micro
+FROM f GROUP BY source
+""",
+)
+def quality_filter_effect_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What the Gopher/C4 gate actually does to the corpus, per
+    source: documents and TOKENS kept vs total, and the kept-token
+    ratio — the number a mixture budget (see
+    token_budget_largest_remainder) must be computed AFTER, not
+    before, filtering. Same single-scan shape as quality_gopher_rules
+    (the flags are the identical expressions via gopher_rule_flags);
+    the only shuffle is the per-source partial agg."""
+    from dist_keras_spark.operators.quality import gopher_rule_flags
+
+    docs = _lt(spark, sf_dir, "documents")
+    flags = gopher_rule_flags(docs)
+    rejected = None
+    for r in _GOPHER_RULES:
+        c = F.col(f"r_{r}")
+        rejected = c if rejected is None else (rejected | c)
+    nw = F.size(F.split("text", " "))
+    kept_tokens = F.sum(F.when(rejected, F.lit(0)).otherwise(nw))
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(rejected, F.lit(0)).otherwise(F.lit(1))).alias("n_kept"),
+        F.sum(nw).alias("tokens_total"),
+        kept_tokens.alias("tokens_kept"),
+        F.floor(
+            kept_tokens.cast("double") / F.sum(nw).cast("double")
+            * F.lit(1000000.0)
+        ).cast("long").alias("kept_micro"),
+    )
