@@ -1293,3 +1293,78 @@ def quality_filter_effect_by_source(
             * F.lit(1000000.0)
         ).cast("long").alias("kept_micro"),
     )
+
+
+@query(
+    "binary_eval_confusion",
+    oracle="""
+WITH p AS (
+  SELECT vec_id, pred, CAST(label % 2 = 0 AS INT) AS target
+  FROM (
+    SELECT vec_id, label,
+           CAST(round(1.0 / (1.0 + exp(-(list_sum(list_transform(range(1, 65),
+                i -> CAST(embedding[i] AS DOUBLE) * [1.690525703800356, -0.4659373705408328, 0.0328201636785844, 0.40751628299650783, -0.7889230286257386, 0.00206557290594813, -0.0008903858579313628, -1.7547243063454208, 1.0176580056634932, 0.6004985159195494, -0.6254289739667597, -0.17154826119572117, 0.5052993741967516, -0.261356415191647, -0.2427490786725466, -1.4532414124907906, 0.5545803118918878, 0.12388090528703843, 0.2744599237599636, -1.5265245318698402, 1.6506996911864755, 0.15433553545635803, -0.3871399432863881, 2.029072220761112, -0.04538602986064609, -1.4506786991465748, -0.4052278554276867, -2.2883151019717225, 1.0493965493432547, -0.41647431852001854, -0.7425535252045677, 1.0724701315754954, -1.6510755894058389, 0.535429356326091, -2.0644148031211755, -0.6621593396668087, -1.2042198455997326, 1.461975627213524, 1.7661608779293339, -0.3294137519130651, 0.8407332421435357, -0.17998640125235033, 0.5680618873279819, -0.7528371964214647, -1.708339203167056, -1.803098658479741, 0.38312185175751196, 2.2475950528076996, 0.269411630507887, -0.5246046194008523, 1.9120188623319405, 0.23730184663719345, 0.10143398521161544, 0.25257773555531754, -0.13237719756684715, -0.3094763405888804, -1.4349634660355541, 0.5016241231810408, -0.09477545043989416, 1.1930859223440107, -0.3688184684478463, -1.9063698785304681, -0.0996106318948645, 1.6995372967466809][i]))
+                + (-0.05)))), 6) > 0.5 AS INT) AS pred
+    FROM embeddings
+  )
+), c AS (
+  SELECT
+    CAST(sum(CASE WHEN pred = 1 AND target = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN pred = 1 AND target = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN pred = 0 AND target = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN pred = 0 AND target = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM p
+)
+SELECT tp, fp, fn, tn,
+       CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS precision_micro,
+       CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1000000.0)
+            AS BIGINT) AS recall_micro,
+       CAST(floor(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+            * 1000000.0) AS BIGINT) AS f1_micro
+FROM c
+""",
+)
+def binary_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 extended from accuracy to the full binary evaluator:
+    confusion counts and precision/recall/F1 for the fixed-weight
+    logistic scorer (ml_linear_scorer's exact pipeline) against the
+    deterministic target label%2==0. Every metric is a SINGLE
+    division of exact integer counts (F1 via its 2tp/(2tp+fp+fn)
+    closed form — no p·r/(p+r) chaining, so one rounding per metric)
+    then floor-micro — bit-identical across engines.
+
+    100 TB shape: scoring is scan-side column math (no Python), the
+    confusion matrix is one partial-agg row. The evaluator the
+    reference exposes as a driver-side loop (REF §evaluators) is here
+    a 1-row aggregate."""
+    from dist_keras_spark.plans.ml import ml_linear_scorer
+
+    scored = ml_linear_scorer(spark, sf_dir).select("vec_id", "pred")
+    e = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id", ((F.col("label") % 2) == 0).cast("int").alias("target")
+    )
+    j = scored.join(e, "vec_id")
+    cnt = lambda p, t: F.sum(  # noqa: E731
+        ((F.col("pred") == p) & (F.col("target") == t)).cast("long")
+    )
+    c = j.agg(
+        cnt(1, 1).alias("tp"),
+        cnt(1, 0).alias("fp"),
+        cnt(0, 1).alias("fn"),
+        cnt(0, 0).alias("tn"),
+    )
+    micro = lambda num, den: F.floor(  # noqa: E731
+        num.cast("double") / den.cast("double") * F.lit(1000000.0)
+    ).cast("long")
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        micro(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_micro"),
+        micro(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_micro"),
+        micro(2 * F.col("tp"), 2 * F.col("tp") + F.col("fp") + F.col("fn")).alias(
+            "f1_micro"
+        ),
+    )
