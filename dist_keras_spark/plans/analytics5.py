@@ -1368,3 +1368,76 @@ def binary_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f1_micro"
         ),
     )
+
+
+@query(
+    "score_calibration_bins",
+    oracle="""
+WITH p AS (
+  SELECT vec_id, score_micro,
+         least(score_micro // 100000, 9) AS bin,
+         CAST(label % 2 = 0 AS INT) AS target
+  FROM (
+    SELECT vec_id, label,
+           CAST(round(1.0 / (1.0 + exp(-(list_sum(list_transform(range(1, 65),
+                i -> CAST(embedding[i] AS DOUBLE) * [1.690525703800356, -0.4659373705408328, 0.0328201636785844, 0.40751628299650783, -0.7889230286257386, 0.00206557290594813, -0.0008903858579313628, -1.7547243063454208, 1.0176580056634932, 0.6004985159195494, -0.6254289739667597, -0.17154826119572117, 0.5052993741967516, -0.261356415191647, -0.2427490786725466, -1.4532414124907906, 0.5545803118918878, 0.12388090528703843, 0.2744599237599636, -1.5265245318698402, 1.6506996911864755, 0.15433553545635803, -0.3871399432863881, 2.029072220761112, -0.04538602986064609, -1.4506786991465748, -0.4052278554276867, -2.2883151019717225, 1.0493965493432547, -0.41647431852001854, -0.7425535252045677, 1.0724701315754954, -1.6510755894058389, 0.535429356326091, -2.0644148031211755, -0.6621593396668087, -1.2042198455997326, 1.461975627213524, 1.7661608779293339, -0.3294137519130651, 0.8407332421435357, -0.17998640125235033, 0.5680618873279819, -0.7528371964214647, -1.708339203167056, -1.803098658479741, 0.38312185175751196, 2.2475950528076996, 0.269411630507887, -0.5246046194008523, 1.9120188623319405, 0.23730184663719345, 0.10143398521161544, 0.25257773555531754, -0.13237719756684715, -0.3094763405888804, -1.4349634660355541, 0.5016241231810408, -0.09477545043989416, 1.1930859223440107, -0.3688184684478463, -1.9063698785304681, -0.0996106318948645, 1.6995372967466809][i]))
+                + (-0.05)))), 6) * 1000000.0 AS BIGINT) AS score_micro
+    FROM embeddings
+  )
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(target) AS BIGINT) AS n_pos,
+       CAST(sum(score_micro) // count(*) AS BIGINT) AS conf_micro,
+       CAST(sum(target) * 1000000 // count(*) AS BIGINT) AS acc_micro,
+       CAST(count(*) * abs(sum(score_micro) // count(*)
+            - sum(target) * 1000000 // count(*)) AS BIGINT) AS ece_term
+FROM p GROUP BY bin
+""",
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the fixed-weight logistic scorer:
+    decile bins of the predicted probability vs the observed positive
+    rate, plus each bin's Expected-Calibration-Error term
+    n_b·|acc_b − conf_b| (ECE = Σ terms / (N·1e6) downstream). The
+    6dp-rounded score becomes an exact INTEGER micro-probability
+    before binning and averaging, so bin means are integer floor
+    divisions — no float sum-order anywhere, engine bit-identical.
+
+    100 TB shape: scoring and binning are scan-side; the diagram is a
+    10-group partial agg. Pair with binary_eval_confusion for the
+    full offline-eval layer."""
+    scorer = _lt(spark, sf_dir, "embeddings")
+    from dist_keras_spark.plans.ml import _B, _W
+
+    w = F.array(*[F.lit(float(x)) for x in _W])
+    z = (
+        F.aggregate(
+            F.zip_with("embedding", w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        + F.lit(_B)
+    )
+    score_micro = (
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) * F.lit(1000000.0)
+    ).cast("long")
+    p = scorer.select(
+        score_micro.alias("score_micro"),
+        ((F.col("label") % 2) == 0).cast("long").alias("target"),
+    ).select(
+        "score_micro",
+        "target",
+        F.least(F.expr("score_micro div 100000"), F.lit(9).cast("long")).alias(
+            "bin"
+        ),
+    )
+    conf = F.expr("sum(score_micro) div count(1)")
+    acc = F.expr("sum(target) * 1000000 div count(1)")
+    return p.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("target").alias("n_pos"),
+        conf.alias("conf_micro"),
+        acc.alias("acc_micro"),
+        (F.count(F.lit(1)) * F.abs(conf - acc)).alias("ece_term"),
+    )
