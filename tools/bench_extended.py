@@ -106,6 +106,23 @@ EXTENDED = [
     "sample_exact_n_per_group",
     "snapshot_rollback_restore",
     "bloom_runtime_filter_join",
+    # round 8
+    "substring_dedup_50gram",
+    "substring_dedup_survivors",
+    "weight_average_exact",
+    "quality_gopher_rules",
+    "quality_filter_effect_by_source",
+    "power_iteration_two_steps",
+    "bigram_pmi_top",
+    "vocab_coverage_topn",
+    "token_budget_largest_remainder",
+    "pq_adc_top5",
+    "pq_recall_vs_exact",
+    "ivf_pq_top5",
+    "ngram_novelty_rate",
+    "poisson_bootstrap_replicas",
+    "binary_eval_confusion",
+    "score_calibration_bins",
 ]
 
 
