@@ -1496,3 +1496,185 @@ def approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("median_cents").cast("long").alias("median_cents"),
         "n",
     )
+
+
+@query(
+    "rrf_fusion_top5",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS v
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, t.s,
+         v[CAST(t.s * 8 + 1 AS BIGINT):CAST(t.s * 8 + 8 AS BIGINT)] AS sub
+  FROM q, unnest(range(0, 8)) t(s)
+), cb AS (
+  SELECT vec_id AS c, s, sub AS cbsub FROM subs WHERE vec_id < 16
+), cdist AS (
+  SELECT subs.vec_id, subs.s, cb.c,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (sub[i] - cbsub[i]) * (sub[i] - cbsub[i])))
+              AS BIGINT) AS d2
+  FROM subs JOIN cb ON subs.s = cb.s
+), codes AS (
+  SELECT vec_id, s, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, c) AS rn FROM cdist)
+  WHERE rn = 1
+), qtab AS (
+  SELECT vec_id AS query_id, s, c, d2 AS t
+  FROM cdist WHERE vec_id % 20 = 0
+), pqr AS (
+  SELECT qt.query_id, cd.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY qt.query_id
+             ORDER BY sum(qt.t), cd.vec_id) AS r_pq
+  FROM codes cd JOIN qtab qt ON cd.s = qt.s AND cd.code = qt.c
+  WHERE cd.vec_id <> qt.query_id
+  GROUP BY qt.query_id, cd.vec_id
+), exr AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY qq.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> (c.v[i] - qq.v[i]) * (c.v[i] - qq.v[i]))),
+                 c.vec_id) AS r_ex
+  FROM q c, q qq
+  WHERE qq.vec_id % 20 = 0 AND c.vec_id <> qq.vec_id
+), fused AS (
+  SELECT COALESCE(e.query_id, p.query_id) AS query_id,
+         COALESCE(e.neighbor_id, p.neighbor_id) AS neighbor_id,
+         CAST(COALESCE(1000000000 // (60 + e.r_ex), 0)
+              + COALESCE(1000000000 // (60 + p.r_pq), 0) AS BIGINT)
+             AS rrf_nano
+  FROM (SELECT * FROM exr WHERE r_ex <= 20) e
+  FULL OUTER JOIN (SELECT * FROM pqr WHERE r_pq <= 20) p
+    ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY rrf_nano DESC, neighbor_id) AS fused_rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, fused_rank, rrf_nano
+FROM ranked WHERE fused_rank <= 5
+""",
+)
+def rrf_fusion_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al. 2009, public — the
+    hybrid-retrieval default) of two rankings over the same queries:
+    the EXACT integer-L2 ranking and the compressed PQ-ADC ranking,
+    each truncated to its top-20, fused by
+    Σ floor(1e9/(60+rank)) — RRF's 1/(k+rank) with k=60 as an exact
+    integer, so fusion scores and the (score desc, id) top-5 are
+    engine bit-identical. A doc found by only one ranking scores
+    with that ranking alone (FULL OUTER on the candidate lists) —
+    the property that makes RRF robust to a weak retriever.
+
+    100 TB shape: fusion consumes top-k LISTS (queries × 20 rows
+    each), never raw corpora — the joins are candidate-sized. The
+    two input rankings reuse this module's scorers; swap either for
+    BM25 to fuse sparse+dense retrieval the same way."""
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quant().alias("v"))
+    queries = q.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    exw = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    )
+    exr = (
+        q.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn("r_ex", exw)
+        .filter(F.col("r_ex") <= 20)
+        .select("query_id", "neighbor_id", "r_ex")
+    )
+    # PQ ranking to depth 20 (pq_adc_top5 cuts at 5; recompute rank
+    # from its scored internals the same way, via the registered
+    # query's building blocks)
+    subs = q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.slice("v", s * 8 + 1, 8),
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
+    )
+    d2sub = F.aggregate(
+        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cdist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "c", d2sub.alias("d2")
+    )
+    codes = (
+        cdist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"))
+    )
+    qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tq"),
+        F.col("s").alias("qs"),
+        F.col("c").alias("qc"),
+        F.col("d2").alias("t"),
+    )
+    pqw = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    )
+    pqr = (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qc")),
+        )
+        .filter(F.col("vec_id") != F.col("tq"))
+        .groupBy(
+            F.col("tq").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum("t").alias("adist"))
+        .withColumn("r_pq", pqw)
+        .filter(F.col("r_pq") <= 20)
+        .select(
+            F.col("query_id").alias("p_query"),
+            F.col("neighbor_id").alias("p_neighbor"),
+            "r_pq",
+        )
+    )
+    fused = exr.join(
+        pqr,
+        (F.col("query_id") == F.col("p_query"))
+        & (F.col("neighbor_id") == F.col("p_neighbor")),
+        "full_outer",
+    ).select(
+        F.coalesce("query_id", "p_query").alias("query_id"),
+        F.coalesce("neighbor_id", "p_neighbor").alias("neighbor_id"),
+        (
+            F.coalesce(
+                F.expr("1000000000 div (60 + r_ex)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr("1000000000 div (60 + r_pq)"), F.lit(0).cast("long")
+            )
+        ).alias("rrf_nano"),
+    )
+    fw = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.desc("rrf_nano"), F.asc("neighbor_id")
+        )
+    )
+    return (
+        fused.withColumn("fused_rank", fw)
+        .filter(F.col("fused_rank") <= 5)
+        .select("query_id", "neighbor_id", "fused_rank", "rrf_nano")
+    )
