@@ -1678,3 +1678,136 @@ def rrf_fusion_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= 5)
         .select("query_id", "neighbor_id", "fused_rank", "rrf_nano")
     )
+
+
+@query(
+    "ols_slope_per_supplier",
+    oracle="""
+WITH d AS (
+  SELECT l_suppkey,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM d GROUP BY l_suppkey
+)
+SELECT l_suppkey, n, slope_micro,
+       CAST(sy - CAST(floor((slope_micro * sx) / 1000000.0) AS BIGINT)
+            AS BIGINT) AS intercept_approx
+FROM (
+  SELECT l_suppkey, n, sx, sy,
+         CAST((n * sxy - sx * sy) * 1000000
+              // (n * sxx - sx * sx) AS BIGINT) AS slope_micro
+  FROM s
+  WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+)
+""",
+)
+def ols_slope_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS — the grouped regression every
+    feature platform runs (trend per supplier/SKU/user) WITHOUT
+    iteration: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from one pass of
+    integer sufficient statistics (the corr_sufficient_stats
+    pattern upgraded from correlation to the fitted line).
+    Micro-slope is an INTEGER floor division (operands bounded:
+    per-supplier n ≤ ~600 at sf1, x ≤ 50, y ≤ 1e5 ⇒ n·Σxy ≲ 2e12,
+    ·1e6 < 2e18 — inside int64 with margin; the valve at bigger
+    groups is pre-centering x). Degenerate groups (constant x) are
+    excluded by the same predicate on both sides.
+
+    100 TB shape: ONE partial-agg shuffle keyed on the group; the
+    slope arithmetic is per-group scalar math. intercept_approx uses
+    the already-floored slope (documented approximation — exactly
+    replayed by the oracle)."""
+    l = _lt(spark, sf_dir, "lineitem")
+    d = l.select(
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("y"),
+    )
+    s = d.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # NOTE (measured, r8): DuckDB's BIGINT `//` TRUNCATES toward zero
+    # exactly like Spark's `div` — negative slopes verified matching at
+    # 3 SFs. (The STATUS floor-vs-trunc caveat applies to mixed
+    # double//int forms, not BIGINT//BIGINT.)
+    slope = F.expr(
+        "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+    )
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "l_suppkey",
+            "n",
+            slope.alias("slope_micro"),
+            (
+                F.col("sy")
+                - F.floor(
+                    (slope * F.col("sx")) / F.lit(1000000.0)
+                ).cast("long")
+            ).alias("intercept_approx"),
+        )
+    )
+
+
+@query(
+    "event_type_diversity_gini",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n, n_types,
+       CAST((n * n - ss) * 1000000 // (n * n) AS BIGINT)
+           AS gini_simpson_micro
+FROM u
+""",
+)
+def event_type_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity via the Gini-Simpson index
+    1 − Σp² = (n² − Σc²)/n² — the entropy-class metric with NO
+    logarithm, so it stays exact integer arithmetic end-to-end
+    (libm-free; the reason it's preferred over Shannon entropy for
+    cross-engine pipelines). Micro value by integer floor division
+    (operands positive: n ≤ ~1e2 per user at fixture scale, n²·1e6 ≲
+    1e10 — int64 headroom of 8 orders).
+
+    100 TB shape: two stacked partial aggs on the SAME user_id
+    shuffle key (type counts, then user rollup — Catalyst reuses the
+    partitioning, no second Exchange)."""
+    e = _lt(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return u.select(
+        "user_id",
+        "n",
+        "n_types",
+        F.expr("(n * n - ss) * 1000000 div (n * n)").alias(
+            "gini_simpson_micro"
+        ),
+    )
