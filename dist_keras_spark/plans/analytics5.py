@@ -1791,9 +1791,12 @@ def event_type_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operands positive: n ≤ ~1e2 per user at fixture scale, n²·1e6 ≲
     1e10 — int64 headroom of 8 orders).
 
-    100 TB shape: two stacked partial aggs on the SAME user_id
-    shuffle key (type counts, then user rollup — Catalyst reuses the
-    partitioning, no second Exchange)."""
+    100 TB shape (plan-audited): two partial-agg exchanges — the
+    first shuffles map-side-combined (user, type) counts (≪ raw
+    events), the second shuffles one partial row per user per task.
+    That beats the single-shuffle repartition(user_id) alternative,
+    which would move RAW events uncombined; keep the two tiny
+    combined exchanges."""
     e = _lt(spark, sf_dir, "events")
     c = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("c")
