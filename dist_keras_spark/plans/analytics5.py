@@ -1814,3 +1814,147 @@ def event_type_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini_simpson_micro"
         ),
     )
+
+
+@query(
+    "pq_lloyd_refined_sse",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS v
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, t.s,
+         v[CAST(t.s * 8 + 1 AS BIGINT):CAST(t.s * 8 + 8 AS BIGINT)] AS sub
+  FROM q, unnest(range(0, 8)) t(s)
+), cb AS (
+  SELECT vec_id AS c, s, sub AS cbsub FROM subs WHERE vec_id < 16
+), cdist AS (
+  SELECT subs.vec_id, subs.s, cb.c,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (sub[i] - cbsub[i]) * (sub[i] - cbsub[i])))
+              AS BIGINT) AS d2
+  FROM subs JOIN cb ON subs.s = cb.s
+), assign0 AS (
+  SELECT vec_id, s, c AS code, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, c) AS rn FROM cdist)
+  WHERE rn = 1
+), dims AS (
+  SELECT a.s, a.code, d.d, subs.sub[d.d] AS val
+  FROM assign0 a
+  JOIN subs ON subs.vec_id = a.vec_id AND subs.s = a.s,
+       unnest(range(1, 9)) d(d)
+), cb1 AS (
+  SELECT s, code AS c,
+         list(CAST(floor(CAST(sum_val AS DOUBLE) / CAST(n_val AS DOUBLE))
+              AS BIGINT) ORDER BY d) AS cbsub
+  FROM (SELECT s, code, d, CAST(sum(val) AS BIGINT) AS sum_val,
+               CAST(count(*) AS BIGINT) AS n_val
+        FROM dims GROUP BY s, code, d)
+  GROUP BY s, code
+), cdist1 AS (
+  SELECT subs.vec_id, subs.s, cb1.c,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (sub[i] - cbsub[i]) * (sub[i] - cbsub[i])))
+              AS BIGINT) AS d2
+  FROM subs JOIN cb1 ON subs.s = cb1.s
+), assign1 AS (
+  SELECT vec_id, s, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, c) AS rn FROM cdist1)
+  WHERE rn = 1
+)
+SELECT CAST((SELECT sum(d2) FROM assign0) AS BIGINT) AS sse_seeded,
+       CAST((SELECT sum(d2) FROM assign1) AS BIGINT) AS sse_trained,
+       CAST((SELECT count(*) FROM q) AS BIGINT) AS n_docs
+""",
+)
+def pq_lloyd_refined_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE Lloyd refinement of the PQ codebooks, measured: re-center
+    each subspace cluster on the floor-quantized mean of its assigned
+    subvectors, re-assign, and report total quantization error (SSE)
+    before and after — the k-means step that turns pq_adc_top5's
+    seeded codebook into a TRAINED one, with the improvement
+    hash-pinned (sse_trained < sse_seeded on every fixture; Lloyd
+    monotonicity holds up to the ±1/dim centroid flooring). All
+    arithmetic integer except the floor'd centroid mean (exact-int
+    double quotient, identical IEEE both engines).
+
+    100 TB shape: the centroid update is ONE partial-agg shuffle
+    keyed (s, code, dim) — 8·16·8 = 1024 groups regardless of corpus
+    size; assignments are broadcast-codebook scans exactly like the
+    encoder. Iterating to convergence = repeating this query's two
+    stages, same cost per round (kmeans_lloyd_two_iters shows the
+    full-dim analogue)."""
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quant().alias("v"))
+    subs = q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.slice("v", s * 8 + 1, 8),
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cdist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "c", d2.alias("d2")
+    )
+    assign0 = (
+        cdist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"), F.col("m.d2").alias("d2"))
+    )
+    dims = (
+        assign0.join(subs, ["vec_id", "s"])
+        .select(
+            "s",
+            "code",
+            F.posexplode("sub").alias("d0", "val"),
+        )
+        .select("s", "code", (F.col("d0") + 1).alias("d"), "val")
+    )
+    cb1 = (
+        dims.groupBy("s", "code", "d")
+        .agg(
+            F.sum("val").alias("sum_val"),
+            F.count(F.lit(1)).alias("n_val"),
+        )
+        .select(
+            "s",
+            "code",
+            "d",
+            F.floor(
+                F.col("sum_val").cast("double") / F.col("n_val").cast("double")
+            ).cast("long").alias("m"),
+        )
+        .groupBy("s", F.col("code").alias("c"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))),
+                lambda x: x["m"],
+            ).alias("cbsub")
+        )
+    )
+    cdist1 = subs.join(F.broadcast(cb1), "s").select(
+        "vec_id", "s", "c", d2.alias("d2")
+    )
+    assign1 = (
+        cdist1.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select(F.col("m.d2").alias("d2"))
+    )
+    sse0 = assign0.agg(F.sum("d2").alias("sse_seeded"))
+    sse1 = assign1.agg(F.sum("d2").alias("sse_trained"))
+    n = q.agg(F.count(F.lit(1)).alias("n_docs"))
+    return sse0.crossJoin(sse1).crossJoin(n)

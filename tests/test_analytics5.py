@@ -133,3 +133,16 @@ def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
     assert len(codes) == 16 * 8
     for r in codes:
         assert r["code"] == r["vec_id"], (r["vec_id"], r["s"], r["code"])
+
+
+def test_pq_lloyd_step_reduces_sse(spark, sf_dir):
+    """Lloyd monotonicity (up to centroid flooring): one refinement
+    step must strictly reduce total quantization error on the
+    fixtures."""
+    from dist_keras_spark.plans.analytics5 import pq_lloyd_refined_sse
+
+    r = pq_lloyd_refined_sse(spark, sf_dir).first()
+    assert r["sse_trained"] < r["sse_seeded"], (
+        r["sse_seeded"],
+        r["sse_trained"],
+    )
