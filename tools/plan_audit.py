@@ -137,6 +137,28 @@ AUDITED = {
     "sample_exact_n_per_group": "rank window on the group key only; per-group top-20 by deterministic hash order",
     "snapshot_rollback_restore": "metadata-only restore: new manifest reuses v1's file list; reads scan exactly the manifest files",
     "bloom_runtime_filter_join": "might_contain(xxhash64) runtime filter pushed into the fact scan from the selective dim side; rows that cannot match die before the shuffle",
+    # round 8
+    "substring_dedup_50gram": "50-gram md5 fingerprints computed inside the scan stage; only (id, 32-hex fp) postings shuffle; fingerprint-bucketed self-join",
+    "substring_dedup_survivors": "same postings shuffle; blockers aggregate is doc-keyed and joins back broadcast-sized",
+    "weight_average_exact": "one partial-agg scan to 8 shard rows; merge arithmetic is O(shards x components) scalar math",
+    "quality_gopher_rules": "9 rules as scan-side column expressions; single partial/final agg to one row, stacked to 11",
+    "quality_filter_effect_by_source": "same zero-shuffle rule scan; per-source partial agg only",
+    "power_iteration_two_steps": "X^T(Xv) factorization: d-width postings joins, covariance NEVER materialized; v1 needs no join at all",
+    "bigram_pmi_top": "bigrams via scan-side zip_with (text never shuffles); two token-keyed partial aggs; broadcast totals; TakeOrdered top-50",
+    "vocab_coverage_topn": "vocabulary-sized ranking window under bounded_window_key; token counts partial-aggregate in the scan",
+    "token_budget_largest_remainder": "per-source partial agg; apportionment over the source dimension only",
+    "pq_adc_top5": "encode = corpus x 16-centroid broadcast join with struct-min partial agg; 8x16 query tables broadcast; (query, vec) partial-sum shuffle",
+    "ivf_pq_top5": "coarse assignment broadcast-join argmin; probes prune to 2/8 cells BEFORE PQ scoring; candidate join cell-bucketed",
+    "pq_recall_vs_exact": "exact side is the certification brute force over broadcast queries; PQ side reuses the codes/table joins",
+    "pq_lloyd_refined_sse": "centroid update is ONE (s, code, dim)-keyed partial agg to 1024 groups regardless of corpus size",
+    "rrf_fusion_top5": "fusion consumes top-20 LISTS only; full-outer join is candidate-sized; integer RRF scores",
+    "ngram_novelty_rate": "md5 3-gram fingerprints scan-side; one fp-keyed min shuffle + fp-bucketed verdict join",
+    "poisson_bootstrap_replicas": "x20 replica fan-out is a scan-side explode; multiplicities are integer CASE arithmetic; 20-group partial agg",
+    "binary_eval_confusion": "scan-side scoring, one-row confusion aggregate; metrics are single integer divisions",
+    "score_calibration_bins": "integer micro-probabilities binned scan-side; 10-group partial agg",
+    "approx_percentile_certified": "sketch and exact percentile in the SAME partial-agg pass; assert on 5 collected group rows",
+    "ols_slope_per_supplier": "five integer sufficient stats in one supplier-keyed partial agg; slope is per-group scalar math",
+    "event_type_diversity_gini": "two stacked partial-agg exchanges, both map-side combined (user,type) then user",
 }
 
 
