@@ -1,4 +1,4 @@
-"""Runnable tour of the training-data pipeline surface (round 7) —
+"""Runnable tour of the training-data pipeline surface (rounds 7-8) —
 the queries an LLM/ML data-engineering team runs to turn a raw corpus
 and event stream into reproducible training sets.
 
@@ -32,6 +32,17 @@ TOUR = [
     ("minhash_lsh_neardup", "near-dedup via MinHash-LSH bands — candidates only, never all-pairs"),
     ("knn_ivf_persisted_top5", "ANN over a persisted cell-partitioned IVF index — build once, probe few"),
     ("linreg_adam_two_steps", "the Adam training loop itself, hash-exact in fixed point"),
+    # round 8: curate → measure → budget → compress
+    ("quality_gopher_rules", "the 9 published Gopher/C4 rules as ONE scan, per-rule counters"),
+    ("quality_filter_effect_by_source", "docs+tokens surviving the gate, per source"),
+    ("substring_dedup_50gram", "Lee-et-al exact-substring dup pairs via md5 span fingerprints"),
+    ("substring_dedup_survivors", "…and the keep-first drop list a pipeline joins back"),
+    ("ngram_novelty_rate", "per-doc novelty vs everything ingested before it"),
+    ("vocab_coverage_topn", "token-coverage curve that sizes the tokenizer vocab"),
+    ("token_budget_largest_remainder", "Hamilton apportionment of the training-token budget"),
+    ("pq_adc_top5", "product-quantized ANN — 8 nibbles per vector, integer ADC"),
+    ("pq_recall_vs_exact", "…and its recall@5 certified against the exact ranking"),
+    ("poisson_bootstrap_replicas", "deterministic Poisson bootstrap for metric error bars"),
 ]
 
 
