@@ -1958,3 +1958,110 @@ def pq_lloyd_refined_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
     sse1 = assign1.agg(F.sum("d2").alias("sse_trained"))
     n = q.agg(F.count(F.lit(1)).alias("n_docs"))
     return sse0.crossJoin(sse1).crossJoin(n)
+
+
+@query(
+    "approx_count_distinct_certified",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def approx_count_distinct_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D4 under the certification pattern (the approx_percentile
+    treatment, removing the family's oracle=None excuse): the HLL++
+    sketch runs in the SAME aggregation pass as the exact distinct
+    count, the query ASSERTS the sketch lands within 3× its
+    configured rsd (0.02 ⇒ ±6%) of the truth, and the ORACLE pins the
+    exact answer — so both a correctness drift in the sketch and a
+    broken exact path fail the driver run loudly.
+
+    100 TB shape: at scale you run the sketch ONLY (exact distinct is
+    the certification baseline you compute on samples/partitions);
+    both sides here are one partial-agg pass, and the assert collects
+    just the 5 group rows."""
+    o = _lt(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in g.collect():
+        rel = abs(r["approx_custs"] - r["exact_custs"]) / max(
+            r["exact_custs"], 1
+        )
+        assert rel <= 0.06, (
+            r["o_orderpriority"],
+            r["exact_custs"],
+            r["approx_custs"],
+            rel,
+        )
+    return g.select("o_orderpriority", "exact_custs", "n")
+
+
+@query(
+    "trimmed_mean_supplier",
+    oracle="""
+WITH d AS (
+  SELECT l_suppkey,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), r AS (
+  SELECT l_suppkey, cents,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY cents, l_suppkey) AS rk,
+         count(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM d
+)
+SELECT l_suppkey,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents
+FROM r
+WHERE rk > n * 5 // 100 AND rk <= n - n * 5 // 100
+GROUP BY l_suppkey
+""",
+)
+def trimmed_mean_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean revenue per supplier — the robust-statistics
+    aggregate (outlier-resistant without MAD's double percentile
+    pass): rank within group, drop the bottom and top ⌊n·5/100⌋
+    rows, integer-floor the mean of the kept cents. Deterministic
+    tie order (cents, then the partition key itself — rows within a
+    supplier with equal cents are interchangeable, so any stable
+    tiebreak yields the same SUM). All integer: trim offsets and the
+    mean are int64 floor divisions (positive operands — DuckDB `//`
+    measured trunc-identical to Spark `div` r8).
+
+    100 TB shape: ONE shuffle on the group key; the rank window and
+    the aggregation share it (Catalyst reuses the partitioning). The
+    valve for mega-groups is the binned-Lorenz approach of
+    gini_histogram_binned."""
+    from pyspark.sql import Window as W2
+
+    l = _lt(spark, sf_dir, "lineitem")
+    d = l.select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    w = W2.partitionBy("l_suppkey").orderBy(
+        F.asc("cents"), F.asc("l_suppkey")
+    )
+    wn = W2.partitionBy("l_suppkey")
+    r = d.select(
+        "l_suppkey",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rk") > F.expr("n * 5 div 100"))
+        & (F.col("rk") <= F.col("n") - F.expr("n * 5 div 100"))
+    )
+    return kept.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("sum(cents) div count(1)").alias("trimmed_mean_cents"),
+    )
