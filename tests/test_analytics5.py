@@ -146,3 +146,44 @@ def test_pq_lloyd_step_reduces_sse(spark, sf_dir):
         r["sse_seeded"],
         r["sse_trained"],
     )
+
+
+def test_poisson_bootstrap_replicas_center_on_truth(spark, sf_dir):
+    """Poisson(1) multiplicities average 1, so replica totals must
+    straddle the true total closely (deterministic fixture check:
+    mean of 20 replicas within 5% of truth; every replica within
+    20%)."""
+    from pyspark.sql import functions as F
+
+    from dist_keras_spark.plans.analytics5 import poisson_bootstrap_replicas
+
+    truth = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")))
+        .first()[0]
+    )
+    totals = [
+        r["total_cents"]
+        for r in poisson_bootstrap_replicas(spark, sf_dir).collect()
+    ]
+    assert len(totals) == 20
+    mean = sum(totals) / len(totals)
+    assert abs(mean - truth) / truth < 0.05, (mean, truth)
+    assert all(abs(t - truth) / truth < 0.20 for t in totals)
+
+
+def test_token_budget_allocation_sums_to_budget(spark, sf_dir):
+    """Hamilton apportionment invariant: Σ alloc == budget == total//2
+    exactly, and every source gets base or base+1."""
+    from pyspark.sql import functions as F
+
+    from dist_keras_spark.plans.analytics5 import (
+        token_budget_largest_remainder,
+    )
+
+    rows = token_budget_largest_remainder(spark, sf_dir).collect()
+    total = sum(r["tokens"] for r in rows)
+    budget = total // 2
+    assert sum(r["alloc"] for r in rows) == budget
+    assert all(r["extra"] in (0, 1) for r in rows)
+    assert all(r["alloc"] - r["base_alloc"] == r["extra"] for r in rows)
