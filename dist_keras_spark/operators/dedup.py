@@ -592,3 +592,123 @@ def substring_dup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# Double polynomial span-fingerprinting (the fast twin of
+# substring_fingerprints): two independent primes push the collision
+# rate to ~2^-62, and every constant is engine-portable int64 math.
+_POLY_P1, _POLY_B1 = 2147483629, 1000003
+_POLY_P2, _POLY_B2 = 2147483587, 1000033
+# Literal tables B^pos mod P and B^-pos mod P. 256 caps document
+# length for this operator (ANSI element_at fails LOUDLY beyond it);
+# the valve for longer docs is passage-chunking first, or per-segment
+# base resets.
+_POLY_MAXTOK = 256
+
+
+def _pow_table(b: int, p: int, inverse: bool = False) -> list[int]:
+    base = pow(b, -1, p) if inverse else b
+    out, acc = [], 1
+    for _ in range(_POLY_MAXTOK):
+        out.append(acc)
+        acc = (acc * base) % p
+    return out
+
+
+def substring_dup_pairs_poly(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+) -> DataFrame:
+    """The MEASURED fast twin of substring_dup_pairs: identical pair
+    semantics, spans fingerprinted by a DOUBLE polynomial rolling
+    hash in O(1) per span — prefix sums of h_i·B^i mod P via a
+    running window, span hash = (C_{j+n-1} − C_{j-1})·B^-j mod P
+    with literal power tables. Everything stays in whole-stage
+    codegen: one md5 per TOKEN (hex→int via conv), integer
+    mult-mods, a per-doc running-sum + lead window.
+
+    WHY NOT the 'obvious' per-span aggregate(): MEASURED 42.7s at
+    sf0.01 vs md5's ~0.5s — Spark evaluates higher-order-function
+    lambdas INTERPRETED per element, so nested transform(aggregate)
+    loses to codegen'd string building + md5 by ~100×. The windowed
+    prefix-sum formulation is both asymptotically better (O(tokens)
+    vs O(tokens·n)) and codegen-friendly. Collision rate ~2^-62 on
+    the (f1, f2) key pair vs md5's 2^-128 — both negligible; the
+    oracle replays identical arithmetic so even a collision-induced
+    pair would match.
+
+    100 TB: the window shuffles (id, pos, two int64 terms) — compare
+    the md5 twin's zero-shuffle-but-O(tokens·n·bytes) scan; pick by
+    measurement (bench_extended traces both)."""
+    toks = tokens(F.col(text_col))
+    base = df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("id"), toks.alias("t")
+    )
+    posts = base.select(
+        "id", F.size("t").alias("nt"), F.posexplode("t").alias("pos", "w")
+    )
+    hexh = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    terms = posts.select(
+        "id",
+        "pos",
+        *[
+            F.pmod(
+                F.pmod(hexh, F.lit(p))
+                * F.element_at(
+                    F.array(*[F.lit(v) for v in _pow_table(b, p)]),
+                    (F.col("pos") + 1).cast("int"),
+                ),
+                F.lit(p),
+            ).alias(f"term{k}")
+            for k, (p, b) in ((1, (_POLY_P1, _POLY_B1)), (2, (_POLY_P2, _POLY_B2)))
+        ],
+    )
+    wrun = (
+        W.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wlead = W.partitionBy("id").orderBy("pos")
+    cums = terms.select(
+        "id",
+        "pos",
+        "term1",
+        "term2",
+        F.sum("term1").over(wrun).alias("c1"),
+        F.sum("term2").over(wrun).alias("c2"),
+    )
+    spans = cums.select(
+        "id",
+        "pos",
+        *[
+            F.pmod(
+                F.pmod(
+                    F.lead(f"c{k}", n - 1).over(wlead)
+                    - (F.col(f"c{k}") - F.col(f"term{k}")),
+                    F.lit(p),
+                )
+                * F.element_at(
+                    F.array(*[F.lit(v) for v in _pow_table(b, p, inverse=True)]),
+                    (F.col("pos") + 1).cast("int"),
+                ),
+                F.lit(p),
+            ).alias(f"f{k}")
+            for k, (p, b) in ((1, (_POLY_P1, _POLY_B1)), (2, (_POLY_P2, _POLY_B2)))
+        ],
+        F.lead("c1", n - 1).over(wlead).alias("__valid"),
+    )
+    postings = (
+        spans.filter(F.col("__valid").isNotNull())
+        .select("id", "f1", "f2")
+        .distinct()
+    )
+    a = postings.select(F.col("id").alias("doc_a"), "f1", "f2")
+    b_ = postings.select(F.col("id").alias("doc_b"), "f1", "f2")
+    return (
+        a.join(b_, ["f1", "f2"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

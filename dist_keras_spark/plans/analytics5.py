@@ -2065,3 +2065,80 @@ def trimmed_mean_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.expr("sum(cents) div count(1)").alias("trimmed_mean_cents"),
     )
+
+
+def _poly_oracle() -> str:
+    from dist_keras_spark.operators.dedup import (
+        _POLY_B1,
+        _POLY_B2,
+        _POLY_P1,
+        _POLY_P2,
+        _pow_table,
+    )
+
+    bp1 = ", ".join(str(v) for v in _pow_table(_POLY_B1, _POLY_P1))
+    bp2 = ", ".join(str(v) for v in _pow_table(_POLY_B2, _POLY_P2))
+    ib1 = ", ".join(str(v) for v in _pow_table(_POLY_B1, _POLY_P1, True))
+    ib2 = ", ".join(str(v) for v in _pow_table(_POLY_B2, _POLY_P2, True))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), posts AS (
+  SELECT doc_id, i.i - 1 AS pos, t[i.i] AS w
+  FROM toks, unnest(range(1, len(t) + 1)) i(i)
+  WHERE len(t) >= 50
+), terms AS (
+  SELECT doc_id, pos,
+         (CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % {_POLY_P1})
+             * ([{bp1}])[pos + 1] % {_POLY_P1} AS term1,
+         (CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % {_POLY_P2})
+             * ([{bp2}])[pos + 1] % {_POLY_P2} AS term2
+  FROM posts
+), cums AS (
+  SELECT doc_id, pos, term1, term2,
+         sum(term1) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS c1,
+         sum(term2) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS c2
+  FROM terms
+), spans AS (
+  SELECT doc_id, pos,
+         lead(c1, 49) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+         lead(c2, 49) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+         c1, c2, term1, term2
+  FROM cums
+), fps AS (
+  SELECT doc_id,
+         CAST((CAST(l1 - (c1 - term1) AS BIGINT) % {_POLY_P1})
+              * ([{ib1}])[pos + 1] % {_POLY_P1} AS BIGINT) AS f1,
+         CAST((CAST(l2 - (c2 - term2) AS BIGINT) % {_POLY_P2})
+              * ([{ib2}])[pos + 1] % {_POLY_P2} AS BIGINT) AS f2
+  FROM spans WHERE l1 IS NOT NULL
+), post AS (
+  SELECT DISTINCT doc_id, f1, f2 FROM fps
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM post a JOIN post b USING (f1, f2)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@query("substring_dedup_50gram_poly", oracle=_poly_oracle())
+def substring_dedup_50gram_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured twin of substring_dedup_50gram (the
+    udtf→mapInArrow pattern applied to dedup): identical pair
+    semantics, spans fingerprinted by a ROLLING double polynomial
+    hash — O(1) per span via per-doc prefix-sum windows and modular
+    inverses, one md5 per TOKEN, 16-byte (f1, f2) join keys. See
+    operators/dedup.py:substring_dup_pairs_poly for the cost model
+    AND the negative result it encodes: the per-span aggregate() HOF
+    formulation measured ~100× SLOWER than md5 strings (Spark
+    evaluates HOF lambdas interpreted), so the windowed codegen
+    formulation is the one that ships. Both twins stay registered;
+    bench_extended traces both."""
+    docs = _lt(spark, sf_dir, "documents")
+    from dist_keras_spark.operators.dedup import substring_dup_pairs_poly
+
+    return substring_dup_pairs_poly(docs, n=50)

@@ -187,3 +187,23 @@ def test_token_budget_allocation_sums_to_budget(spark, sf_dir):
     assert sum(r["alloc"] for r in rows) == budget
     assert all(r["extra"] in (0, 1) for r in rows)
     assert all(r["alloc"] - r["base_alloc"] == r["extra"] for r in rows)
+
+
+def test_substring_poly_twin_matches_md5_pairs(spark, sf_dir):
+    """The rolling-polynomial twin must report the SAME duplicate
+    pair set (and span counts) as the md5 reference on the fixtures —
+    collisions would show here as extra pairs."""
+    from dist_keras_spark.plans.analytics5 import (
+        substring_dedup_50gram,
+        substring_dedup_50gram_poly,
+    )
+
+    md5_pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in substring_dedup_50gram(spark, sf_dir).collect()
+    }
+    poly_pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in substring_dedup_50gram_poly(spark, sf_dir).collect()
+    }
+    assert md5_pairs == poly_pairs

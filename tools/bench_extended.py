@@ -108,6 +108,7 @@ EXTENDED = [
     "bloom_runtime_filter_join",
     # round 8
     "substring_dedup_50gram",
+    "substring_dedup_50gram_poly",  # rolling-hash twin, measured 4.5x faster
     "substring_dedup_survivors",
     "weight_average_exact",
     "quality_gopher_rules",
