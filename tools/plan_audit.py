@@ -139,6 +139,7 @@ AUDITED = {
     "bloom_runtime_filter_join": "might_contain(xxhash64) runtime filter pushed into the fact scan from the selective dim side; rows that cannot match die before the shuffle",
     # round 8
     "substring_dedup_50gram": "50-gram md5 fingerprints computed inside the scan stage; only (id, 32-hex fp) postings shuffle; fingerprint-bucketed self-join",
+    "substring_dedup_50gram_poly": "O(1)/span rolling double-poly hash: per-doc prefix-sum window + modular-inverse tables, all codegen; MEASURED 4.5x faster than the md5 twin (and the per-span aggregate() HOF formulation measured 100x SLOWER - interpreted lambdas)",
     "substring_dedup_survivors": "same postings shuffle; blockers aggregate is doc-keyed and joins back broadcast-sized",
     "weight_average_exact": "one partial-agg scan to 8 shard rows; merge arithmetic is O(shards x components) scalar math",
     "quality_gopher_rules": "9 rules as scan-side column expressions; single partial/final agg to one row, stacked to 11",
