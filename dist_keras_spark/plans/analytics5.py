@@ -2142,3 +2142,123 @@ def substring_dedup_50gram_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dist_keras_spark.operators.dedup import substring_dup_pairs_poly
 
     return substring_dup_pairs_poly(docs, n=50)
+
+
+@query(
+    "containment_pairs",
+    oracle="""
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 2 + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+), post AS (
+  SELECT doc_id, len(sh) AS ns, unnest(sh) AS shingle FROM sets
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(min(a.ns) AS BIGINT) AS na,
+         CAST(min(b.ns) AS BIGINT) AS nb
+  FROM post a JOIN post b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c, na, nb,
+       CAST(c * 1000000 // least(na, nb) AS BIGINT) AS containment_micro
+FROM shared
+WHERE c * 1000000 >= 800000 * least(na, nb)
+""",
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-CONTAINMENT near-dedup (Broder's containment,
+    |A∩B|/min(|A|,|B|)): catches a document that is a near-SUBSET of
+    another — the curation case Jaccard similarity misses (a long doc
+    that swallows a short one scores low similarity but ~1.0
+    containment). Same 3-shingle inverted-index shape as
+    jaccard_neardup_pairs (operators/dedup.py): only pairs sharing a
+    shingle materialize; the ≥0.8 threshold is an exact INTEGER
+    cross-multiplication (c·1e6 ≥ 0.8e6·min sizes), no float
+    boundary anywhere.
+
+    100 TB: identical valves as J3 — max_df stop-shingle cut and
+    id-only postings; containment adds zero extra passes (the pair
+    aggregate already carries both set sizes)."""
+    from dist_keras_spark.operators.dedup import shingle_sets, spread
+
+    docs = _lt(spark, sf_dir, "documents")
+    sets = shingle_sets(spread(docs, "doc_id"), "doc_id", "text", 3).withColumn(
+        "ns", F.size("sh")
+    )
+    post = sets.select("id", "ns", F.explode("sh").alias("shingle"))
+    a = post.select(F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle")
+    b = post.select(F.col("id").alias("id_b"), F.col("ns").alias("nb"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    mn = F.least(F.col("na"), F.col("nb"))
+    return shared.filter(F.col("c") * 1000000 >= 800000 * mn).select(
+        "id_a",
+        "id_b",
+        "c",
+        "na",
+        "nb",
+        F.expr("c * 1000000 div least(na, nb)").alias("containment_micro"),
+    )
+
+
+@query(
+    "langid_confusion",
+    oracle="""
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), h AS (
+  SELECT lang,
+         len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','a','in','is','for','on','with'], x)))
+             AS hits_en,
+         len(list_filter(toks, x -> list_contains(
+             ['el','la','de','que','y','en','un','es','por','los'], x)))
+             AS hits_es
+  FROM t
+), p AS (
+  SELECT lang,
+         CASE WHEN hits_es > greatest(hits_en, 0) THEN 'es'
+              WHEN hits_en > 0 THEN 'en'
+              ELSE 'und' END AS predicted
+  FROM h
+)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY lang, predicted
+""",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the J6 language-ID heuristic against the
+    labeled `lang` column — the eval-layer treatment applied to the
+    text family (a heuristic without a measured confusion matrix is a
+    guess). Uses the PRODUCTION expression
+    (functions/text.py:lang_id_heuristic) — the oracle spells out its
+    exact tie-break semantics (stopword-OCCURRENCE counts; 'es' wins
+    only with STRICTLY more hits; zero hits → 'und'), so a drift in
+    the heuristic's ordering fails the hash, not just accuracy.
+
+    100 TB: pure scan-side column logic + one (lang, predicted)
+    partial agg."""
+    from dist_keras_spark.functions.text import lang_id_heuristic, tokens
+
+    docs = _lt(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            lang_id_heuristic(tokens(F.col("text"))).alias("predicted"),
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
