@@ -2262,3 +2262,52 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "parquet_schema_evolution_scan",
+    oracle="""
+SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+       CAST(1 AS INTEGER) AS batch
+FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS INTEGER) AS batch
+FROM nation
+""",
+)
+def parquet_schema_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A2 schema evolution: a dataset whose parquet files were written
+    under DIFFERENT schemas over time (batch 1 before the
+    `n_regionkey` column existed, batch 2 after) read as ONE table
+    via mergeSchema — old files surface NULL for columns they
+    predate. This is the ingest reality of any long-lived 100 TB
+    dataset; the oracle replays the union-with-null semantics from
+    the source table. The `batch` column proves per-file lineage
+    survives the merge.
+
+    At scale: mergeSchema reads FOOTERS of all files at planning time
+    — production pins the merged schema in a metastore/manifest
+    instead (sources/snapshots.py); this query verifies the read
+    semantics those manifests rely on."""
+    import shutil
+
+    from dist_keras_spark.sources.sinks import scratch_path
+
+    n = _lt(spark, sf_dir, "nation")
+    path = scratch_path(spark, "schema_evo")
+    shutil.rmtree(path, ignore_errors=True)
+    n.select(
+        "n_nationkey", "n_name", F.lit(1).cast("int").alias("batch")
+    ).write.mode("overwrite").parquet(path + "/b1")
+    n.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.lit(2).cast("int").alias("batch"),
+    ).write.mode("overwrite").parquet(path + "/b2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return merged.select("n_nationkey", "n_name", "n_regionkey", "batch")
