@@ -2311,3 +2311,50 @@ def parquet_schema_evolution_scan(
         .parquet(path)
     )
     return merged.select("n_nationkey", "n_name", "n_regionkey", "batch")
+
+
+_RECURSIVE_SQL_SPARK = """
+WITH RECURSIVE chain(custkey, cur, path_cents, steps) AS (
+  SELECT c_custkey, c_custkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT), 1
+  FROM {customer}
+  UNION ALL
+  SELECT ch.custkey, c.c_custkey,
+         ch.path_cents + CAST(floor(c.c_acctbal * 100) AS BIGINT),
+         ch.steps + 1
+  FROM chain ch JOIN {customer} c ON c.c_custkey = ch.cur {div} 10
+  WHERE ch.cur >= 10
+)
+SELECT custkey, steps AS chain_len, path_cents
+FROM chain
+WHERE cur < 10
+ORDER BY path_cents DESC, custkey
+LIMIT 50
+"""
+
+
+@query(
+    "recursive_cte_rollup",
+    oracle=_RECURSIVE_SQL_SPARK.format(customer="customer", div="//"),
+)
+def recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on Spark 4.1 (SPARK-24497 — new engine surface
+    this round): every customer walks its ancestor chain in a derived
+    10-ary tree (parent = custkey div 10), accumulating
+    integer-cents balances along the path; top-50 chains by path
+    total. The SAME SQL text runs on both engines (only the integer
+    division operator differs: Spark `div`, DuckDB `//` — measured
+    trunc-identical on positives), so this doubles as a recursion-
+    semantics parity check: anchor + UNION ALL step, termination by
+    WHERE, column evolution across iterations.
+
+    100 TB shape: each iteration is an equi-join of the frontier
+    against the parent table — depth is log₁₀(maxkey) (≤7 at sf1000),
+    so the recursion is 7 bounded joins, each shrinking. The
+    non-recursive formulation (iterative joins in a Python loop —
+    neardup_clusters) remains the fallback where the planner's
+    recursion limits bite."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_RECURSIVE_SQL_SPARK.format(customer="customer", div="div"))
