@@ -2358,3 +2358,40 @@ def recursive_cte_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("customer",))
     return spark.sql(_RECURSIVE_SQL_SPARK.format(customer="customer", div="div"))
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.cents
+FROM {nation} n{comma} LATERAL (
+  SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+  FROM {customer} c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY cents DESC, c_custkey
+  LIMIT 3
+) t
+"""
+
+
+@query(
+    "lateral_topn_per_group",
+    oracle=_LATERAL_SQL.format(nation="nation", customer="customer", comma=","),
+)
+def lateral_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-standard surface for
+    top-N-per-group — the form analysts write before anyone teaches
+    them window functions): for each nation, the LATERAL derived
+    table returns its own top-3 customers by balance. Same SQL text
+    on both engines (modulo the join comma), integer cents, total
+    (cents desc, custkey) order inside the LATERAL so ties cannot
+    flip the emitted set.
+
+    At scale Catalyst DECORRELATES this into the same
+    window/rank-per-key plan as topk_per_group — LATERAL is surface
+    syntax, not a nested-loop sentence; the plan audit shows no
+    per-row re-execution."""
+    from dist_keras_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        _LATERAL_SQL.format(nation="nation", customer="customer", comma=",")
+    )
