@@ -160,6 +160,12 @@ AUDITED = {
     "approx_percentile_certified": "sketch and exact percentile in the SAME partial-agg pass; assert on 5 collected group rows",
     "ols_slope_per_supplier": "five integer sufficient stats in one supplier-keyed partial agg; slope is per-group scalar math",
     "event_type_diversity_gini": "two stacked partial-agg exchanges, both map-side combined (user,type) then user",
+    "trimmed_mean_supplier": "rank window and aggregation share ONE group-key shuffle; trim bounds are per-row integer math",
+    "containment_pairs": "same inverted-index shape as jaccard; containment adds zero passes (pair agg carries both set sizes); integer cross-multiplied threshold",
+    "langid_confusion": "heuristic is scan-side column logic; one (lang, predicted) partial agg",
+    "parquet_schema_evolution_scan": "mergeSchema footer union; old files surface NULL columns; per-file lineage kept",
+    "recursive_cte_rollup": "recursion = 7 bounded frontier-vs-parent equi-joins (depth log10(maxkey)); each iteration shrinks",
+    "lateral_topn_per_group": "LATERAL decorrelated to WindowGroupLimit: map-side top-3 per key BEFORE the exchange, then rank filter",
 }
 
 
