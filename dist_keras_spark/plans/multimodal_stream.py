@@ -1085,3 +1085,113 @@ def streaming_join_then_window_live(
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "n_pairs", "cents_b"
     )
+
+
+@query(
+    "streaming_dedup_then_window_live",
+    oracle="""
+WITH m AS (SELECT max(ts) AS mx FROM events),
+d AS (
+    SELECT DISTINCT ON (event_id) event_id, ts, value
+    FROM events ORDER BY event_id, ts
+)
+SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP)
+           AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM d, m
+WHERE time_bucket(INTERVAL '30 minutes', ts) + INTERVAL 30 MINUTE
+      <= m.mx - INTERVAL 31 MINUTE
+GROUP BY 1
+""",
+)
+def streaming_dedup_then_window_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fourth chained-stateful composition: dropDuplicates state
+    FEEDING a windowed aggregation in one streaming query — the
+    at-least-once-source → exactly-once-metrics pipeline (dedup by
+    event_id inside the watermark, then 30-minute rollups). The
+    source is staged with every event DUPLICATED (union of the full
+    file with itself, split across two files) so the dedup state
+    provably does work — without it every count doubles and the
+    oracle hash fails.
+
+    Emission: dropDuplicates emits first-arrival rows immediately;
+    the downstream agg holds windows until the PROPAGATED watermark
+    (un-shifted through dedup, like the join probe) passes their
+    end after the final empty batch: cutoff = max(ts) − 31 min,
+    replayed by the oracle as a predicate. ONE withWatermark before
+    the dedup serves both operators — Spark disallows redefining the
+    watermark between chained stateful operators. DuckDB's DISTINCT
+    ON (event_id) ORDER BY ts mirrors keep-first semantics; fixture
+    event rows are unique per event_id, so duplicate arrival order
+    cannot change the kept row.
+
+    Scale: dedup state is bounded by the watermark horizon; agg
+    state one row per open window."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    e = _lt(spark, sf_dir, "events").select("event_id", "ts", "value")
+    src = scratch_path(spark, "ddw_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+
+    def stage(df, name: str, mtime: float) -> None:
+        tmp = scratch_path(spark, "ddw_tmp_" + uuid.uuid4().hex[:8])
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, name)
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    now = os.stat(src).st_mtime
+    stage(e, "a-batch0.parquet", now - 300)
+    stage(e, "b-batch1-dup.parquet", now - 200)
+    stage(e.filter(F.lit(False)), "c-batch2-empty.parquet", now - 100)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream.withWatermark("ts", "31 minutes").dropDuplicates(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    name = "ddw" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_state_ops = max(
+        (len(p["stateOperators"]) for p in q.recentProgress), default=0
+    )
+    assert n_state_ops >= 2, (
+        f"expected dedup + agg state operators, saw {n_state_ops}"
+    )
+    dedup_dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0) + op.get("numRowsUpdated", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dedup_dropped > 0, "state operators saw no rows — staging broke"
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n_events", "cents"
+    )
