@@ -166,6 +166,7 @@ AUDITED = {
     "parquet_schema_evolution_scan": "mergeSchema footer union; old files surface NULL columns; per-file lineage kept",
     "recursive_cte_rollup": "recursion = 7 bounded frontier-vs-parent equi-joins (depth log10(maxkey)); each iteration shrinks",
     "lateral_topn_per_group": "LATERAL decorrelated to WindowGroupLimit: map-side top-3 per key BEFORE the exchange, then rank filter",
+    "streaming_dedup_then_window_live": "dedup state keyed by event_id within the watermark horizon; agg state per open window; duplicated staging proves the dedup earns its keep",
 }
 
 
