@@ -34,6 +34,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
 )
 
 # Round-8 window (VERDICT r7 #1): generated MECHANICALLY by
