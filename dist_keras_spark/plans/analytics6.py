@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from dist_keras_spark.plans.registry import query
+from dist_keras_spark.plans.registry import ORACLE, query
 from dist_keras_spark.sources.tables import load_table as _lt
 
 # Shared regexes for the PII scan. Restricted to the syntax subset
@@ -250,4 +250,178 @@ def winsorize_clamp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cents") > F.col("p99_cents"), 1).otherwise(0)
         ).alias("n_clamped_high"),
         F.sum("wcents").alias("wins_sum_cents"),
+    )
+
+
+# NDCG discount weights as INTEGERS: floor(1e9 / log2(rank+1)) for
+# ranks 1..5, computed ONCE in Python and inlined as int literals on
+# both engine sides — no cross-engine float risk anywhere in the
+# ranking metrics. _NDCG_CUM[r] = ideal DCG with r relevant results.
+_NDCG_W = [math.floor(1e9 / math.log2(r + 1)) for r in range(1, 6)]
+_NDCG_CUM = [sum(_NDCG_W[: r + 1]) for r in range(5)]
+
+
+def _ranking_eval_oracle_sql() -> str:
+    """Wraps the REGISTERED knn_int8_quantized_top5 oracle as a CTE —
+    the ranking under evaluation is pinned to the exact SQL the
+    driver already hash-checks, so the two queries can never drift."""
+    idcg = "".join(
+        f" WHEN {r + 1} THEN {_NDCG_CUM[r]}" for r in range(5)
+    )
+    return f"""
+WITH base AS ({ORACLE["knn_int8_quantized_top5"]}),
+lab AS (SELECT vec_id, label FROM embeddings),
+rel AS (
+    SELECT b.query_id, b.knn_rank,
+           CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+    FROM base b
+    JOIN lab ql ON ql.vec_id = b.query_id
+    JOIN lab nl ON nl.vec_id = b.neighbor_id
+)
+SELECT query_id,
+       CAST(sum(rel) AS BIGINT) AS n_rel,
+       CAST(coalesce(max(CASE WHEN rel = 1
+                               THEN 1000000000 // knn_rank END), 0)
+            AS BIGINT) AS rr_e9,
+       CAST(sum(rel * CASE knn_rank
+                WHEN 1 THEN {_NDCG_W[0]} WHEN 2 THEN {_NDCG_W[1]}
+                WHEN 3 THEN {_NDCG_W[2]} WHEN 4 THEN {_NDCG_W[3]}
+                WHEN 5 THEN {_NDCG_W[4]} END) AS BIGINT) AS dcg_e9,
+       CAST(CASE sum(rel) WHEN 0 THEN 0{idcg} END AS BIGINT) AS idcg_e9
+FROM rel
+GROUP BY query_id
+"""
+
+
+@query("ranking_mrr_ndcg_at5", oracle=_ranking_eval_oracle_sql())
+def ranking_mrr_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (the retrieval twin of D1's
+    classification evaluator): MRR and NDCG@5 of the int8 ANN ranking
+    against label-match relevance, entirely in integers — reciprocal
+    rank as 1e9 div rank, DCG with floor(1e9/log2(r+1)) discount
+    weights precomputed in Python and inlined identically on both
+    sides, ideal DCG as the n_rel-prefix sum of the same weights. The
+    final MRR/NDCG averages are one trivial division away downstream;
+    keeping the per-query rows integer makes the hash check exact and
+    the metric auditable per query.
+
+    100 TB shape: the ranking reuses knn_int8_quantized_top5's plan
+    (broadcast queries, corpus never shuffles); the label joins are
+    id-keyed lookups (broadcast at fixture scale, shuffle-hash at
+    100 TB); the metric agg groups on query_id — the data-scaling
+    key. The oracle WRAPS the registered int8 oracle as a CTE, so the
+    ranking under evaluation is the same bytes the driver checks."""
+    from dist_keras_spark.plans.llm import knn_int8_quantized_top5
+
+    base = knn_int8_quantized_top5(spark, sf_dir)
+    lab = _lt(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q_lab = lab.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    n_lab = lab.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")
+    )
+    rel = (
+        base.join(F.broadcast(q_lab), base.query_id == q_lab.q_id)
+        .join(F.broadcast(n_lab), F.col("neighbor_id") == n_lab.n_id)
+        .select(
+            "query_id",
+            "knn_rank",
+            F.when(F.col("q_label") == F.col("n_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    w_map = F.when(F.col("knn_rank") == 1, _NDCG_W[0])
+    for r in range(2, 6):
+        w_map = w_map.when(F.col("knn_rank") == r, _NDCG_W[r - 1])
+    idcg = F.when(F.col("n_rel") == 0, 0)
+    for r in range(1, 6):
+        idcg = idcg.when(F.col("n_rel") == r, _NDCG_CUM[r - 1])
+    return (
+        rel.groupBy("query_id")
+        .agg(
+            F.sum("rel").alias("n_rel"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("rel") == 1,
+                        F.expr("1000000000 div knn_rank"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("rr_e9"),
+            F.sum(F.col("rel") * w_map).alias("dcg_e9"),
+        )
+        .select(
+            "query_id",
+            "n_rel",
+            F.col("rr_e9").cast("long").alias("rr_e9"),
+            F.col("dcg_e9").cast("long").alias("dcg_e9"),
+            idcg.cast("long").alias("idcg_e9"),
+        )
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), stats AS (
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS q,
+           CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS p
+    FROM tok GROUP BY token
+), weighted AS (
+    SELECT t.doc_id, (1000000 * (s.p + 1)) // (s.q + 1) AS w_e6
+    FROM tok t JOIN stats s USING (token)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w_e6) AS BIGINT) AS score_e6,
+       CAST(sum(w_e6) // count(*) AS BIGINT) AS per_token_e6
+FROM weighted
+GROUP BY doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, public
+    knowledge): score each document by how much its token distribution
+    resembles a target domain (sources src0-src3) relative to the raw
+    corpus. Per token, weight = (1e6·(target_count+1)) div
+    (raw_count+1) — Laplace-smoothed importance ratio in integer
+    micro-units (BIGINT div truncates identically on both engines;
+    the canonical log-ratio is a monotone transform, same selection
+    order — the house log-free pattern from bigram_pmi_top). Doc
+    score = Σ occurrence weights; per_token_e6 is the length-
+    normalized variant a sampler would threshold on.
+
+    100 TB shape: token stats are ONE map-side-combined aggregation
+    on token (vocab-sized result — broadcastable for real corpora;
+    Zipf caps the useful vocab); the weight join-back then hits the
+    exploded scan without shuffling the corpus (broadcast hash join),
+    and the doc rollup keys on doc_id, the data-scaling key. Text
+    itself never shuffles — only (doc_id, token) pairs."""
+    d = _lt(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("q"),
+        F.sum(
+            F.when(
+                F.col("source").isin("src0", "src1", "src2", "src3"), 1
+            ).otherwise(0)
+        ).alias("p"),
+    )
+    weighted = tok.join(F.broadcast(stats), "token").select(
+        "doc_id", F.expr("(1000000 * (p + 1)) div (q + 1)").alias("w_e6")
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w_e6").alias("score_e6"),
+        F.expr("sum(w_e6) div count(*)").cast("long").alias("per_token_e6"),
     )

@@ -10,9 +10,13 @@ import pyspark.sql.functions as F
 
 from dist_keras_spark.plans.analytics6 import (
     _EMAIL_RE,
+    _NDCG_CUM,
+    _NDCG_W,
     _PHONE_RE,
+    dsir_importance_weights,
     k_anonymity_audit,
     pii_redact_mask,
+    ranking_mrr_ndcg_at5,
     winsorize_clamp_stats,
 )
 
@@ -93,3 +97,60 @@ def test_winsorize_thresholds_bound_tails(spark, sf_dir):
         assert r["n_clamped_high"] < 0.01 * r["n"] + 1
         assert r["n"] * r["p01_cents"] <= r["wins_sum_cents"]
         assert r["wins_sum_cents"] <= r["n"] * r["p99_cents"]
+
+
+def test_ranking_metrics_match_python_rederivation(spark, sf_dir):
+    """Re-derive MRR/DCG/IDCG in plain Python from the int8 ranking +
+    labels and require exact integer equality — an independent check
+    of the metric arithmetic, not just the oracle replay."""
+    from dist_keras_spark.plans.llm import knn_int8_quantized_top5
+
+    base = knn_int8_quantized_top5(spark, sf_dir).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    expect = {}
+    for r in base:
+        q = r["query_id"]
+        rel = int(labels[q] == labels[r["neighbor_id"]])
+        e = expect.setdefault(q, {"n_rel": 0, "rr": 0, "dcg": 0})
+        e["n_rel"] += rel
+        if rel:
+            e["rr"] = max(e["rr"], 10**9 // r["knn_rank"])
+            e["dcg"] += _NDCG_W[r["knn_rank"] - 1]
+    got = {r["query_id"]: r for r in ranking_mrr_ndcg_at5(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for q, e in expect.items():
+        g = got[q]
+        assert g["n_rel"] == e["n_rel"]
+        assert g["rr_e9"] == e["rr"]
+        assert g["dcg_e9"] == e["dcg"]
+        idcg = 0 if e["n_rel"] == 0 else _NDCG_CUM[e["n_rel"] - 1]
+        assert g["idcg_e9"] == idcg
+        assert g["dcg_e9"] <= g["idcg_e9"]
+
+
+def test_dsir_weights_on_crafted_micro_corpus(spark, monkeypatch):
+    """Token appearing ONLY in the target sources gets weight
+    (1e6·(p+1)) div (q+1) with p == q (ratio ≈ 1e6·(p+1)/(p+1));
+    a token absent from targets gets ≈ 1e6/(q+1)."""
+    import dist_keras_spark.plans.analytics6 as a6
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hot hot cold", "en", "src0"),   # target
+            (2, "hot cold cold", "en", "src9"),  # raw-only
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(a6, "_lt", lambda s, d, n: docs)
+    got = {r["doc_id"]: r for r in dsir_importance_weights(spark, "x").collect()}
+    # hot: p=2 (doc1), q=3 → w = 1e6*3 div 4 = 750000
+    # cold: p=1, q=3 → w = 1e6*2 div 4 = 500000
+    assert got[1]["score_e6"] == 2 * 750000 + 500000
+    assert got[2]["score_e6"] == 750000 + 2 * 500000
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 3
+    assert got[1]["per_token_e6"] == (2 * 750000 + 500000) // 3
