@@ -425,3 +425,287 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_e6").alias("score_e6"),
         F.expr("sum(w_e6) div count(*)").cast("long").alias("per_token_e6"),
     )
+
+
+def _semdedup_oracle_sql(n_cells: int = 16, seed: int = 42) -> str:
+    """Replays the integer SemDeDup end-to-end: int8 quantization (the
+    knn_int8 formulation), md5-ordered centroid sample (the knn_ivf
+    portability pattern), MAX-INNER-PRODUCT cell assignment (integer
+    dot, ties to the lower cell — no float anywhere, so unlike
+    knn_ivf's cosine assignment there is NO tie-risk caveat), and the
+    cross-multiplied cosine threshold 100·dot² ≥ 9·na·nb (τ=0.3)."""
+    return f"""
+WITH sc AS (
+    SELECT vec_id, embedding,
+           127.0 / list_max(list_transform(embedding,
+                            y -> abs(CAST(y AS DOUBLE)))) AS scale
+    FROM embeddings
+), q8 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS v
+    FROM sc
+), n AS (
+    SELECT vec_id, v,
+           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+    FROM q8
+), cent AS (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'),
+                        vec_id) - 1 AS cell,
+           v AS cv
+    FROM q8
+    QUALIFY row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'),
+                        vec_id) <= {n_cells}
+), assign AS (
+    SELECT nq.vec_id, ct.cell, nq.v, nq.nn,
+           row_number() OVER (PARTITION BY nq.vec_id
+               ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                             i -> nq.v[i] * ct.cv[i])) AS BIGINT) DESC,
+                        ct.cell) AS pr
+    FROM n nq CROSS JOIN cent ct
+), cellv AS (
+    SELECT vec_id, cell, v, nn FROM assign WHERE pr = 1
+), dup AS (
+    SELECT DISTINCT b.vec_id
+    FROM cellv a JOIN cellv b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(range(1, 65),
+               i -> a.v[i] * b.v[i])) AS BIGINT) > 0
+      AND 100 * CAST(list_sum(list_transform(range(1, 65),
+                i -> a.v[i] * b.v[i])) AS BIGINT)
+              * CAST(list_sum(list_transform(range(1, 65),
+                i -> a.v[i] * b.v[i])) AS BIGINT)
+          >= 9 * a.nn * b.nn
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           AS dropped
+FROM cellv c LEFT JOIN dup d ON d.vec_id = c.vec_id
+"""
+
+
+@query("semdedup_cell_prune", oracle=_semdedup_oracle_sql())
+def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public knowledge): semantic
+    dedup that restricts candidate pairs to the same coarse cluster
+    cell — the economics of embedding dedup at 100 TB come from never
+    comparing across cells. Differs from dedup_embedding_cosine
+    (banded global candidates) exactly where SemDeDup differs from
+    plain near-dup: the cluster assignment IS the blocking structure,
+    and cross-cell duplicates are a documented, accepted miss.
+
+    Fully integer-exact variant: int8 quantization (knn_int8
+    formulation), 16 md5-sampled centroids, max-inner-product cell
+    assignment (integer dot, ties to lower cell — no float tie risk,
+    unlike knn_ivf's cosine assignment), then within-cell pairs with
+    cosine ≥ 0.3 decided by the cross-multiplied integer predicate
+    100·dot² ≥ 9·na·nb (dot > 0); keep-first greedy drops the higher
+    vec_id (the substring_dedup_survivors convention).
+
+    100 TB shape: quantization and norms are scan-side column math;
+    the 16-row centroid table broadcasts into the assignment
+    crossJoin (corpus never shuffles for assignment); the dedup
+    self-join shuffles ids+vectors ONCE on cell, and per-cell pair
+    counts are bounded by cell size — the operator's scale knob is
+    n_cells, exactly as in the paper (cells ∝ corpus size keeps
+    per-cell work constant). Bounds: dot ≤ 127²·64 ≈ 1.03e6, so
+    100·dot² ≤ 1.1e14 and 9·na·nb ≤ 9.6e12 — well inside int64."""
+    e = _lt(spark, sf_dir, "embeddings")
+    scale = F.lit(127.0) / F.array_max(
+        F.transform("embedding", lambda y: F.abs(y.cast("double")))
+    )
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("v"),
+    )
+    n = q8.select(
+        "vec_id",
+        "v",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+    # centroid sample keeps its md5 sort key so the cells can be
+    # labeled 0..15 in the SAME order after the limit
+    cent = (
+        q8.select(
+            "vec_id",
+            "v",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":42"))
+            ).alias("mk"),
+        )
+        .orderBy("mk", "vec_id")
+        .limit(16)
+    )
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    # 16-row post-limit frame: bounded_window_key marks the reviewed
+    # single-partition window (plan-hygiene gate convention)
+    cent = cent.select(
+        (
+            F.row_number().over(
+                W.partitionBy(bounded_window_key(F.col("vec_id"))).orderBy(
+                    "mk", "vec_id"
+                )
+            )
+            - 1
+        ).alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    dot_c = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", "v", "nn", dot_c.alias("dotc"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.desc("dotc"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("pr") == 1)
+        .select("vec_id", "cell", "v", "nn")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    dot_p = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", dot_p.alias("dot"), "na", "nb")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(100).cast("long") * F.col("dot") * F.col("dot")
+                >= F.lit(9).cast("long") * F.col("na") * F.col("nb")
+            )
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("is_dup"), F.lit(0)).cast("long").alias("dropped"),
+        )
+    )
+
+
+@query(
+    "changepoint_mean_shift",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), cum AS (
+    SELECT event_type, day, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+           sum(c) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS s,
+           count(*) OVER (PARTITION BY event_type) AS n,
+           sum(c) OVER (PARTITION BY event_type) AS tot
+    FROM daily
+), cand AS (
+    SELECT event_type, day, t, n,
+           (1000000 * abs(s * (n - t) - (tot - s) * t))
+               // (t * (n - t)) AS score_e6,
+           (1000000 * s) // t AS mean_before_e6,
+           (1000000 * (tot - s)) // (n - t) AS mean_after_e6
+    FROM cum WHERE t < n
+)
+SELECT event_type, day AS split_day, CAST(t AS BIGINT) AS split_t,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(score_e6 AS BIGINT) AS score_e6,
+       CAST(mean_before_e6 AS BIGINT) AS mean_before_e6,
+       CAST(mean_after_e6 AS BIGINT) AS mean_after_e6
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY score_e6 DESC, t) AS rk
+      FROM cand)
+WHERE rk = 1
+""",
+)
+def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection on the daily event-count series per
+    event type: the split day t maximizing the between-segment mean
+    shift |mean(1..t) − mean(t+1..n)| — the single-change-point
+    least-squares criterion (CUSUM family, public knowledge), made
+    integer-exact by scoring on the common denominator t·(n−t):
+    score = 1e6·|S_t·(n−t) − (T−S_t)·t| div (t·(n−t)), which orders
+    split candidates identically to the float mean difference. Ties
+    break to the earliest day on both engines.
+
+    100 TB shape: the daily rollup is ONE map-side-combined
+    aggregation keyed (type, day); everything after operates on the
+    bounded (types × days) series — running sums via forward-ordered
+    running frames (never the O(rows²) unbounded-following shape),
+    then a per-type top-1 window. Integer headroom: score ≤ 1e6·T·n;
+    for daily counts beyond ~9e9·days, rescale to 1e3 units (noted,
+    not needed at any fixture SF)."""
+    e = _lt(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wt = W.partitionBy("event_type").orderBy("day")
+    wp = W.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wt).alias("t"),
+        F.sum("c").over(wt.rowsBetween(W.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("c").over(wp).alias("tot"),
+    )
+    cand = cum.filter(F.col("t") < F.col("n")).select(
+        "event_type",
+        "day",
+        "t",
+        "n",
+        F.expr(
+            "(1000000 * abs(s * (n - t) - (tot - s) * t)) div (t * (n - t))"
+        ).alias("score_e6"),
+        F.expr("(1000000 * s) div t").alias("mean_before_e6"),
+        F.expr("(1000000 * (tot - s)) div (n - t)").alias("mean_after_e6"),
+    )
+    best = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("score_e6"), F.asc("t"))
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("day").alias("split_day"),
+        F.col("t").cast("long").alias("split_t"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("score_e6").cast("long").alias("score_e6"),
+        F.col("mean_before_e6").cast("long").alias("mean_before_e6"),
+        F.col("mean_after_e6").cast("long").alias("mean_after_e6"),
+    )

@@ -154,3 +154,98 @@ def test_dsir_weights_on_crafted_micro_corpus(spark, monkeypatch):
     assert got[2]["score_e6"] == 750000 + 2 * 500000
     assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 3
     assert got[1]["per_token_e6"] == (2 * 750000 + 500000) // 3
+
+
+def test_semdedup_drops_rederive_in_numpy(spark, sf_dir):
+    """Re-derive the whole SemDeDup decision in numpy (int64): same
+    quantization, same max-inner-product assignment, same
+    cross-multiplied τ=0.3 predicate — every drop flag must match."""
+    import hashlib
+
+    import numpy as np
+
+    from dist_keras_spark.plans.analytics6 import semdedup_cell_prune
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in emb])
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    scale = 127.0 / np.abs(X).max(axis=1, keepdims=True)
+    # numpy rint rounds half-to-even; Spark/DuckDB round() is
+    # half-away-from-zero — replicate explicitly
+    Q = np.floor(np.abs(X * scale) + 0.5).astype(np.int64) * np.sign(
+        X
+    ).astype(np.int64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(f"{ids[i]}:42".encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    cent = Q[order[:16]]
+    dots = Q @ cent.T  # (n, 16)
+    cells = np.argmax(dots, axis=1)  # ties → lower cell (argmax rule)
+    nn = (Q * Q).sum(axis=1)
+    dropped = set()
+    by_cell: dict[int, list[int]] = {}
+    for i in np.argsort(ids):
+        by_cell.setdefault(int(cells[i]), []).append(i)
+    for members in by_cell.values():
+        for ai, a in enumerate(members):
+            for b in members[ai + 1 :]:
+                d = int(Q[a] @ Q[b])
+                if d > 0 and 100 * d * d >= 9 * int(nn[a]) * int(nn[b]):
+                    dropped.add(int(ids[b]))
+    got = {
+        r["vec_id"]: (r["cell"], r["dropped"])
+        for r in semdedup_cell_prune(spark, sf_dir).collect()
+    }
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)][0] == int(cells[i]), f"cell mismatch vec {vid}"
+        assert got[int(vid)][1] == int(int(vid) in dropped), (
+            f"drop mismatch vec {vid}"
+        )
+    assert any(v[1] for v in got.values()), "no drops at all — trivial"
+
+
+def test_changepoint_finds_injected_step(spark, monkeypatch):
+    """A series with 10 days at ~2/day then 10 days at ~8/day must
+    split exactly at day 10."""
+    import datetime as dt
+
+    import dist_keras_spark.plans.analytics6 as a6
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        per = 2 if day < 10 else 8
+        for k in range(per):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime(2024, 3, 1 + day, 12, 0, k),
+                    1,
+                    "step",
+                    0.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(a6, "_lt", lambda s, d, n: ev)
+    out = a6.changepoint_mean_shift(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["split_t"] == 10
+    assert r["split_day"] == dt.date(2024, 3, 10)
+    assert r["mean_before_e6"] == 2_000_000
+    assert r["mean_after_e6"] == 8_000_000
