@@ -712,3 +712,88 @@ def substring_dup_pairs_poly(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def ppjoin_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Prefix-filtered set-similarity join (the PPJoin/AllPairs family,
+    Chaudhuri et al. 2006 / Xiao et al. 2008 — public knowledge).
+
+    Same ANSWER as the plain inverted-index Jaccard join at threshold
+    τ = tau_num/tau_den, but the candidate-generating self-join indexes
+    only each set's PREFIX — the first |x| − ceil(τ·|x|) + 1 shingles
+    under a global frequency order (rarest first). The prefix-filter
+    guarantee is exact: two sets with Jaccard ≥ τ MUST share a prefix
+    token, so recall is lossless — which is why the oracle for this
+    operator is the PLAIN join (optimization must be answer-invisible,
+    the join_skew_salted contract).
+
+    Shape at 100 TB: postings for the self-join shrink to ~(1−τ) of
+    the full index — and because the prefix keeps the RAREST tokens,
+    the quadratic per-token join blowup concentrates exactly where
+    document frequency is lowest. The frequent-token mass that forces
+    max_df valves in jaccard_pairs never enters the join here; the df
+    ranking itself is one token-keyed aggregation broadcast back onto
+    the postings.
+
+    All-integer threshold: tau_den·c ≥ tau_num·(na+nb−c); returned
+    jacc_e6 = (1e6·c) div (na+nb−c).
+    """
+    sets = (
+        shingle_sets(spread(df, id_col), id_col, text_col, n)
+        .withColumn("ns", F.size("sh"))
+        .filter(F.col("ns") > 0)
+    )
+    posts = sets.select("id", "ns", F.explode("sh").alias("shingle"))
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    # prefix length: ns − ceil(τ·ns) + 1, all-integer ceil
+    plen = (
+        F.col("ns")
+        - F.expr(f"({tau_num} * ns + {tau_den - 1}) div {tau_den}")
+        + 1
+    )
+    ranked = posts.join(F.broadcast(dfreq), "shingle").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("id").orderBy(F.asc("dfreq"), F.asc("shingle"))
+        ),
+    )
+    prefix = ranked.filter(F.col("rk") <= plen).select("id", "ns", "shingle")
+    pa = prefix.select(
+        F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle"
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"), F.col("ns").alias("nb"), "shingle"
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+    fa = posts.select(F.col("id").alias("id_a"), "shingle")
+    fb = posts.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(fa, "id_a")
+        .join(fb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    union_sz = F.col("na") + F.col("nb") - F.col("c")
+    return (
+        inter.filter(F.lit(tau_den) * F.col("c") >= F.lit(tau_num) * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            "c",
+            "na",
+            "nb",
+            F.expr("(1000000 * c) div (na + nb - c)").alias("jacc_e6"),
+        )
+    )

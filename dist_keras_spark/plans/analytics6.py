@@ -709,3 +709,338 @@ def changepoint_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_before_e6").cast("long").alias("mean_before_e6"),
         F.col("mean_after_e6").cast("long").alias("mean_after_e6"),
     )
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+SELECT CAST(c_nationkey AS BIGINT) AS qi_nation,
+       CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS qi_band,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+       CAST(CASE WHEN count(DISTINCT c_mktsegment) < 3 THEN 1 ELSE 0 END
+            AS BIGINT) AS l_violation
+FROM customer
+GROUP BY 1, 2
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit #2: l-diversity (Machanavajjhala et al. 2007,
+    public knowledge) — k-anonymity's fix for the homogeneity attack.
+    Per quasi-identifier class (nation, 2000-unit balance band), the
+    SENSITIVE attribute (market segment) must take ≥ l = 3 distinct
+    values; classes below that leak the sensitive value even when
+    k-anonymous. Complements k_anonymity_audit: same QI machinery,
+    different disclosure model.
+
+    100 TB shape: one hash aggregation with an exact count-distinct
+    per QI class — the distinct expands to (QI, segment) partial
+    aggregation before the final class rollup, both map-side
+    combined; result cardinality is QI-domain-bounded."""
+    c = _lt(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("long").alias("qi_nation"),
+            F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("qi_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("c_mktsegment").alias("l_distinct"),
+        )
+        .select(
+            "qi_nation",
+            "qi_band",
+            "class_size",
+            "l_distinct",
+            F.when(F.col("l_distinct") < 3, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("l_violation"),
+        )
+    )
+
+
+@query(
+    "mixture_temperature_alloc",
+    oracle="""
+WITH src AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+  FROM src
+), tot AS (
+  SELECT CAST(sum(tokens) // 2 AS BIGINT) AS budget,
+         CAST(sum(w_sqrt) AS BIGINT) AS wtot
+  FROM w
+), base AS (
+  SELECT source, tokens, w_sqrt,
+         CAST((budget * w_sqrt) // wtot AS BIGINT) AS base_q,
+         CAST((budget * w_sqrt) % wtot AS BIGINT) AS rem,
+         budget
+  FROM w, tot
+), seats AS (
+  SELECT CAST(max(budget) - sum(base_q) AS BIGINT) AS leftover FROM base
+), quota AS (
+  SELECT source, tokens, w_sqrt,
+         base_q + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                       <= leftover THEN 1 ELSE 0 END AS quota
+  FROM base, seats
+)
+SELECT source, tokens, w_sqrt,
+       CAST(quota AS BIGINT) AS quota,
+       CAST(least(quota, tokens) AS BIGINT) AS alloc_capped,
+       CAST(quota - least(quota, tokens) AS BIGINT) AS overflow
+FROM quota
+""",
+)
+def mixture_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture allocation (the multilingual
+    sampling rule of mBERT/XLM-R and UniMax, public knowledge):
+    source weights ∝ tokens^α with α = 0.5, i.e. w = floor(√tokens) —
+    up-weighting small sources relative to proportional sampling
+    (token_budget_largest_remainder is the α = 1 twin). √ is SAFE
+    cross-engine where log is not: IEEE-754 sqrt is CORRECTLY ROUNDED
+    on both engines, so floor(sqrt(bigint)) is deterministic and
+    identical — the only non-integer step in the query. Quotas
+    apportion the budget (total/2) over the sqrt weights by largest
+    remainder (Σ quota == budget exactly), then the UniMax cap
+    clamps each source at its actual token count; `overflow` is the
+    mass a full UniMax would redistribute in further epochs
+    (documented single-pass scope).
+
+    100 TB shape: per-source token counts partial-aggregate in the
+    scan; everything downstream runs on the source dimension under
+    the reviewed bounded-input window (bounded_window_key)."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    docs = _lt(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("tokens"))
+        .select(
+            "source",
+            "tokens",
+            F.floor(F.sqrt(F.col("tokens").cast("double")))
+            .cast("long")
+            .alias("w_sqrt"),
+        )
+    )
+    tot = w.agg(
+        F.expr("sum(tokens) div 2").alias("budget"),
+        F.sum("w_sqrt").alias("wtot"),
+    )
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "w_sqrt",
+        F.expr("(budget * w_sqrt) div wtot").alias("base_q"),
+        ((F.col("budget") * F.col("w_sqrt")) % F.col("wtot")).alias("rem"),
+        "budget",
+    )
+    seats = base.agg((F.max("budget") - F.sum("base_q")).alias("leftover"))
+    wr = W.partitionBy(bounded_window_key(F.col("source"))).orderBy(
+        F.col("rem").desc(), F.col("source").asc()
+    )
+    quota = base.crossJoin(F.broadcast(seats)).select(
+        "source",
+        "tokens",
+        "w_sqrt",
+        (
+            F.col("base_q")
+            + (F.row_number().over(wr) <= F.col("leftover")).cast("long")
+        ).alias("quota"),
+    )
+    return quota.select(
+        "source",
+        "tokens",
+        "w_sqrt",
+        "quota",
+        F.least("quota", "tokens").alias("alloc_capped"),
+        (F.col("quota") - F.least("quota", "tokens")).alias("overflow"),
+    )
+
+
+@query(
+    "ppjoin_prefix_filter_pairs",
+    oracle="""
+WITH sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+3], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), posts AS (
+    SELECT doc_id, len(s) AS ns, unnest(s) AS shingle
+    FROM sets WHERE len(s) > 0
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(any_value(a.ns) AS BIGINT) AS na,
+           CAST(any_value(b.ns) AS BIGINT) AS nb
+    FROM posts a JOIN posts b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, c, na, nb,
+       CAST((1000000 * c) // (na + nb - c) AS BIGINT) AS jacc_e6
+FROM shared
+WHERE 5 * c >= 3 * (na + nb - c)
+""",
+)
+def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join at Jaccard τ = 0.6 over 4-word shingles,
+    computed with PREFIX FILTERING (operators/dedup.py::
+    ppjoin_prefix_pairs — the PPJoin/AllPairs candidate generator):
+    only the first ns − ceil(τ·ns) + 1 shingles of each set, ordered
+    rarest-first by global document frequency, enter the candidate
+    self-join. The filter is LOSSLESS for the threshold, so the
+    oracle is the PLAIN inverted-index join — any pair the prefix
+    index drops is a hard hash failure, the same answer-invisible
+    contract as join_skew_salted. Complements jaccard_neardup_pairs
+    (full-index J3) and minhash_lsh_neardup (approximate-candidate
+    J2) with the third classic candidate structure, the one that is
+    both exact AND sub-full-index.
+
+    100 TB: the self-join indexes ~(1−τ) of postings and keeps ONLY
+    the rarest tokens, so the m² per-token blowup concentrates where
+    m is smallest — the frequent-token mass that forces max_df valves
+    in the full index never enters the join (pytest measures the
+    posting reduction on the fixtures)."""
+    from dist_keras_spark.operators.dedup import ppjoin_prefix_pairs
+
+    d = _lt(spark, sf_dir, "documents")
+    out = ppjoin_prefix_pairs(d, "doc_id", "text", n=4, tau_num=3, tau_den=5)
+    return out.select(
+        F.col("id_a").alias("id_a"),
+        F.col("id_b").alias("id_b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.col("jacc_e6").cast("long").alias("jacc_e6"),
+    )
+
+
+@query(
+    "label_propagation_two_rounds",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), pairs AS (
+    SELECT a.p_brand AS x, b.p_brand AS y, count(*) AS n_ab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+), thresh AS (SELECT avg(n_ab) AS mean_ab FROM pairs),
+edges AS (
+    SELECT x AS src, y AS dst, n_ab AS w FROM pairs, thresh
+    WHERE n_ab >= mean_ab
+    UNION ALL
+    SELECT y AS src, x AS dst, n_ab AS w FROM pairs, thresh
+    WHERE n_ab >= mean_ab
+), l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+v1 AS (
+    SELECT e.dst AS node, l0.lab, CAST(sum(e.w) AS BIGINT) AS sw
+    FROM edges e JOIN l0 ON l0.node = e.src
+    GROUP BY 1, 2
+), l1 AS (
+    SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (PARTITION BY node
+                   ORDER BY sw DESC, lab) AS rk FROM v1)
+    WHERE rk = 1
+), v2 AS (
+    SELECT e.dst AS node, l1.lab, CAST(sum(e.w) AS BIGINT) AS sw
+    FROM edges e JOIN l1 ON l1.node = e.src
+    GROUP BY 1, 2
+), l2 AS (
+    SELECT node, lab FROM (
+        SELECT node, lab, row_number() OVER (PARTITION BY node
+                   ORDER BY sw DESC, lab) AS rk FROM v2)
+    WHERE rk = 1
+), deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+           FROM edges GROUP BY src)
+SELECT d.node AS brand, l1.lab AS label_r1, l2.lab AS label_r2, d.degree
+FROM deg d JOIN l1 ON l1.node = d.node JOIN l2 ON l2.node = d.node
+""",
+)
+def label_propagation_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by weighted label propagation (Raghavan et
+    al. 2007, public knowledge), two exact rounds over the brand
+    co-occurrence graph (the house graph of pagerank_two_iters /
+    triangle_count_brands — third algorithm on the same edges). Each
+    round: every node adopts the label carrying the LARGEST summed
+    edge weight among its neighbors, ties to the lexicographically
+    smallest label — fully deterministic (synchronous update, no RNG),
+    so two unrolled rounds are hash-exact. Labels start as the node
+    names themselves.
+
+    Scale shape per round: one join of the edge list with the current
+    label vector (keyed on src), one (dst, label) aggregation, one
+    per-node top-1 window — the same message-passing skeleton as
+    PageRank, with an argmax instead of a sum; at web scale rounds
+    chain with the label vector checkpointed and hub skew salted.
+    Everything integer/string — no float anywhere."""
+    l = _lt(spark, sf_dir, "lineitem")
+    p = _lt(spark, sf_dir, "part")
+    baskets = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    thresh = pairs.agg(F.avg("n_ab").alias("mean_ab"))
+    und = pairs.crossJoin(F.broadcast(thresh)).filter(
+        F.col("n_ab") >= F.col("mean_ab")
+    )
+    edges = und.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"), F.col("n_ab").alias("w")
+    ).unionByName(
+        und.select(
+            F.col("y").alias("src"),
+            F.col("x").alias("dst"),
+            F.col("n_ab").alias("w"),
+        )
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+
+    def lpa_round(lab_df: DataFrame) -> DataFrame:
+        votes = (
+            edges.join(lab_df.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.sum("w").alias("sw"))
+        )
+        rk = F.row_number().over(
+            W.partitionBy("node").orderBy(F.desc("sw"), F.asc("lab"))
+        )
+        return votes.withColumn("rk", rk).filter(F.col("rk") == 1).select(
+            "node", "lab"
+        )
+
+    l1 = lpa_round(labels)
+    l2 = lpa_round(l1)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.withColumnRenamed("src", "node")
+        .join(l1.withColumnRenamed("lab", "label_r1"), "node")
+        .join(l2.withColumnRenamed("lab", "label_r2"), "node")
+        .select(
+            F.col("node").alias("brand"),
+            "label_r1",
+            "label_r2",
+            F.col("degree").cast("long").alias("degree"),
+        )
+    )

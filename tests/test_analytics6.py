@@ -249,3 +249,78 @@ def test_changepoint_finds_injected_step(spark, monkeypatch):
     assert r["split_day"] == dt.date(2024, 3, 10)
     assert r["mean_before_e6"] == 2_000_000
     assert r["mean_after_e6"] == 8_000_000
+
+
+def test_ppjoin_prefix_index_is_smaller_and_lossless(spark, sf_dir):
+    """The 100 TB claim, measured: prefix postings < full postings;
+    and a crafted ≥τ pair survives while a <τ pair does not."""
+    import pyspark.sql.functions as F
+
+    from dist_keras_spark.functions.text import shingles, tokens
+    from dist_keras_spark.operators.dedup import ppjoin_prefix_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets = docs.select(
+        F.size(
+            shingles(tokens(F.col("text")), n=4, distinct=True)
+        ).alias("ns")
+    ).filter(F.col("ns") > 0)
+    full = sets.agg(F.sum("ns")).collect()[0][0]
+    prefix = sets.agg(
+        F.sum(F.col("ns") - F.expr("(3 * ns + 4) div 5") + 1)
+    ).collect()[0][0]
+    assert prefix < full * 0.55, (prefix, full)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " extra"          # J(4-shingles) well above 0.6
+    far = "one two three four five six seven eight nine ten"
+    crafted = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jacc_e6"]
+        for r in ppjoin_prefix_pairs(crafted, "doc_id", "text", n=4).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 600000
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_label_propagation_labels_form_communities(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import label_propagation_two_rounds
+
+    rows = label_propagation_two_rounds(spark, sf_dir).collect()
+    assert rows
+    brands = {r["brand"] for r in rows}
+    for r in rows:
+        assert r["label_r1"] in brands and r["label_r2"] in brands
+        assert r["degree"] >= 1
+    # propagation is non-trivial: at least one label is shared by >1
+    # node after round 2 (communities emerged)
+    from collections import Counter
+
+    assert Counter(r["label_r2"] for r in rows).most_common(1)[0][1] > 1
+
+
+def test_mixture_temperature_invariants(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import mixture_temperature_alloc
+
+    rows = mixture_temperature_alloc(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["tokens"] for r in rows)
+    assert sum(r["quota"] for r in rows) == total // 2  # Σ quota == budget
+    for r in rows:
+        assert r["w_sqrt"] ** 2 <= r["tokens"] < (r["w_sqrt"] + 1) ** 2
+        assert r["alloc_capped"] == min(r["quota"], r["tokens"])
+        assert r["overflow"] == r["quota"] - r["alloc_capped"]
+
+
+def test_l_diversity_flags_match_definition(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import l_diversity_audit
+
+    rows = l_diversity_audit(spark, sf_dir).collect()
+    assert rows
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r["class_size"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["l_distinct"] <= min(r["class_size"], 5)
+        assert r["l_violation"] == int(r["l_distinct"] < 3)
