@@ -1044,3 +1044,177 @@ def label_propagation_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("degree").cast("long").alias("degree"),
         )
     )
+
+
+def _hard_negative_oracle_sql() -> str:
+    """Wraps the registered int8-ANN oracle (the ranking the driver
+    already hash-checks) with label joins; hard negatives are the
+    top-ranked DIFFERENT-label neighbors."""
+    return f"""
+WITH base AS ({ORACLE["knn_int8_quantized_top5"]}),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT b.query_id, b.neighbor_id AS negative_id,
+       CAST(b.knn_rank AS BIGINT) AS knn_rank, b.dot8,
+       CAST(ql.label AS BIGINT) AS query_label,
+       CAST(nl.label AS BIGINT) AS negative_label
+FROM base b
+JOIN lab ql ON ql.vec_id = b.query_id
+JOIN lab nl ON nl.vec_id = b.neighbor_id
+WHERE ql.label <> nl.label
+"""
+
+
+@query("hard_negative_mining_top5", oracle=_hard_negative_oracle_sql())
+def hard_negative_mining_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the ANN-mined
+    complement of negative_sampling_contrastive's random negatives,
+    public knowledge — dense-retrieval training recipe): for each
+    query, the nearest neighbors under the int8 inner-product ranking
+    whose LABEL DIFFERS are exactly the high-similarity negatives a
+    contrastive loss learns most from. Random negatives are hash
+    arithmetic; hard negatives require the ANN pass — this query is
+    that pass, reusing knn_int8_quantized_top5's integer-exact
+    ranking (and wrapping its registered oracle as a CTE so both
+    stay pinned together).
+
+    100 TB shape: identical to the int8 kNN (broadcast queries,
+    corpus never shuffles, integer scores) plus two id-keyed label
+    lookups and a scan-side label filter — mining piggybacks on the
+    retrieval infrastructure, which is the point of the recipe."""
+    from dist_keras_spark.plans.llm import knn_int8_quantized_top5
+
+    base = knn_int8_quantized_top5(spark, sf_dir)
+    lab = _lt(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q_lab = lab.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("query_label")
+    )
+    n_lab = lab.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("negative_label")
+    )
+    return (
+        base.join(F.broadcast(q_lab), base.query_id == q_lab.q_id)
+        .join(F.broadcast(n_lab), F.col("neighbor_id") == n_lab.n_id)
+        .filter(F.col("query_label") != F.col("negative_label"))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+            "dot8",
+            F.col("query_label").cast("long").alias("query_label"),
+            F.col("negative_label").cast("long").alias("negative_label"),
+        )
+    )
+
+
+@query(
+    "text_normalize_canonical",
+    oracle="""
+SELECT doc_id,
+       md5(norm) AS norm_md5,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       CAST(length(text) - length(norm) AS BIGINT) AS chars_removed
+FROM (
+    SELECT doc_id, text,
+           trim(regexp_replace(
+                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g')) AS norm
+    FROM documents
+)
+""",
+)
+def text_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the preprocessing contract every
+    dedup/fingerprint op assumes: lowercase, strip non-alphanumerics,
+    collapse whitespace runs, trim. Returned as md5 + lengths so the
+    hash pins the exact canonical bytes. The pipeline ordering matters
+    (strip-then-collapse: punctuation removal can create new runs) and
+    is identical on both sides; pytest proves IDEMPOTENCE
+    (norm(norm(x)) == norm(x)) — the property that makes the op safe
+    to apply at any pipeline stage.
+
+    100 TB shape: zero shuffles — three codegen'd string kernels in
+    the scan, fused with whatever runs next (this is the op that
+    would prepend pii_redact_mask / quality_gopher_rules in one
+    pass)."""
+    d = _lt(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (F.length("text") - F.length(norm)).cast("long").alias("chars_removed"),
+    )
+
+
+def _leakage_safe_split_oracle_sql() -> str:
+    """Wraps the registered neardup_cluster_assign oracle (recursive-
+    CTE connected components) and hashes the CLUSTER id into splits —
+    the md5-prefix bucket arithmetic of dataset_split_assign."""
+    return f"""
+WITH cc AS ({ORACLE["neardup_cluster_assign"]})
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':gsplit'),
+                             1, 8))::BIGINT % 10 AS b
+      FROM cc)
+"""
+
+
+@query("leakage_safe_split_assign", oracle=_leakage_safe_split_oracle_sql())
+def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (GroupShuffleSplit semantics,
+    public knowledge): hash the NEAR-DUP CLUSTER id, not the document
+    id, so near-duplicate documents can never straddle the train/test
+    boundary — the split-level fix for the eval-contamination channel
+    that dedup alone (keep-one) closes only if you actually drop rows.
+    Composition: exact-Jaccard≥0.5 connected components
+    (neardup_cluster_assign's min-label fixpoint) → md5-prefix bucket
+    of cluster_id → 8/1/1 split. Both stages reuse REGISTERED
+    machinery — the oracle wraps neardup_cluster_assign's recursive
+    CTE verbatim, so the cluster structure and the split arithmetic
+    are pinned by one hash.
+
+    100 TB shape: the CC iteration dominates (one shuffle-join per
+    graph-diameter round, ids only); the split is a scan-side md5 on
+    its output. Every doc of a cluster lands in the same split by
+    construction (pytest asserts it)."""
+    from dist_keras_spark.operators.dedup import jaccard_pairs, neardup_clusters
+
+    d = _lt(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    verts = d.select(F.col("doc_id").alias("id"))
+    cc = neardup_clusters(verts, pairs, id_col="id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("cluster_id").cast("string"), F.lit(":gsplit"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -324,3 +324,91 @@ def test_l_diversity_flags_match_definition(spark, sf_dir):
     for r in rows:
         assert 1 <= r["l_distinct"] <= min(r["class_size"], 5)
         assert r["l_violation"] == int(r["l_distinct"] < 3)
+
+
+def test_hard_negatives_complement_relevant_in_top5(spark, sf_dir):
+    """negatives ∪ relevant == the full int8 top-5 per query: the
+    mining filter drops exactly the same-label rows."""
+    from dist_keras_spark.plans.analytics6 import hard_negative_mining_top5
+    from dist_keras_spark.plans.llm import knn_int8_quantized_top5
+
+    neg = hard_negative_mining_top5(spark, sf_dir).collect()
+    assert neg
+    for r in neg:
+        assert r["query_label"] != r["negative_label"]
+    per_q_neg = {}
+    for r in neg:
+        per_q_neg[r["query_id"]] = per_q_neg.get(r["query_id"], 0) + 1
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    base = knn_int8_quantized_top5(spark, sf_dir).collect()
+    per_q_rel = {}
+    for r in base:
+        if labels[r["query_id"]] == labels[r["neighbor_id"]]:
+            per_q_rel[r["query_id"]] = per_q_rel.get(r["query_id"], 0) + 1
+    for q in {r["query_id"] for r in base}:
+        assert per_q_neg.get(q, 0) + per_q_rel.get(q, 0) == 5
+
+
+def test_text_normalization_is_idempotent(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    def norm(c):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
+            )
+        )
+
+    crafted = spark.createDataFrame(
+        [
+            (1, "Hello,   World!!  "),
+            (2, "a--b  c_d 42."),
+            (3, "ALREADY lower and clean"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for df in (crafted, docs):
+        bad = (
+            df.select(norm(F.col("text")).alias("n1"))
+            .select("n1", norm(F.col("n1")).alias("n2"))
+            .filter(F.col("n1") != F.col("n2"))
+            .count()
+        )
+        assert bad == 0
+    got = {
+        r["doc_id"]: r
+        for r in crafted.select(
+            "doc_id", norm(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got[1]["n"] == "hello world"
+    assert got[2]["n"] == "ab cd 42"
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    import hashlib
+
+    from dist_keras_spark.plans.analytics6 import leakage_safe_split_assign
+
+    rows = leakage_safe_split_assign(spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # at least one multi-doc cluster exists (else the property is vacuous)
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert sizes.most_common(1)[0][1] > 1
+    # split bucket rederives from md5 in Python
+    for cid, splits in by_cluster.items():
+        b = int(hashlib.md5(f"{cid}:gsplit".encode()).hexdigest()[:8], 16) % 10
+        want = "train" if b < 8 else ("val" if b == 8 else "test")
+        assert splits == {want}
