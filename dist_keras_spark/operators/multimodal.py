@@ -187,3 +187,47 @@ def sample_frames(
 
     prepped = df.select(id_col, blob_col, F.col(f"{meta_col}.n_frames").alias("__nf"))
     return prepped.mapInPandas(run, schema)
+
+
+def fake_audio_samples(blob: bytes, n: int) -> np.ndarray:
+    """Deterministic stand-in audio decode: n int8-centered PCM
+    samples, sample i = sha256-stream byte i − 128 ∈ [−128, 127].
+    SQL replay: byte i lives in counter block i div 32 at hex pair
+    i mod 32 — ('0x' || substr(sha256(text || ':' || (i//32)),
+    2·(i mod 32)+1, 2))::INT − 128. Integer-valued, so frame energies
+    are EXACT integers cross-engine (no /256 fraction needed)."""
+    return _hash_bytes(blob, n).astype(np.int64) - 128
+
+
+def fake_audio_frame_energy(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    n_samples: int = 64,
+    frame: int = 16,
+) -> DataFrame:
+    """mapInPandas audio decode → per-frame energy Σ sample² (int64).
+
+    Arrow batches in, static output schema, vectorized numpy per
+    batch — the production shape for an audio feature extractor; only
+    the decoder is a stand-in (a real one returns PCM from the codec;
+    everything downstream is unchanged)."""
+    n_frames = n_samples // frame
+    schema = f"{id_col} long, n_samples int, energy array<long>"
+
+    def run(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            blobs = pdf[blob_col]
+            mats = np.stack(
+                [fake_audio_samples(b, n_samples) for b in blobs]
+            ) if len(blobs) else np.zeros((0, n_samples), dtype=np.int64)
+            energy = (mats.reshape(-1, n_frames, frame) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_samples": np.full(len(blobs), n_samples, dtype="int32"),
+                    "energy": list(energy),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)

@@ -1218,3 +1218,64 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle="""
+WITH samp AS (
+    SELECT doc_id,
+           list_transform(range(0, 64),
+               i -> ('0x' || substr(sha256(text || ':' || CAST(i // 32 AS VARCHAR)),
+                                    2 * (i % 32) + 1, 2))::BIGINT - 128) AS s
+    FROM documents
+), en AS (
+    SELECT doc_id,
+           list_transform(range(0, 4),
+               f -> CAST(list_sum(list_transform(range(1, 17),
+                    j -> s[16 * f + j] * s[16 * f + j])) AS BIGINT)) AS e
+    FROM samp
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       e[1] AS e0, e[2] AS e1, e[3] AS e2, e[4] AS e3,
+       CAST(list_position(e, list_max(e)) - 1 AS BIGINT) AS peak_frame
+FROM en
+""",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 audio modality: opaque audio blob → Arrow-batched mapInPandas
+    decode (operators/multimodal.py::fake_audio_frame_energy) → 16-
+    sample frame energies Σ sample² → per-frame columns + loudest
+    frame. The decoder is the documented deterministic stand-in
+    (counter-mode sha256 PCM, int-valued samples −128..127 — a real
+    codec is a drop-in that only changes the sample source); energies
+    are EXACT int64 on both engines, so unlike the /256.0 pixel path
+    this oracle needs no rounding at all. peak_frame is argmax with
+    first-wins ties (list_position finds the first max; Spark
+    array_position likewise).
+
+    100 TB shape: decode is scan-side Arrow batch work (one Python
+    worker pass, vectorized numpy inside the batch), projection is
+    column math — zero shuffles end to end; the frame/sample counts
+    are metadata-driven in a real pipeline (n_frames ride in the
+    blob's typed metadata, the attach_blob convention)."""
+    from dist_keras_spark.operators.multimodal import (
+        attach_blob,
+        fake_audio_frame_energy,
+    )
+
+    d = attach_blob(_lt(spark, sf_dir, "documents"))
+    out = fake_audio_frame_energy(d, n_samples=64, frame=16)
+    e = F.col("energy")
+    return out.select(
+        "doc_id",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.element_at(e, 1).alias("e0"),
+        F.element_at(e, 2).alias("e1"),
+        F.element_at(e, 3).alias("e2"),
+        F.element_at(e, 4).alias("e3"),
+        (F.array_position(e, F.array_max(e)) - 1).cast("long").alias(
+            "peak_frame"
+        ),
+    )

@@ -412,3 +412,28 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
         b = int(hashlib.md5(f"{cid}:gsplit".encode()).hexdigest()[:8], 16) % 10
         want = "train" if b < 8 else ("val" if b == 8 else "test")
         assert splits == {want}
+
+
+def test_audio_energy_matches_python_decode(spark, sf_dir):
+    """Full-vector check of the audio path (the query projects
+    scalars): frame energies equal the numpy rederivation from the
+    same sha256 PCM stream, and peak_frame is the first argmax."""
+    import numpy as np
+
+    from dist_keras_spark.operators.multimodal import fake_audio_samples
+    from dist_keras_spark.plans.analytics6 import multimodal_audio_energy
+
+    rows = multimodal_audio_energy(spark, sf_dir).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows[:50]:
+        s = fake_audio_samples(texts[r["doc_id"]].encode(), 64)
+        e = (s.reshape(4, 16) ** 2).sum(axis=1)
+        assert [r["e0"], r["e1"], r["e2"], r["e3"]] == e.tolist()
+        assert r["peak_frame"] == int(np.argmax(e))
+        assert r["n_samples"] == 64
