@@ -1279,3 +1279,69 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_frame"
         ),
     )
+
+
+@query(
+    "streaming_enrich_then_window_live",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+)
+def streaming_enrich_then_window_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fifth streaming composition, the enrich-then-aggregate pipeline
+    every production metrics stream runs: stream-static join against
+    the customer dimension (re-planned per microbatch — the static
+    side broadcasts while it fits, exactly like the batch twin
+    events_stream_static_join) FEEDING a watermarked tumbling rollup
+    keyed by the ENRICHED attribute (market segment). The dimension
+    attribute doesn't exist on the stream — the windowed state is
+    keyed by a column the join produced, which is what distinguishes
+    this from a plain windowed agg. Complete output + AvailableNow
+    replay ⇒ the batch join-aggregate is the exact oracle; sums in
+    integer cents.
+
+    Scale: join side is stateless (static dim, no join state);
+    window state is one row per (hour, segment) — dimension-bounded.
+    The stateOperators assertion pins that exactly ONE stateful op
+    exists (the rollup; a mis-planned stream-stream join would add
+    join state)."""
+    import uuid
+
+    from dist_keras_spark.streaming.pipelines import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    c = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.withWatermark("ts", "31 minutes").join(
+        c, F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy(
+        F.window("ts", "1 hour").alias("w"), "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    name = "enr" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_state_ops = max(
+        (len(p["stateOperators"]) for p in q.recentProgress), default=0
+    )
+    assert n_state_ops == 1, (
+        f"expected exactly the rollup state operator, saw {n_state_ops}"
+    )
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "c_mktsegment", "n", "cents"
+    )
