@@ -1345,3 +1345,377 @@ def streaming_enrich_then_window_live(
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "c_mktsegment", "n", "cents"
     )
+
+
+@query(
+    "fk_orphan_audit",
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS relationship,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS child_rows,
+       CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+            AS BIGINT) AS orphan_children,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS parent_rows,
+       CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+            AS BIGINT) AS unreferenced_parents
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+       (SELECT count(*) FROM part),
+       (SELECT count(*) FROM part p WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+UNION ALL
+SELECT 'events.user_id->customer',
+       (SELECT count(*) FROM events),
+       (SELECT count(*) FROM events e LEFT JOIN customer c
+        ON e.user_id = c.c_custkey WHERE c.c_custkey IS NULL),
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey))
+""",
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the fixture star schema: per
+    declared FK relationship, orphan children (child rows whose parent
+    key is missing — a LEFT-ANTI count) AND unreferenced parents
+    (parents no child touches — a NOT-EXISTS count). Both directions
+    matter to a warehouse: orphans break joins silently, unreferenced
+    parents measure coverage (TPC-H ships ~1/3 of customers with no
+    orders, so the numbers are non-trivial and SF-varying).
+
+    100 TB shape: each relationship is one left-outer (or left-anti)
+    hash join keyed on the FK plus a count — the parent side
+    broadcasts while it fits, AQE decides above that; the four audits
+    are independent and union their one-row results, so the whole
+    audit is join-parallel with no cross-relationship dependency."""
+    o = _lt(spark, sf_dir, "orders")
+    c = _lt(spark, sf_dir, "customer")
+    l = _lt(spark, sf_dir, "lineitem")
+    p = _lt(spark, sf_dir, "part")
+    e = _lt(spark, sf_dir, "events")
+
+    def audit(
+        name: str,
+        child: DataFrame,
+        ck: str,
+        parent: DataFrame,
+        pk: str,
+    ) -> DataFrame:
+        orphans = child.join(
+            parent.select(pk), child[ck] == parent[pk], "left_anti"
+        )
+        unref = parent.join(
+            child.select(ck), parent[pk] == child[ck], "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("child_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("orphan_children")))
+            .crossJoin(parent.agg(F.count(F.lit(1)).alias("parent_rows")))
+            .crossJoin(unref.agg(F.count(F.lit(1)).alias("unreferenced_parents")))
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows",
+                "orphan_children",
+                "parent_rows",
+                "unreferenced_parents",
+            )
+        )
+
+    return (
+        audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            audit("lineitem.l_orderkey->orders", l, "l_orderkey", o, "o_orderkey")
+        )
+        .unionByName(
+            audit("lineitem.l_partkey->part", l, "l_partkey", p, "p_partkey")
+        )
+        .unionByName(
+            audit("events.user_id->customer", e, "user_id", c, "c_custkey")
+        )
+    )
+
+
+@query(
+    "rake_keyword_scores",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, i - 1 AS pos, t[i] AS token,
+           CASE WHEN t[i] IN ('the','and','of','to','a','in','is','for',
+                              'on','with') THEN 1 ELSE 0 END AS is_stop
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         unnest(range(1, len(t) + 1)) AS r(i)
+), phr AS (
+    SELECT doc_id, pos, token, is_stop,
+           sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS phrase_id
+    FROM tok
+), words AS (
+    SELECT doc_id, phrase_id, token FROM phr WHERE is_stop = 0
+), plen AS (
+    SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+    FROM words GROUP BY 1, 2
+), scored AS (
+    SELECT w.token,
+           CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(p.plen) AS BIGINT) AS deg
+    FROM words w JOIN plen p USING (doc_id, phrase_id)
+    GROUP BY w.token
+)
+SELECT token, freq, deg,
+       CAST((1000000 * deg) // freq AS BIGINT) AS score_e6
+FROM scored
+ORDER BY score_e6 DESC, token
+LIMIT 20
+""",
+)
+def rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction by RAKE (Rose et al. 2010, public
+    knowledge): candidate phrases are maximal stopword-free token
+    runs (gaps-and-islands on the stopword flag), each word scores
+    deg/freq where deg sums the lengths of every phrase containing
+    it — words that travel in long phrases outrank equally-frequent
+    loners. Scores in integer micro-units ((1e6·deg) div freq), so
+    the corpus-level top-20 is hash-exact; ties break on the token.
+    Uses the house en-stopword list (functions/text.STOPWORDS — the
+    same 10 words the lang-id heuristic uses), inlined in the oracle.
+
+    100 TB shape: tokenization + stop flags + phrase ids are
+    scan-side (posexplode then ONE running-sum window keyed by
+    doc_id, the data-scaling key); phrase lengths and word scores are
+    two map-side-combined aggregations; the top-20 is
+    TakeOrderedAndProject — no global sort, no global window."""
+    from dist_keras_spark.functions.text import STOPWORDS
+
+    d = _lt(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    ).withColumn(
+        "is_stop", F.array_contains(stop, F.col("token")).cast("int")
+    )
+    wph = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    phr = tok.withColumn("phrase_id", F.sum("is_stop").over(wph))
+    words = phr.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "token"
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    scored = (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    return (
+        scored.select(
+            "token",
+            "freq",
+            "deg",
+            F.expr("(1000000 * deg) div freq").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "lorenz_curve_deciles",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents, o_custkey) AS rn,
+           count(*) OVER () AS n,
+           sum(cents) OVER () AS tot,
+           sum(cents) OVER (ORDER BY cents, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM spend
+)
+SELECT CAST((10 * rn) // n AS BIGINT) AS decile,
+       CAST(max(rn) AS BIGINT) AS boundary_rank,
+       CAST(max((10000 * cum) // tot) AS BIGINT) AS cum_share_bp
+FROM ranked
+WHERE (10 * rn) // n > (10 * (rn - 1)) // n
+GROUP BY 1
+""",
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve sample points: customers sorted by total spend
+    ascending, cumulative spend share (basis points, integer) at each
+    population decile boundary — the curve whose area defect is the
+    Gini the engine already computes (gini_customer_spend); these are
+    the plottable points an inequality dashboard needs. A rank is a
+    decile boundary where floor(10·rn/n) increments — exactly the
+    smallest rank r with 10·r ≥ d·n, i.e. r = ceil(d·n/10) — so the
+    result is one row per covered decile at ANY population size (no
+    divisibility assumption; the sf0.1 fixture's n is not a multiple
+    of 10) and every value is integer: shares in floor-basis-points
+    over an integer-cents total.
+
+    100 TB shape: per-customer rollup partial-aggregates on the
+    data-scaling key; the ranked running sum is ONE ordered window —
+    at true scale the same points come from a pre-aggregated decile
+    histogram (gini_histogram_binned shows that path); this query is
+    the exact baseline. The global window rides the reviewed
+    bounded_window_key convention on the customer-rollup (population-
+    sized, the documented exact-baseline tradeoff)."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    o = _lt(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    bk = bounded_window_key(F.col("o_custkey"))
+    wo = W.partitionBy(bk).orderBy("cents", "o_custkey")
+    wp = W.partitionBy(bk)
+    ranked = spend.select(
+        "cents",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("tot"),
+        F.sum("cents").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    return (
+        ranked.filter(
+            F.expr("(10 * rn) div n") > F.expr("(10 * (rn - 1)) div n")
+        )
+        .groupBy(F.expr("(10 * rn) div n").alias("decile"))
+        .agg(
+            F.max("rn").alias("boundary_rank"),
+            F.max(F.expr("(10000 * cum) div tot")).alias("cum_share_bp"),
+        )
+    )
+
+
+@query(
+    "kcore_peel_two_rounds",
+    oracle="""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), pairs AS (
+    SELECT a.p_brand AS x, b.p_brand AS y, count(*) AS n_ab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+), thresh AS (SELECT avg(n_ab) AS mean_ab FROM pairs),
+edges AS (
+    SELECT x AS src, y AS dst FROM pairs, thresh WHERE n_ab >= mean_ab
+    UNION ALL
+    SELECT y AS src, x AS dst FROM pairs, thresh WHERE n_ab >= mean_ab
+), d0 AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges
+    GROUP BY src
+), keep1 AS (SELECT node FROM d0 WHERE deg >= 3),
+e1 AS (
+    SELECT e.src, e.dst FROM edges e
+    JOIN keep1 a ON a.node = e.src JOIN keep1 b ON b.node = e.dst
+), d1 AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e1 GROUP BY src
+), keep2 AS (SELECT node FROM d1 WHERE deg >= 3),
+e2 AS (
+    SELECT e.src, e.dst FROM e1 e
+    JOIN keep2 a ON a.node = e.src JOIN keep2 b ON b.node = e.dst
+), d2 AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY src
+)
+SELECT d0.node AS brand, d0.deg AS deg0,
+       CAST(coalesce(d1.deg, 0) AS BIGINT) AS deg1,
+       CAST(coalesce(d2.deg, 0) AS BIGINT) AS deg2,
+       CAST(CASE WHEN coalesce(d2.deg, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT)
+           AS in_core_after_2
+FROM d0 LEFT JOIN d1 ON d1.node = d0.node LEFT JOIN d2 ON d2.node = d0.node
+""",
+)
+def kcore_peel_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition, two peeling rounds at k = 3 on the house
+    brand co-occurrence graph (fourth algorithm on those edges, after
+    PageRank / triangle counting / label propagation): repeatedly drop
+    nodes of degree < k and the edges they carry; what survives
+    peeling is the densely-connected core (Seidman 1983, public
+    knowledge). Two synchronous rounds unrolled, all integer — degrees
+    before peeling, after round 1, after round 2, plus the core flag.
+
+    Scale shape per round: one degree aggregation + two semi-join
+    filters of the edge list against the surviving node set — the
+    standard iterative-peel skeleton; at web scale rounds repeat to a
+    fixpoint with the shrinking edge list checkpointed (each round's
+    edges are a subset, so the work is monotonically decreasing)."""
+    l = _lt(spark, sf_dir, "lineitem")
+    p = _lt(spark, sf_dir, "part")
+    baskets = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    thresh = pairs.agg(F.avg("n_ab").alias("mean_ab"))
+    und = pairs.crossJoin(F.broadcast(thresh)).filter(
+        F.col("n_ab") >= F.col("mean_ab")
+    )
+    edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+
+    def peel(e: DataFrame, deg: DataFrame, k: int) -> DataFrame:
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        return (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+
+    d0 = degrees(edges)
+    e1 = peel(edges, d0, 3)
+    d1 = degrees(e1)
+    e2 = peel(e1, d1, 3)
+    d2 = degrees(e2)
+    return (
+        d0.withColumnRenamed("deg", "deg0")
+        .join(d1.withColumnRenamed("deg", "deg1"), "node", "left")
+        .join(d2.withColumnRenamed("deg", "deg2"), "node", "left")
+        .select(
+            F.col("node").alias("brand"),
+            F.col("deg0").cast("long").alias("deg0"),
+            F.coalesce(F.col("deg1"), F.lit(0)).cast("long").alias("deg1"),
+            F.coalesce(F.col("deg2"), F.lit(0)).cast("long").alias("deg2"),
+            (F.coalesce(F.col("deg2"), F.lit(0)) >= 3)
+            .cast("long")
+            .alias("in_core_after_2"),
+        )
+    )

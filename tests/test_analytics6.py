@@ -437,3 +437,80 @@ def test_audio_energy_matches_python_decode(spark, sf_dir):
         assert [r["e0"], r["e1"], r["e2"], r["e3"]] == e.tolist()
         assert r["peak_frame"] == int(np.argmax(e))
         assert r["n_samples"] == 64
+
+
+def test_fk_audit_counts_are_consistent(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import fk_orphan_audit
+
+    rows = {r["relationship"]: r for r in fk_orphan_audit(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    oc = rows["orders.o_custkey->customer"]
+    assert oc["child_rows"] == n_orders and oc["parent_rows"] == n_cust
+    # fixtures are referentially intact...
+    assert all(r["orphan_children"] == 0 for r in rows.values())
+    # ...but coverage is non-trivial: the events stream touches far
+    # fewer users than the customer table holds at every SF
+    assert rows["events.user_id->customer"]["unreferenced_parents"] > 0
+    for r in rows.values():
+        assert 0 <= r["unreferenced_parents"] <= r["parent_rows"]
+
+
+def test_rake_scores_on_crafted_corpus(spark, monkeypatch):
+    """'deep learning' rides a 2-phrase; 'cat' always appears alone —
+    RAKE must score the phrase words higher despite equal frequency."""
+    import dist_keras_spark.plans.analytics6 as a6
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning for the cat", "en", "src0"),
+            (2, "deep learning in a cat", "en", "src0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    monkeypatch.setattr(a6, "_lt", lambda s, d, n: docs)
+    got = {r["token"]: r for r in a6.rake_keyword_scores(spark, "x").collect()}
+    # 'deep'/'learning': freq 2, each phrase len 2 → deg 4 → 2.0
+    assert got["deep"]["score_e6"] == 2_000_000
+    assert got["learning"]["score_e6"] == 2_000_000
+    # 'cat': freq 2, phrases len 1 → deg 2 → 1.0; 'a' is NOT an
+    # island (it is a stopword) so never scored
+    assert got["cat"]["score_e6"] == 1_000_000
+    assert "a" not in got and "the" not in got
+
+
+def test_lorenz_deciles_cover_and_increase(spark, sf_dir):
+    import math
+
+    from dist_keras_spark.plans.analytics6 import lorenz_curve_deciles
+
+    rows = sorted(
+        lorenz_curve_deciles(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey"
+    ).distinct().count()
+    shares = [r["cum_share_bp"] for r in rows]
+    assert shares == sorted(shares)  # Lorenz curve is non-decreasing
+    assert shares[-1] == 10000  # endpoint: full share
+    # convexity of the ascending-sorted curve: share at decile d is
+    # at most d/10 of the total (equality only under perfect equality)
+    for r in rows:
+        assert r["cum_share_bp"] <= r["decile"] * 1000
+        assert r["boundary_rank"] == math.ceil(r["decile"] * n / 10)
+
+
+def test_kcore_degrees_shrink_and_flag_consistent(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import kcore_peel_two_rounds
+
+    rows = kcore_peel_two_rounds(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["deg0"] >= r["deg1"] >= r["deg2"] >= 0
+        assert r["in_core_after_2"] == int(r["deg2"] >= 3)
+        # a node peeled in round 1 (deg0 < 3) can hold no edges after
+        if r["deg0"] < 3:
+            assert r["deg1"] == 0 and r["deg2"] == 0

@@ -124,6 +124,26 @@ EXTENDED = [
     "poisson_bootstrap_replicas",
     "binary_eval_confusion",
     "score_calibration_bins",
+    # round 8, second session (compliance / evaluation / dedup wave)
+    "pii_redact_mask",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "winsorize_clamp_stats",
+    "ranking_mrr_ndcg_at5",
+    "hard_negative_mining_top5",
+    "dsir_importance_weights",
+    "semdedup_cell_prune",
+    "changepoint_mean_shift",
+    "mixture_temperature_alloc",
+    "ppjoin_prefix_filter_pairs",
+    "label_propagation_two_rounds",
+    "text_normalize_canonical",
+    "leakage_safe_split_assign",
+    "multimodal_audio_energy",
+    "fk_orphan_audit",
+    "rake_keyword_scores",
+    "lorenz_curve_deciles",
+    "kcore_peel_two_rounds",
 ]
 
 

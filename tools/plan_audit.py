@@ -167,6 +167,27 @@ AUDITED = {
     "recursive_cte_rollup": "recursion = 7 bounded frontier-vs-parent equi-joins (depth log10(maxkey)); each iteration shrinks",
     "lateral_topn_per_group": "LATERAL decorrelated to WindowGroupLimit: map-side top-3 per key BEFORE the exchange, then rank filter",
     "streaming_dedup_then_window_live": "dedup state keyed by event_id within the watermark horizon; agg state per open window; duplicated staging proves the dedup earns its keep",
+    # round 8, second session
+    "pii_redact_mask": "zero shuffles: staging, regexp_count and nested regexp_replace are all codegen string kernels in one scan",
+    "k_anonymity_audit": "one QI-tuple hash agg, map-side combined; result bounded by the QI domain",
+    "l_diversity_audit": "exact count-distinct expands to (QI, segment) partial agg then class rollup; both map-side combined",
+    "winsorize_clamp_stats": "ranked window per bounded priority key; ~5-row thresholds broadcast back; clamp+sum partial-aggregates",
+    "ranking_mrr_ndcg_at5": "reuses the int8 kNN plan (broadcast queries, corpus never shuffles); label joins broadcast; metric agg keys on query_id; all-integer metrics",
+    "hard_negative_mining_top5": "identical to int8 kNN plus two broadcast label lookups and a scan-side label filter",
+    "dsir_importance_weights": "token stats one map-side-combined agg; weight join-back broadcasts onto the exploded scan; doc rollup keys on doc_id; text never shuffles",
+    "semdedup_cell_prune": "int8 quantization + norms scan-side; 16-centroid broadcast crossJoin for assignment; dedup self-join shuffles ONCE on cell; n_cells is the scale knob",
+    "changepoint_mean_shift": "daily rollup map-side combined; running sums via forward running frames (never unbounded-following); per-type top-1 window; integer scores",
+    "mixture_temperature_alloc": "per-source partial agg; sqrt weights + apportionment over the source dimension under bounded_window_key; floor(sqrt) is IEEE-portable",
+    "ppjoin_prefix_filter_pairs": "prefix index keeps ~40% of postings and ONLY the rarest tokens - the m^2 blowup concentrates where m is smallest; df ranking broadcast; verify join candidate-bounded",
+    "label_propagation_two_rounds": "per round: edge-list join with label vector + (dst,label) agg + per-node top-1 window - the PageRank skeleton with argmax",
+    "text_normalize_canonical": "three codegen string kernels in the scan; zero shuffles",
+    "leakage_safe_split_assign": "CC iteration dominates (ids-only shuffle-joins per diameter round); split is scan-side md5 on the CC output",
+    "multimodal_audio_energy": "Arrow mapInPandas decode in the scan stage, vectorized numpy per batch; projection is column math; zero shuffles",
+    "streaming_enrich_then_window_live": "stream-static join stateless per microbatch; window state one row per (hour, segment); stateOperators==1 asserted in-query",
+    "fk_orphan_audit": "each relationship = one left-anti hash join + count, parent side broadcast while it fits; four audits independent, one-row unions",
+    "rake_keyword_scores": "posexplode + ONE doc-keyed running-sum window for phrase ids; two map-side-combined aggs; top-20 is TakeOrderedAndProject",
+    "lorenz_curve_deciles": "per-customer rollup partial-aggregates; ordered window on the population-sized rollup under bounded_window_key (exact baseline; gini_histogram_binned is the 100 TB path)",
+    "kcore_peel_two_rounds": "per round: degree agg + two left-semi edge filters; edge list monotonically shrinks, checkpoint between rounds at scale",
 }
 
 
