@@ -1719,3 +1719,229 @@ def kcore_peel_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_core_after_2"),
         )
     )
+
+
+# Portable-MinHash constants: 16 affine rehash pairs drawn ONCE from
+# numpy RandomState(43) and inlined as int literals on BOTH engine
+# sides (the production minhash kernel in operators/dedup.py uses
+# xxhash64 + k=64 for speed — that one has no DuckDB twin; THIS
+# k=16 md5-based variant exists to certify the estimator itself).
+_MH_P = 2_147_483_647
+_MH_A = [494155589, 2134003009, 468437248, 442015538, 572909846,
+         638974011, 1033324561, 739303732, 1405051538, 1335891132,
+         1542483804, 321011651, 713352047, 193500575, 176790360,
+         481603905]
+_MH_B = [124613411, 407285631, 1003941298, 1076363643, 1696297419,
+         632939609, 1297282497, 48473455, 1092730402, 2010538827,
+         244318914, 1953100003, 1574743925, 239566980, 949312292,
+         643049712]
+
+
+def _minhash_estimate_oracle_sql() -> str:
+    mins = ",\n           ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MH_P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    eq = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(16))
+    return f"""
+WITH sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), hsets AS (
+    SELECT doc_id, len(s) AS ns,
+           list_transform(s,
+               g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % {_MH_P}) AS hs
+    FROM sets WHERE len(s) > 0
+), sig AS (
+    SELECT doc_id, ns,
+           {mins}
+    FROM hsets
+), posts AS (
+    SELECT doc_id, len(s) AS ns, unnest(s) AS shingle
+    FROM sets WHERE len(s) > 0
+), exact AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(any_value(a.ns) AS BIGINT) AS na,
+           CAST(any_value(b.ns) AS BIGINT) AS nb
+    FROM posts a JOIN posts b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b,
+           CAST((1000000 * c) // (na + nb - c) AS BIGINT) AS jacc_e6
+    FROM exact WHERE 2 * c >= (na + nb - c)
+)
+SELECT p.id_a, p.id_b, p.jacc_e6,
+       CAST((1000000 * ({eq})) // 16 AS BIGINT) AS est_e6,
+       CAST(abs(p.jacc_e6 - (1000000 * ({eq})) // 16) AS BIGINT)
+           AS abs_err_e6
+FROM pairs p
+JOIN sig a ON a.doc_id = p.id_a
+JOIN sig b ON b.doc_id = p.id_b
+"""
+
+
+@query("minhash_estimate_error", oracle=_minhash_estimate_oracle_sql())
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification of the MinHash Jaccard ESTIMATOR itself (the
+    certification pattern of approx_percentile_certified, applied to
+    J2): for every exact-Jaccard ≥ 0.5 pair, compute the k=16 minhash
+    estimate (matching components / k) NEXT TO the exact value and
+    report the absolute error — the estimator's accuracy measured
+    in-query, per pair, instead of asserted from theory (E[err] ≈
+    √(J(1−J)/k) ≈ 0.125 at J=0.5). This variant is fully
+    engine-portable: shingle hash = md5-prefix mod p (not the
+    production kernel's xxhash64), 16 affine rehashes with
+    coefficients drawn once and inlined as integer literals on both
+    sides; a·h+b < 2^62 so int64 never overflows. Everything integer.
+
+    100 TB shape: signatures are scan-side column math
+    (array_min∘transform per rehash — k=16 keeps the codegen class
+    small, the measured limit documented in operators/dedup.py);
+    the exact side reuses the inverted-index join. The production
+    path stays the Arrow kernel (k=64, banded); this query is its
+    portable accuracy audit."""
+    from dist_keras_spark.functions.text import shingles, tokens
+    from dist_keras_spark.operators.dedup import jaccard_pairs
+
+    d = _lt(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", shingles(tokens(F.col("text")), n=3, distinct=True).alias("s")
+    ).filter(F.size("s") > 0)
+    hs = sets.select(
+        "doc_id",
+        F.transform(
+            "s",
+            lambda g: F.pmod(
+                F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+                F.lit(_MH_P),
+            ),
+        ).alias("hs"),
+    )
+    def _rehash(a: int, b: int):
+        # closure factory: PySpark reads lambda ARITY, so default-arg
+        # capture (lambda x, a=a: ...) mis-parses as a 3-arg HOF lambda
+        return lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P
+
+    sig = hs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _rehash(a, b))).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ],
+    )
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1000000).cast("long").alias("jacc_e6")
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)]
+    )
+    eq = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(16)
+    )
+    est = F.expr(
+        "(1000000 * __eq) div 16"
+    )
+    joined = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__eq", eq)
+        .withColumn("est_e6", est)
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        "jacc_e6",
+        F.col("est_e6").cast("long").alias("est_e6"),
+        F.abs(F.col("jacc_e6") - F.col("est_e6")).cast("long").alias(
+            "abs_err_e6"
+        ),
+    )
+
+
+@query(
+    "abc_classification_parts",
+    oracle="""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_partkey
+), ranked AS (
+    SELECT l_partkey, cents,
+           sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cents) OVER () AS tot
+    FROM rev
+), classed AS (
+    SELECT l_partkey, cents,
+           CASE WHEN 100 * cum <= 80 * tot THEN 'A'
+                WHEN 100 * cum <= 95 * tot THEN 'B'
+                ELSE 'C' END AS abc_class,
+           tot
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST((10000 * sum(cents)) // max(tot) AS BIGINT) AS share_bp
+FROM classed
+GROUP BY abc_class
+""",
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (the Pareto 80/15/5 rule, public
+    knowledge): parts ranked by discounted revenue descending; class A
+    holds the parts covering the first 80% of cumulative revenue, B
+    the next 15%, C the tail. Class boundaries are the cross-
+    multiplied integer predicates 100·cum ≤ 80·tot / 95·tot over
+    per-row-floored revenue cents, so membership is engine-exact
+    (the float product extendedprice·(1−discount) is a single IEEE
+    multiply, identical on both engines, floored before any sum).
+    Deterministic rank ties by (cents desc, partkey).
+
+    100 TB shape: the per-part rollup partial-aggregates on the
+    data-scaling key; the cumulative ranking is the same population-
+    sized ordered window as lorenz_curve_deciles (bounded_window_key
+    convention, exact-baseline tradeoff — the binned-histogram path
+    is the 100 TB variant); the class rollup is 3 rows."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    l = _lt(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("cents")
+    )
+    bk = bounded_window_key(F.col("l_partkey"))
+    wo = W.partitionBy(bk).orderBy(F.desc("cents"), F.asc("l_partkey"))
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("cents").over(W.partitionBy(bk)).alias("tot"),
+    )
+    classed = ranked.select(
+        "cents",
+        "tot",
+        F.when(100 * F.col("cum") <= 80 * F.col("tot"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+        F.expr("(10000 * sum(cents)) div max(tot)").alias("share_bp"),
+    )

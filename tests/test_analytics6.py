@@ -514,3 +514,66 @@ def test_kcore_degrees_shrink_and_flag_consistent(spark, sf_dir):
         # a node peeled in round 1 (deg0 < 3) can hold no edges after
         if r["deg0"] < 3:
             assert r["deg1"] == 0 and r["deg2"] == 0
+
+
+def test_minhash_estimate_is_unbiasedish_and_bounded(spark, sf_dir):
+    """est and exact live on the same scale; the k=16 estimator's
+    observed mean |err| on near-dup pairs stays under 3·√(J(1−J)/16)
+    ≈ 0.375 — a loose but real accuracy bound; exact-dup pairs
+    (J == 1) must estimate exactly 1 (all minima equal)."""
+    from dist_keras_spark.plans.analytics6 import minhash_estimate_error
+
+    rows = minhash_estimate_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["est_e6"] <= 1_000_000
+        assert r["abs_err_e6"] == abs(r["jacc_e6"] - r["est_e6"])
+        if r["jacc_e6"] == 1_000_000:
+            assert r["est_e6"] == 1_000_000
+    mean_err = sum(r["abs_err_e6"] for r in rows) / len(rows) / 1e6
+    assert mean_err < 0.375, mean_err
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import abc_classification_parts
+
+    rows = {r["abc_class"]: r for r in abc_classification_parts(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total = sum(r["revenue_cents"] for r in rows.values())
+    # A covers <= 80% (boundary part goes to B once cum passes 80%)
+    assert rows["A"]["revenue_cents"] <= 0.80 * total
+    assert rows["A"]["revenue_cents"] + rows["B"]["revenue_cents"] <= 0.95 * total
+    assert sum(r["share_bp"] for r in rows.values()) <= 10000
+    # full rederivation in Python (fixture revenue is near-uniform, so
+    # class-SIZE assertions would be data-shape assumptions; the class
+    # boundary arithmetic itself is what must hold)
+    import math
+
+    per_part = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_partkey",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    ):
+        per_part[r["l_partkey"]] = r["cents"]
+    ordered = sorted(per_part.items(), key=lambda kv: (-kv[1], kv[0]))
+    tot = sum(per_part.values())
+    cum, want = 0, {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+    for _, cents in ordered:
+        cum += cents
+        cls = "A" if 100 * cum <= 80 * tot else ("B" if 100 * cum <= 95 * tot else "C")
+        want[cls][0] += 1
+        want[cls][1] += cents
+    for cls in "ABC":
+        assert rows[cls]["n_parts"] == want[cls][0]
+        assert rows[cls]["revenue_cents"] == want[cls][1]
+        assert rows[cls]["share_bp"] == (10000 * want[cls][1]) // tot

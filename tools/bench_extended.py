@@ -144,6 +144,8 @@ EXTENDED = [
     "rake_keyword_scores",
     "lorenz_curve_deciles",
     "kcore_peel_two_rounds",
+    "minhash_estimate_error",
+    "abc_classification_parts",
 ]
 
 

@@ -188,6 +188,8 @@ AUDITED = {
     "rake_keyword_scores": "posexplode + ONE doc-keyed running-sum window for phrase ids; two map-side-combined aggs; top-20 is TakeOrderedAndProject",
     "lorenz_curve_deciles": "per-customer rollup partial-aggregates; ordered window on the population-sized rollup under bounded_window_key (exact baseline; gini_histogram_binned is the 100 TB path)",
     "kcore_peel_two_rounds": "per round: degree agg + two left-semi edge filters; edge list monotonically shrinks, checkpoint between rounds at scale",
+    "minhash_estimate_error": "k=16 portable signatures as array_min(transform) column math (small codegen class); exact side reuses the inverted index; everything integer",
+    "abc_classification_parts": "per-part rollup partial-aggregates; population-sized ordered window under bounded_window_key (exact baseline); 3-row class rollup",
 }
 
 
