@@ -497,9 +497,20 @@ def neardup_clusters(
     `max_iter` bounds a pathological path-graph; hitting it raises
     rather than returning a half-converged labeling.
     """
-    und = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # Stage the edge list ONCE: `pairs` usually carries an expensive
+    # candidate-generation lineage (inverted-index joins), and every
+    # propagation round + change-count references it — without this,
+    # the pair generation re-executes ~2× per round (measured ~30%+ off
+    # leakage_safe_split_assign at sf0.1; see bench_extended_trace). Ids only, so the
+    # checkpoint is tiny; at cluster scale swap for checkpoint() like
+    # the labels note below.
+    und = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
     labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):

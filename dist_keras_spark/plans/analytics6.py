@@ -1013,6 +1013,11 @@ def label_propagation_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ab").alias("w"),
         )
     )
+    # the brand-basket self-join above is the expensive part and four
+    # downstream frames reference it (2 rounds + degrees + vertices) —
+    # stage the dim-sized edge list once (the neardup_clusters
+    # convention; checkpoint() to reliable storage at cluster scale)
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
     )
@@ -1686,6 +1691,11 @@ def kcore_peel_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
         und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
     )
+    # six downstream frames reference the basket self-join through
+    # this edge list (d0/e1/d1/e2/d2 + final join) — stage it once
+    # (measured ~2x at sf0.1; see bench_extended_trace); peeled edge
+    # lists shrink, so later rounds reuse the staged frame
+    edges = edges.localCheckpoint(eager=True)
 
     def degrees(e: DataFrame) -> DataFrame:
         return e.groupBy(F.col("src").alias("node")).agg(
