@@ -1,8 +1,12 @@
-"""Round-8 second-wave gates: semantic properties the oracle hash
-alone can't prove — PII masking leaves NO residual match and handles
-multiple occurrences; k-anonymity classes partition the table;
-winsorize thresholds are actual data elements that bound the clamp
-counts at the published tail fractions."""
+"""Round-8 second-session gates: semantic properties the oracle hash
+alone can't prove — PII masking is residue-free and global; privacy
+classes partition the table; winsorize thresholds are actual data
+elements; ranking metrics / SemDeDup drops / audio energies rederive
+exactly in Python-numpy; RAKE, DSIR and ABC verify on crafted or
+rederived corpora; the PPJoin prefix index is measurably smaller AND
+lossless; leakage-safe splits never split a cluster; change-point
+finds an injected step; the MinHash estimate respects its error
+bound."""
 
 from __future__ import annotations
 
