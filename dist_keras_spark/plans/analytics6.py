@@ -1955,3 +1955,89 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("revenue_cents"),
         F.expr("(10000 * sum(cents)) div max(tot)").alias("share_bp"),
     )
+
+
+def _bootstrap_ci_oracle_sql() -> str:
+    """Wraps the registered Poisson-bootstrap oracle (the replica
+    totals the driver already hash-checks) with the CI rank
+    selection — the certification-composition pattern."""
+    return f"""
+WITH reps AS ({ORACLE["poisson_bootstrap_replicas"]}),
+means AS (
+    SELECT replica, total_cents // n_sampled AS mean_cents FROM reps
+), ranked AS (
+    SELECT mean_cents,
+           row_number() OVER (ORDER BY mean_cents, replica) AS rn,
+           count(*) OVER () AS b
+    FROM means
+), point AS (
+    SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                // count(*) AS BIGINT) AS point_mean_cents
+    FROM orders
+)
+SELECT p.point_mean_cents,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.05 * b) AS BIGINT)
+                     THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.95 * b) AS BIGINT)
+                     THEN mean_cents END) AS BIGINT) AS ci_hi_cents,
+       CAST(max(b) AS BIGINT) AS n_replicas
+FROM ranked, point p
+GROUP BY p.point_mean_cents
+"""
+
+
+@query("bootstrap_ci_mean", oracle=_bootstrap_ci_oracle_sql())
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bootstrap taken to its deliverable: a 90% percentile
+    confidence interval for mean order value, built from the 20
+    deterministic Poisson replicas (poisson_bootstrap_replicas —
+    whose REGISTERED oracle this one wraps as a CTE, so the replica
+    arithmetic and the CI stay pinned together). Per-replica mean in
+    integer cents (total div sampled), CI bounds by the house
+    discrete rank-selection convention (rank ceil(p·B) under
+    (mean, replica) order) — every output integer, hash-exact.
+
+    100 TB shape: identical to the replica query (scan-side ×B
+    fan-out, one B-group agg) plus a 20-row ranking under
+    bounded_window_key and a 1-row point-estimate aggregate — CI
+    construction costs nothing beyond the replicas."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+    from dist_keras_spark.plans.analytics5 import poisson_bootstrap_replicas
+
+    reps = poisson_bootstrap_replicas(spark, sf_dir)
+    means = reps.select(
+        "replica", F.expr("total_cents div n_sampled").alias("mean_cents")
+    )
+    bk = bounded_window_key(F.col("replica"))
+    ranked = means.select(
+        "mean_cents",
+        F.row_number()
+        .over(W.partitionBy(bk).orderBy("mean_cents", "replica"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(bk)).alias("b"),
+    )
+    o = _lt(spark, sf_dir, "orders")
+    point = o.agg(
+        F.expr(
+            "sum(CAST(floor(o_totalprice * 100) AS BIGINT)) div count(*)"
+        ).alias("point_mean_cents")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("point_mean_cents")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.05 * F.col("b")).cast("long"),
+                    F.col("mean_cents"),
+                )
+            ).alias("ci_lo_cents"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.95 * F.col("b")).cast("long"),
+                    F.col("mean_cents"),
+                )
+            ).alias("ci_hi_cents"),
+            F.max("b").alias("n_replicas"),
+        )
+    )

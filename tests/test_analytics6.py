@@ -581,3 +581,16 @@ def test_abc_classes_partition_revenue(spark, sf_dir):
         assert rows[cls]["n_parts"] == want[cls][0]
         assert rows[cls]["revenue_cents"] == want[cls][1]
         assert rows[cls]["share_bp"] == (10000 * want[cls][1]) // tot
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import bootstrap_ci_mean
+
+    r = bootstrap_ci_mean(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["n_replicas"] == 20
+    assert r["ci_lo_cents"] <= r["ci_hi_cents"]
+    # Poisson(1) replica means center on the sample mean — for a
+    # 90% CI from 20 replicas the point estimate falls inside
+    assert r["ci_lo_cents"] <= r["point_mean_cents"] <= r["ci_hi_cents"]

@@ -146,6 +146,7 @@ EXTENDED = [
     "kcore_peel_two_rounds",
     "minhash_estimate_error",
     "abc_classification_parts",
+    "bootstrap_ci_mean",
 ]
 
 

@@ -190,6 +190,7 @@ AUDITED = {
     "kcore_peel_two_rounds": "per round: degree agg + two left-semi edge filters; edge list monotonically shrinks, checkpoint between rounds at scale",
     "minhash_estimate_error": "k=16 portable signatures as array_min(transform) column math (small codegen class); exact side reuses the inverted index; everything integer",
     "abc_classification_parts": "per-part rollup partial-aggregates; population-sized ordered window under bounded_window_key (exact baseline); 3-row class rollup",
+    "bootstrap_ci_mean": "identical to the replica query plus a 20-row ranking and a 1-row point aggregate - CI construction costs nothing beyond the replicas",
 }
 
 
