@@ -43,6 +43,18 @@ TOUR = [
     ("pq_adc_top5", "product-quantized ANN — 8 nibbles per vector, integer ADC"),
     ("pq_recall_vs_exact", "…and its recall@5 certified against the exact ranking"),
     ("poisson_bootstrap_replicas", "deterministic Poisson bootstrap for metric error bars"),
+    # round 8 second session: normalize → redact → curate → split → evaluate
+    ("text_normalize_canonical", "canonical lower/strip/collapse pass (idempotent) before any fingerprint"),
+    ("pii_redact_mask", "email/phone detection + masking, redacted bytes md5-pinned"),
+    ("quality_filter", "generic predicate gate (the Gopher suite refines it above)"),
+    ("dsir_importance_weights", "DSIR target-domain importance weights, integer micro-units"),
+    ("semdedup_cell_prune", "SemDeDup: embedding dedup scoped to coarse cells, all-integer"),
+    ("ppjoin_prefix_filter_pairs", "exact similarity join from a prefix-filtered (rarest-token) index"),
+    ("mixture_temperature_alloc", "α=0.5 temperature mixture quotas with the UniMax cap"),
+    ("leakage_safe_split_assign", "train/val/test keyed on near-dup CLUSTERS — no split straddling"),
+    ("hard_negative_mining_top5", "ANN-mined different-label hard negatives for contrastive training"),
+    ("ranking_mrr_ndcg_at5", "integer MRR/NDCG@5 of the ANN ranking vs label relevance"),
+    ("bootstrap_ci_mean", "…and the 90% percentile CI composed from the bootstrap replicas"),
 ]
 
 
