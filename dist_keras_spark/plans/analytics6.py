@@ -2041,3 +2041,168 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("b").alias("n_replicas"),
         )
     )
+
+
+@query(
+    "source_vocab_overlap",
+    oracle="""
+WITH vocab AS (
+    SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+), sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS nv FROM vocab GROUP BY source
+), shared AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM vocab a JOIN vocab b
+      ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.n_shared,
+       sa.nv AS nv_a, sb.nv AS nv_b,
+       CAST((1000000 * s.n_shared) // (sa.nv + sb.nv - s.n_shared)
+            AS BIGINT) AS vocab_jaccard_e6
+FROM shared s
+JOIN sizes sa ON sa.source = s.src_a
+JOIN sizes sb ON sb.source = s.src_b
+""",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus analytics for mixture design: pairwise VOCABULARY
+    Jaccard between sources — how lexically redundant two corpus
+    components are before you budget tokens across them (near-1
+    overlap means a second source adds volume, not coverage; the
+    complement of what vocab_coverage_topn measures within one
+    tokenizer). Inverted-index shape on the (source, token) DISTINCT
+    projection — the self-join runs on the vocabulary, never the
+    corpus — and the overlap ratio is integer micro-units.
+
+    100 TB shape: the distinct projection partial-aggregates
+    scan-side to vocabulary size (Zipf-bounded); the token-keyed
+    self-join produces source-pair postings (pairs ≤ sources², a
+    dimension) — corpus text never shuffles. A df-cap valve is
+    unnecessary because each token contributes at most sources²
+    pairs, not documents²."""
+    d = _lt(spark, sf_dir, "documents")
+    vocab = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("nv").alias("nv_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("nv").alias("nv_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "nv_a",
+            "nv_b",
+            F.expr(
+                "(1000000 * n_shared) div (nv_a + nv_b - n_shared)"
+            ).alias("vocab_jaccard_e6"),
+        )
+    )
+
+
+@query(
+    "segment_migration_matrix",
+    oracle="""
+WITH bounds AS (
+    SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+           CAST(min(o_orderdate) AS DATE)
+             + CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                              CAST(max(o_orderdate) AS DATE)) // 2 AS BIGINT)
+               * INTERVAL 1 DAY AS dmid
+    FROM orders
+), spend AS (
+    SELECT o_custkey,
+           CASE WHEN CAST(o_orderdate AS DATE) <= CAST(dmid AS DATE)
+                THEN 1 ELSE 2 END AS half,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders, bounds
+), per_cust AS (
+    SELECT o_custkey, half, CAST(sum(cents) AS BIGINT) AS cents
+    FROM spend GROUP BY 1, 2
+), seg AS (
+    SELECT o_custkey, half,
+           ntile(4) OVER (PARTITION BY half
+                          ORDER BY cents DESC, o_custkey) AS seg
+    FROM per_cust
+)
+SELECT a.seg AS seg_h1, b.seg AS seg_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM seg a JOIN seg b ON a.o_custkey = b.o_custkey
+WHERE a.half = 1 AND b.half = 2
+GROUP BY 1, 2
+""",
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: spend-quartile segment in
+    the FIRST half of the order window vs the SECOND half (the BI
+    twin of drift_chi2_daily — distribution drift at the customer
+    grain, the retention team's loyalty-ladder view). The half
+    boundary derives deterministically from the data (midpoint day of
+    the observed date range, integer day arithmetic); segments are
+    ntile(4) under the fully-deterministic (cents desc, custkey)
+    order, which makes ntile engine-portable (it is pure rank
+    arithmetic once the order is total). Only customers active in
+    BOTH halves enter the matrix (inner join) — ≤16 cells out.
+
+    100 TB shape: per-(customer, half) rollup partial-aggregates on
+    the data-scaling key; the quartile window partitions by half over
+    the customer rollup (population-sized — the documented
+    exact-baseline tradeoff, binned path for true scale); the matrix
+    join is customer-keyed and the result is dimension-sized."""
+    o = _lt(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.expr(
+            "date_add(CAST(min(o_orderdate) AS DATE), "
+            "CAST(datediff(CAST(max(o_orderdate) AS DATE), "
+            "CAST(min(o_orderdate) AS DATE)) div 2 AS INT))"
+        ).alias("dmid"),
+    )
+    spend = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(F.to_date("o_orderdate") <= F.col("dmid"), 1)
+        .otherwise(2)
+        .alias("half"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = spend.groupBy("o_custkey", "half").agg(
+        F.sum("cents").alias("cents")
+    )
+    seg = per_cust.select(
+        "o_custkey",
+        "half",
+        F.ntile(4)
+        .over(
+            W.partitionBy("half").orderBy(F.desc("cents"), F.asc("o_custkey"))
+        )
+        .alias("seg"),
+    )
+    a = seg.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_h1")
+    )
+    b = seg.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("seg").alias("seg_h2")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

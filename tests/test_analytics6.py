@@ -594,3 +594,43 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark, sf_dir):
     # Poisson(1) replica means center on the sample mean — for a
     # 90% CI from 20 replicas the point estimate falls inside
     assert r["ci_lo_cents"] <= r["point_mean_cents"] <= r["ci_hi_cents"]
+
+
+def test_vocab_overlap_bounds_and_symmetric_pairs(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import source_vocab_overlap
+
+    rows = source_vocab_overlap(spark, sf_dir).collect()
+    n_src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_src * (n_src - 1) // 2  # every unordered pair
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 < r["n_shared"] <= min(r["nv_a"], r["nv_b"])
+        assert 0 < r["vocab_jaccard_e6"] <= 1_000_000
+
+
+def test_segment_migration_rows_cover_bihalf_customers(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from dist_keras_spark.plans.analytics6 import segment_migration_matrix
+
+    rows = segment_migration_matrix(spark, sf_dir).collect()
+    assert rows
+    segs = {(r["seg_h1"], r["seg_h2"]) for r in rows}
+    assert segs <= {(i, j) for i in range(1, 5) for j in range(1, 5)}
+    total = sum(r["n_customers"] for r in rows)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = o.agg(
+        F.expr(
+            "date_add(CAST(min(o_orderdate) AS DATE), "
+            "CAST(datediff(CAST(max(o_orderdate) AS DATE), "
+            "CAST(min(o_orderdate) AS DATE)) div 2 AS INT))"
+        ).alias("dmid")
+    ).collect()[0]["dmid"]
+    h1 = o.filter(F.to_date("o_orderdate") <= F.lit(b)).select("o_custkey").distinct()
+    h2 = o.filter(F.to_date("o_orderdate") > F.lit(b)).select("o_custkey").distinct()
+    assert total == h1.join(h2, "o_custkey").count()

@@ -147,6 +147,8 @@ EXTENDED = [
     "minhash_estimate_error",
     "abc_classification_parts",
     "bootstrap_ci_mean",
+    "source_vocab_overlap",
+    "segment_migration_matrix",
 ]
 
 

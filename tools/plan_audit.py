@@ -191,6 +191,8 @@ AUDITED = {
     "minhash_estimate_error": "k=16 portable signatures as array_min(transform) column math (small codegen class); exact side reuses the inverted index; everything integer",
     "abc_classification_parts": "per-part rollup partial-aggregates; population-sized ordered window under bounded_window_key (exact baseline); 3-row class rollup",
     "bootstrap_ci_mean": "identical to the replica query plus a 20-row ranking and a 1-row point aggregate - CI construction costs nothing beyond the replicas",
+    "source_vocab_overlap": "self-join runs on the (source, token) DISTINCT projection (vocabulary-sized, Zipf-bounded) - corpus text never shuffles; pairs <= sources^2",
+    "segment_migration_matrix": "per-(customer, half) rollup partial-aggregates; quartile window on the population-sized rollup (exact baseline); matrix join customer-keyed, <=16 cells",
 }
 
 
