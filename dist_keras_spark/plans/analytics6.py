@@ -2206,3 +2206,234 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_h1", "seg_h2")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+def _fairness_oracle_sql() -> str:
+    """Wraps the registered scorer oracle (the exact prediction
+    pipeline the driver hash-checks) with per-group rates."""
+    return f"""
+WITH scored AS ({ORACLE["ml_linear_scorer"]}),
+p AS (
+    SELECT s.vec_id, s.pred,
+           CAST(e.label % 2 = 0 AS INT) AS target,
+           CAST(e.vec_id % 3 AS BIGINT) AS grp
+    FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+)
+SELECT grp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(floor(CAST(sum(pred) AS DOUBLE) / count(*) * 1000000.0)
+            AS BIGINT) AS pred_pos_rate_micro,
+       CAST(floor(CAST(sum(CASE WHEN pred = 1 AND target = 1 THEN 1
+                               ELSE 0 END) AS DOUBLE)
+            / sum(CASE WHEN target = 1 THEN 1 ELSE 0 END) * 1000000.0)
+            AS BIGINT) AS tpr_micro,
+       CAST(floor(CAST(sum(CASE WHEN pred = 1 AND target = 0 THEN 1
+                               ELSE 0 END) AS DOUBLE)
+            / sum(CASE WHEN target = 0 THEN 1 ELSE 0 END) * 1000000.0)
+            AS BIGINT) AS fpr_micro
+FROM p GROUP BY grp
+"""
+
+
+@query("fairness_metrics_by_group", oracle=_fairness_oracle_sql())
+def fairness_metrics_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness audit of a classifier across cohorts (public
+    knowledge: demographic parity = selection-rate gap, equalized
+    odds = TPR/FPR gaps — Hardt et al. 2016): per group, the
+    prediction-positive rate, true-positive rate, and false-positive
+    rate of the fixed-weight scorer, each a SINGLE floor-micro
+    division of exact integer counts (the binary_eval_confusion
+    discipline, disaggregated). The cohort column here is the
+    deterministic vec_id mod 3 (the fixtures carry no demographic
+    attribute — in production this is the protected-attribute column,
+    and nothing else changes); parity gaps are one subtraction
+    downstream of these rows. The oracle WRAPS the registered scorer
+    oracle, pinning audit and model together.
+
+    100 TB shape: scoring is scan-side column math; the audit is one
+    (group)-keyed partial aggregation — fairness over any cohort
+    column costs one hash agg, never a per-group pass."""
+    from dist_keras_spark.plans.ml import ml_linear_scorer
+
+    scored = ml_linear_scorer(spark, sf_dir).select("vec_id", "pred")
+    e = _lt(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        ((F.col("label") % 2) == 0).cast("int").alias("target"),
+        F.pmod("vec_id", F.lit(3)).cast("long").alias("grp"),
+    )
+    j = scored.join(e, "vec_id")
+    pos = F.sum(((F.col("pred") == 1) & (F.col("target") == 1)).cast("long"))
+    fpos = F.sum(((F.col("pred") == 1) & (F.col("target") == 0)).cast("long"))
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(
+            F.sum("pred").cast("double") / F.count(F.lit(1)) * 1000000.0
+        )
+        .cast("long")
+        .alias("pred_pos_rate_micro"),
+        F.floor(
+            pos.cast("double")
+            / F.sum((F.col("target") == 1).cast("long"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("tpr_micro"),
+        F.floor(
+            fpos.cast("double")
+            / F.sum((F.col("target") == 0).cast("long"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("fpr_micro"),
+    )
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+WITH d AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice / 100) AS BIGINT) AS y,
+           l_orderkey * 10 + l_linenumber AS rid,
+           ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                    AS VARCHAR) || ':cf'), 1, 8))::BIGINT
+               % 2 AS fold
+    FROM lineitem
+), fit AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cal,
+           CAST((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000000
+                // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+               AS slope_micro,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+    FROM d WHERE fold = 0
+), fit2 AS (
+    SELECT n_cal, slope_micro,
+           CAST((sy * 1000000 - slope_micro * sx) // n_cal AS BIGINT)
+               AS intercept_micro
+    FROM fit
+), resid AS (
+    SELECT d.fold, d.rid,
+           abs(d.y * 1000000 - (f.slope_micro * d.x + f.intercept_micro))
+               AS r_micro
+    FROM d, fit2 f
+), qsel AS (
+    SELECT r_micro AS q_hat_micro
+    FROM (SELECT r_micro,
+                 row_number() OVER (ORDER BY r_micro, rid) AS rn,
+                 count(*) OVER () AS nc
+          FROM resid WHERE fold = 0)
+    WHERE rn = least(CAST(ceil(0.9 * (nc + 1)) AS BIGINT), nc)
+)
+SELECT f.n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       f.slope_micro, f.intercept_micro,
+       CAST(q.q_hat_micro AS BIGINT) AS q_hat_micro,
+       CAST((1000000 * sum(CASE WHEN r.r_micro <= q.q_hat_micro
+                                THEN 1 ELSE 0 END)) // count(*)
+            AS BIGINT) AS coverage_micro
+FROM resid r, fit2 f, qsel q
+WHERE r.fold = 1
+GROUP BY f.n_cal, f.slope_micro, f.intercept_micro, q.q_hat_micro
+""",
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al. / Lei et al.,
+    public knowledge) measured end-to-end: fit pooled OLS
+    (quantity → price/100, the ols_slope_per_supplier fixed-point
+    discipline) on a deterministic md5 CALIBRATION half, take q̂ =
+    the ceil(0.9·(n+1))-th smallest absolute residual (the house
+    discrete rank selection), and report the EMPIRICAL coverage of
+    ŷ ± q̂ on the held-out TEST half — conformal's finite-sample
+    guarantee (coverage ≥ 90%) checked in-query, in micro units.
+    Every step integer: fixed-point slope/intercept, integer
+    residuals, one floor-micro coverage division.
+
+    100 TB shape: sufficient stats and residuals are scan-side; the
+    quantile is the population-sized ordered window (exact baseline
+    under bounded_window_key; approx_percentile_certified shows the
+    sketch path to swap in at true scale); coverage is one
+    partial-agg row. The split is retry-stable md5, so calibration
+    and test never leak into each other across reruns."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    l = _lt(spark, sf_dir, "lineitem")
+    d = l.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") / 100).cast("long").alias("y"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+    ).withColumn(
+        "fold",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("rid").cast("string"), F.lit(":cf"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        ),
+    )
+    cal = d.filter(F.col("fold") == 0)
+    fit = cal.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr(
+            "(count(*) * sum(x * y) - sum(x) * sum(y)) * 1000000 "
+            "div (count(*) * sum(x * x) - sum(x) * sum(x))"
+        ).alias("slope_micro"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    ).select(
+        "n_cal",
+        "slope_micro",
+        F.expr("(sy * 1000000 - slope_micro * sx) div n_cal").alias(
+            "intercept_micro"
+        ),
+    )
+    resid = d.crossJoin(F.broadcast(fit)).select(
+        "fold",
+        "rid",
+        "n_cal",
+        "slope_micro",
+        "intercept_micro",
+        F.abs(
+            F.col("y") * 1000000
+            - (F.col("slope_micro") * F.col("x") + F.col("intercept_micro"))
+        ).alias("r_micro"),
+    )
+    bk = bounded_window_key(F.col("rid"))
+    cal_ranked = resid.filter(F.col("fold") == 0).select(
+        "r_micro",
+        F.row_number()
+        .over(W.partitionBy(bk).orderBy("r_micro", "rid"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(bk)).alias("nc"),
+    )
+    qsel = cal_ranked.filter(
+        F.col("rn")
+        == F.least(
+            F.ceil(0.9 * (F.col("nc") + 1)).cast("long"), F.col("nc")
+        )
+    ).select(F.col("r_micro").alias("q_hat_micro"))
+    test = resid.filter(F.col("fold") == 1)
+    return (
+        test.crossJoin(F.broadcast(qsel))
+        .groupBy("n_cal", "slope_micro", "intercept_micro", "q_hat_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN r_micro <= q_hat_micro "
+                "THEN 1 ELSE 0 END)) div count(*)"
+            ).alias("coverage_micro"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "slope_micro",
+            "intercept_micro",
+            "q_hat_micro",
+            "coverage_micro",
+        )
+    )

@@ -634,3 +634,51 @@ def test_segment_migration_rows_cover_bihalf_customers(spark, sf_dir):
     h1 = o.filter(F.to_date("o_orderdate") <= F.lit(b)).select("o_custkey").distinct()
     h2 = o.filter(F.to_date("o_orderdate") > F.lit(b)).select("o_custkey").distinct()
     assert total == h1.join(h2, "o_custkey").count()
+
+
+def test_fairness_rates_rederive_from_confusion(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import fairness_metrics_by_group
+    from dist_keras_spark.plans.ml import ml_linear_scorer
+
+    rows = {r["grp"]: r for r in fairness_metrics_by_group(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    scored = {r["vec_id"]: r["pred"] for r in ml_linear_scorer(spark, sf_dir).collect()}
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    import math
+
+    agg = {g: {"n": 0, "pp": 0, "tp": 0, "p": 0, "fp": 0, "neg": 0} for g in range(3)}
+    for vid, pred in scored.items():
+        g = vid % 3
+        t = int(labels[vid] % 2 == 0)
+        a = agg[g]
+        a["n"] += 1
+        a["pp"] += pred
+        a["p"] += t
+        a["neg"] += 1 - t
+        a["tp"] += pred & t
+        a["fp"] += pred & (1 - t)
+    for g, a in agg.items():
+        r = rows[g]
+        assert r["n"] == a["n"]
+        assert r["pred_pos_rate_micro"] == math.floor(a["pp"] / a["n"] * 1e6)
+        assert r["tpr_micro"] == math.floor(a["tp"] / a["p"] * 1e6)
+        assert r["fpr_micro"] == math.floor(a["fp"] / a["neg"] * 1e6)
+
+
+def test_conformal_coverage_hits_the_guarantee(spark, sf_dir):
+    """Split-conformal's finite-sample guarantee: empirical test
+    coverage ≥ 1−α−slack. With exchangeable folds the expected
+    coverage is ≥ 0.9; allow binomial slack for the small fixture."""
+    from dist_keras_spark.plans.analytics6 import conformal_interval_coverage
+
+    r = conformal_interval_coverage(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["n_cal"] > 0 and r["n_test"] > 0
+    n = r["n_test"]
+    slack = 3 * (0.09 / n) ** 0.5 * 1e6  # ~3σ binomial at p≈0.9
+    assert r["coverage_micro"] >= 900000 - slack
+    assert r["q_hat_micro"] >= 0

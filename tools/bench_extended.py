@@ -149,6 +149,8 @@ EXTENDED = [
     "bootstrap_ci_mean",
     "source_vocab_overlap",
     "segment_migration_matrix",
+    "fairness_metrics_by_group",
+    "conformal_interval_coverage",
 ]
 
 

@@ -193,6 +193,8 @@ AUDITED = {
     "bootstrap_ci_mean": "identical to the replica query plus a 20-row ranking and a 1-row point aggregate - CI construction costs nothing beyond the replicas",
     "source_vocab_overlap": "self-join runs on the (source, token) DISTINCT projection (vocabulary-sized, Zipf-bounded) - corpus text never shuffles; pairs <= sources^2",
     "segment_migration_matrix": "per-(customer, half) rollup partial-aggregates; quartile window on the population-sized rollup (exact baseline); matrix join customer-keyed, <=16 cells",
+    "fairness_metrics_by_group": "scoring scan-side; the audit is ONE group-keyed partial agg - fairness over any cohort column costs one hash agg",
+    "conformal_interval_coverage": "sufficient stats + residuals scan-side; quantile on the exact-baseline ordered window (sketch path documented); coverage one partial-agg row; md5 split retry-stable",
 }
 
 
