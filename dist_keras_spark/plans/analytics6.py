@@ -2437,3 +2437,238 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_micro",
         )
     )
+
+
+def _blocking_quality_oracle_sql() -> str:
+    """Portable banded-MinHash candidates (4 bands × 4 of the k=16
+    signature from minhash_estimate_error) vs exact ≥τ pairs."""
+    mins = ",\n           ".join(
+        f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MH_P}))"
+        f" AS m{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"md5(CAST(m{4 * bi} AS VARCHAR) || ':' || CAST(m{4 * bi + 1} AS VARCHAR)"
+        f" || ':' || CAST(m{4 * bi + 2} AS VARCHAR) || ':' ||"
+        f" CAST(m{4 * bi + 3} AS VARCHAR)) AS bkey FROM sig"
+        for bi in range(4)
+    )
+    return f"""
+WITH sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), hsets AS (
+    SELECT doc_id,
+           list_transform(s,
+               g -> ('0x' || substr(md5(g), 1, 8))::BIGINT % {_MH_P}) AS hs
+    FROM sets WHERE len(s) > 0
+), sig AS (
+    SELECT doc_id, {mins} FROM hsets
+), bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), posts AS (
+    SELECT doc_id, len(s) AS ns, unnest(s) AS shingle
+    FROM sets WHERE len(s) > 0
+), truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM posts a JOIN posts b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING 2 * count(*) >= (any_value(a.ns) + any_value(b.ns) - count(*))
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+          FROM sets WHERE len(s) > 0)
+SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM truth t JOIN cand c
+             ON c.id_a = t.id_a AND c.id_b = t.id_b) AS BIGINT) AS n_caught,
+       CAST((1000000 * (SELECT count(*) FROM truth t JOIN cand c
+             ON c.id_a = t.id_a AND c.id_b = t.id_b))
+            // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+           AS pair_completeness_micro,
+       CAST(1000000 - (1000000 * (SELECT count(*) FROM cand))
+            // (n_docs * (n_docs - 1) / 2) AS BIGINT)
+           AS reduction_ratio_micro
+FROM nn
+"""
+
+
+@query("blocking_quality_metrics", oracle=_blocking_quality_oracle_sql())
+def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification of the LSH BLOCKING structure itself (the record-
+    linkage quality pair, public knowledge: pair completeness = share
+    of true matches the blocks retain; reduction ratio = share of the
+    n²/2 comparison space the blocks eliminate — the two numbers that
+    justify any banding scheme). Candidates come from 4 bands × 4
+    rows of the PORTABLE k=16 minhash signature (the
+    minhash_estimate_error constants; band key = md5 of the 4 minima,
+    engine-identical), truth from the exact inverted-index Jaccard ≥
+    0.5 join. Completes the certification family: pq_recall_vs_exact
+    certifies the ANN index, minhash_estimate_error the estimator,
+    THIS the candidate generator.
+
+    100 TB shape: signatures/bands scan-side; the candidate join is
+    band-bucketed (never all-pairs); truth reuses the inverted index
+    — and at true scale you certify on a SAMPLED stratum, which this
+    query's shape admits unchanged (the fixture runs it exactly)."""
+    from dist_keras_spark.functions.text import shingles, tokens
+    from dist_keras_spark.operators.dedup import jaccard_pairs
+
+    d = _lt(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", shingles(tokens(F.col("text")), n=3, distinct=True).alias("s")
+    ).filter(F.size("s") > 0)
+    hs = sets.select(
+        "doc_id",
+        F.transform(
+            "s",
+            lambda g: F.pmod(
+                F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+                F.lit(_MH_P),
+            ),
+        ).alias("hs"),
+    )
+
+    def _rehash(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P
+
+    sig = hs.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _rehash(a, b))).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ],
+    )
+    bands = None
+    for bi in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"m{4 * bi + j}").cast("string") for j in range(4)],
+                )
+            ).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    ca = bands.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+    cb = bands.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    cand = (
+        ca.join(cb, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    n_docs = sets.agg(F.count(F.lit(1)).alias("n_docs"))
+    caught = truth.join(cand, ["id_a", "id_b"])
+    return (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("n_caught")))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_candidates",
+            "n_true",
+            "n_caught",
+            F.expr(
+                "(1000000 * n_caught) div greatest(n_true, 1)"
+            ).alias("pair_completeness_micro"),
+            F.expr(
+                "1000000 - (1000000 * n_candidates) div (n_docs * (n_docs - 1) div 2)"
+            ).alias("reduction_ratio_micro"),
+        )
+    )
+
+
+@query(
+    "seasonal_strength_dow",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2, 3
+), tot AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS s,
+           CAST(sum(c * c) AS BIGINT) AS ss
+    FROM daily GROUP BY event_type
+), dw AS (
+    SELECT event_type, dow,
+           CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(c) AS BIGINT) AS sd
+    FROM daily GROUP BY 1, 2
+), within AS (
+    -- SS_resid·n_days·Πnd is awkward; use the ANOVA identity on a
+    -- common denominator instead: SS_between_scaled = Σ_dow sd²/nd
+    -- computed as integer ratio sums scaled by 1e6
+    SELECT event_type,
+           CAST(sum((1000000 * sd * sd) // nd) AS BIGINT) AS ssb_e6
+    FROM dw GROUP BY event_type
+)
+SELECT t.event_type, t.n_days,
+       CAST(1000000 * t.ss - (1000000 * t.s * t.s) // t.n_days AS BIGINT)
+           AS ss_total_e6,
+       CAST(w.ssb_e6 - (1000000 * t.s * t.s) // t.n_days AS BIGINT)
+           AS ss_between_e6,
+       CAST((1000000 * (w.ssb_e6 - (1000000 * t.s * t.s) // t.n_days))
+            // (1000000 * t.ss - (1000000 * t.s * t.s) // t.n_days)
+            AS BIGINT) AS strength_micro
+FROM tot t JOIN within w USING (event_type)
+""",
+)
+def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal STRENGTH per event type: the share of
+    daily-count variance explained by the day-of-week effect —
+    one-way ANOVA's SS_between/SS_total (public knowledge), the
+    number that says whether a weekly seasonal model
+    (seasonal_naive_backtest) is worth running. ALL-INTEGER via
+    sufficient statistics on a common 1e6 scale: SS_total·1e6 =
+    1e6·Σc² − (1e6·(Σc)²) div n, SS_between·1e6 = Σ_dow (1e6·s_d²)
+    div n_d − (1e6·(Σc)²) div n — every term an int64 floor
+    division replayed identically (bounds: Σc ≤ events, c ≤ 1e5 ⇒
+    1e6·s² div n well inside int64 at any fixture SF).
+
+    100 TB shape: the daily rollup partial-aggregates on (type, day,
+    dow); everything after runs on the bounded (types × days) and
+    (types × 7) frames — seasonality diagnostics cost one rollup."""
+    e = _lt(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    dw = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("c").alias("sd")
+    )
+    within = dw.groupBy("event_type").agg(
+        F.sum(F.expr("(1000000 * sd * sd) div nd")).alias("ssb_e6")
+    )
+    j = tot.join(within, "event_type")
+    sst = F.expr("1000000 * ss - (1000000 * s * s) div n_days")
+    ssb = F.expr("ssb_e6 - (1000000 * s * s) div n_days")
+    return j.select(
+        "event_type",
+        "n_days",
+        sst.alias("ss_total_e6"),
+        ssb.alias("ss_between_e6"),
+        F.expr(
+            "(1000000 * (ssb_e6 - (1000000 * s * s) div n_days)) div "
+            "(1000000 * ss - (1000000 * s * s) div n_days)"
+        ).alias("strength_micro"),
+    )

@@ -682,3 +682,59 @@ def test_conformal_coverage_hits_the_guarantee(spark, sf_dir):
     slack = 3 * (0.09 / n) ** 0.5 * 1e6  # ~3σ binomial at p≈0.9
     assert r["coverage_micro"] >= 900000 - slack
     assert r["q_hat_micro"] >= 0
+
+
+def test_blocking_quality_structure(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import blocking_quality_metrics
+
+    r = blocking_quality_metrics(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert 0 <= r["n_caught"] <= r["n_true"]
+    assert r["n_caught"] <= r["n_candidates"]
+    assert 0 <= r["pair_completeness_micro"] <= 1_000_000
+    assert 0 <= r["reduction_ratio_micro"] <= 1_000_000
+    # banding must eliminate the vast majority of the n^2/2 space
+    assert r["reduction_ratio_micro"] > 900_000
+    # and near-dup-heavy fixtures must keep most true pairs
+    assert r["n_true"] > 0
+    assert r["pair_completeness_micro"] >= 500_000
+
+
+def test_seasonal_strength_rederives_in_python(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from dist_keras_spark.plans.analytics6 import seasonal_strength_dow
+
+    rows = {r["event_type"]: r for r in seasonal_strength_dow(spark, sf_dir).collect()}
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.dayofweek(F.to_date("ts")).alias("dow"),
+        )
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(lambda: {"n": 0, "s": 0, "ss": 0, "dw": defaultdict(lambda: [0, 0])})
+    for r in daily:
+        p = per[r["event_type"]]
+        c = r["count"]
+        p["n"] += 1
+        p["s"] += c
+        p["ss"] += c * c
+        p["dw"][r["dow"]][0] += 1
+        p["dw"][r["dow"]][1] += c
+    for et, p in per.items():
+        got = rows[et]
+        sst = 10**6 * p["ss"] - (10**6 * p["s"] * p["s"]) // p["n"]
+        ssb = sum((10**6 * sd * sd) // nd for nd, sd in p["dw"].values()) - (
+            10**6 * p["s"] * p["s"]
+        ) // p["n"]
+        assert got["ss_total_e6"] == sst
+        assert got["ss_between_e6"] == ssb
+        assert got["strength_micro"] == (10**6 * ssb) // sst
+        assert 0 <= got["strength_micro"] <= 1_000_000

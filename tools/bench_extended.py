@@ -151,6 +151,8 @@ EXTENDED = [
     "segment_migration_matrix",
     "fairness_metrics_by_group",
     "conformal_interval_coverage",
+    "blocking_quality_metrics",
+    "seasonal_strength_dow",
 ]
 
 

@@ -195,6 +195,8 @@ AUDITED = {
     "segment_migration_matrix": "per-(customer, half) rollup partial-aggregates; quartile window on the population-sized rollup (exact baseline); matrix join customer-keyed, <=16 cells",
     "fairness_metrics_by_group": "scoring scan-side; the audit is ONE group-keyed partial agg - fairness over any cohort column costs one hash agg",
     "conformal_interval_coverage": "sufficient stats + residuals scan-side; quantile on the exact-baseline ordered window (sketch path documented); coverage one partial-agg row; md5 split retry-stable",
+    "blocking_quality_metrics": "signatures/bands scan-side; candidate join band-bucketed, never all-pairs; truth reuses the inverted index; certify on a sampled stratum at true scale",
+    "seasonal_strength_dow": "daily rollup partial-aggregates; everything after runs on (types x days) and (types x 7) bounded frames",
 }
 
 
