@@ -2672,3 +2672,61 @@ def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * ss - (1000000 * s * s) div n_days)"
         ).alias("strength_micro"),
     )
+
+
+@query(
+    "hhi_concentration_by_nation",
+    oracle="""
+WITH rev AS (
+    SELECT s.s_nationkey AS nation, l.l_suppkey,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+), tot AS (
+    SELECT nation, CAST(sum(cents) AS BIGINT) AS tcents,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM rev GROUP BY nation
+)
+SELECT CAST(r.nation AS BIGINT) AS nation, t.n_suppliers,
+       CAST(sum(((10000 * r.cents) // t.tcents)
+              * ((10000 * r.cents) // t.tcents)) AS BIGINT) AS hhi_bp2
+FROM rev r JOIN tot t USING (nation)
+GROUP BY 1, 2
+""",
+)
+def hhi_concentration_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: the Herfindahl–Hirschman index of
+    supplier revenue within each nation (public knowledge: HHI =
+    Σ shareᵢ², the antitrust-standard concentration number — the
+    point-statistic companion of the Gini/Lorenz distribution views).
+    Shares in integer basis points by floor division of integer
+    cents, so HHI lands in exact bp² (max 10000² = 1e8 for a
+    monopoly; the floor per share makes this a deterministic lower
+    bound, identical on both engines).
+
+    100 TB shape: supplier-revenue rollup partial-aggregates on the
+    (nation, supplier) key; totals reduce to a nation-sized frame
+    that joins back broadcast; the HHI sum is a second
+    dimension-keyed aggregation — no windows at all."""
+    l = _lt(spark, sf_dir, "lineitem")
+    s = _lt(spark, sf_dir, "supplier")
+    rev = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("cents").alias("tcents"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share_bp = F.expr("(10000 * cents) div tcents")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy(F.col("nation").cast("long").alias("nation"), "n_suppliers")
+        .agg(F.sum(share_bp * share_bp).alias("hhi_bp2"))
+    )

@@ -738,3 +738,16 @@ def test_seasonal_strength_rederives_in_python(spark, sf_dir):
         assert got["ss_between_e6"] == ssb
         assert got["strength_micro"] == (10**6 * ssb) // sst
         assert 0 <= got["strength_micro"] <= 1_000_000
+
+
+def test_hhi_bounds_and_monopoly_limit(spark, sf_dir):
+    from dist_keras_spark.plans.analytics6 import hhi_concentration_by_nation
+
+    rows = hhi_concentration_by_nation(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI in bp^2: 1e8/n_suppliers (perfect equality, minus floor
+        # slack) <= hhi <= 1e8 (monopoly)
+        assert r["hhi_bp2"] <= 100_000_000
+        lower = 10**8 // r["n_suppliers"] - 10000 * r["n_suppliers"]
+        assert r["hhi_bp2"] >= max(lower, 0)

@@ -153,6 +153,7 @@ EXTENDED = [
     "conformal_interval_coverage",
     "blocking_quality_metrics",
     "seasonal_strength_dow",
+    "hhi_concentration_by_nation",
 ]
 
 

@@ -197,6 +197,7 @@ AUDITED = {
     "conformal_interval_coverage": "sufficient stats + residuals scan-side; quantile on the exact-baseline ordered window (sketch path documented); coverage one partial-agg row; md5 split retry-stable",
     "blocking_quality_metrics": "signatures/bands scan-side; candidate join band-bucketed, never all-pairs; truth reuses the inverted index; certify on a sampled stratum at true scale",
     "seasonal_strength_dow": "daily rollup partial-aggregates; everything after runs on (types x days) and (types x 7) bounded frames",
+    "hhi_concentration_by_nation": "(nation, supplier) rollup partial-aggregates; nation totals broadcast back; second dimension-keyed agg - no windows",
 }
 
 
