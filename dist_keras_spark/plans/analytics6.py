@@ -2559,6 +2559,13 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = part if bands is None else bands.unionByName(part)
     ca = bands.select(F.col("doc_id").alias("id_a"), "band", "bkey")
     cb = bands.select(F.col("doc_id").alias("id_b"), "band", "bkey")
+    # NOTE (measured, r8b): although three aggregates re-reference
+    # cand/truth, this stays ONE plan, so Catalyst's ReuseExchange
+    # already dedupes the shared signature/inverted-index subtrees —
+    # eager localCheckpoint staging here measured SLOWER (12s vs
+    # 7.4s at sf0.1: it splits the query into jobs and forfeits the
+    # reuse). Checkpoint-staging pays off only across SEPARATE jobs
+    # (the iterative loops in neardup_clusters / kcore / LPA).
     cand = (
         ca.join(cb, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
