@@ -2737,3 +2737,114 @@ def hhi_concentration_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("nation").cast("long").alias("nation"), "n_suppliers")
         .agg(F.sum(share_bp * share_bp).alias("hhi_bp2"))
     )
+
+
+@query(
+    "table_profile_orders",
+    oracle="""
+WITH s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS nu_k,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+           CAST(min(o_orderkey) AS VARCHAR) AS mn_k,
+           CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS nu_c,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_c,
+           CAST(min(o_custkey) AS VARCHAR) AS mn_c,
+           CAST(max(o_custkey) AS VARCHAR) AS mx_c,
+           CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nu_s,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+           min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+           CAST(count(*) - count(o_totalprice) AS BIGINT) AS nu_p,
+           CAST(count(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS nd_p,
+           CAST(CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+               AS mn_p,
+           CAST(CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+               AS mx_p,
+           CAST(count(*) - count(o_orderdate) AS BIGINT) AS nu_d,
+           CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS nd_d,
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn_d,
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx_d,
+           CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nu_o,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_o,
+           min(o_orderpriority) AS mn_o, max(o_orderpriority) AS mx_o
+    FROM orders
+)
+SELECT 'o_orderkey' AS column_name, n_rows, nu_k AS n_nulls,
+       nd_k AS n_distinct, mn_k AS min_repr, mx_k AS max_repr FROM s
+UNION ALL SELECT 'o_custkey', n_rows, nu_c, nd_c, mn_c, mx_c FROM s
+UNION ALL SELECT 'o_orderstatus', n_rows, nu_s, nd_s, mn_s, mx_s FROM s
+UNION ALL SELECT 'o_totalprice_cents', n_rows, nu_p, nd_p, mn_p, mx_p FROM s
+UNION ALL SELECT 'o_orderdate_day', n_rows, nu_d, nd_d, mn_d, mx_d FROM s
+UNION ALL SELECT 'o_orderpriority', n_rows, nu_o, nd_o, mn_o, mx_o FROM s
+""",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (the warehouse `DESCRIBE ... WITH
+    STATS` / data-catalog ingest step): per column of `orders` —
+    row count, null count, exact distinct count, min and max — as
+    ONE aggregate scan stacked to a row per column. Engine-portable
+    reprs by construction: doubles profile as floor-cents integers,
+    timestamps as their DATE (raw float/timestamp → VARCHAR casts
+    format differently across engines — the only repr trap in the
+    query, sidestepped on both sides identically).
+
+    100 TB shape: ONE scan computing every column's stats as partial
+    aggregates together (6 columns × 4 stats in a single hash-free
+    aggregate; exact distincts expand per-column but share the scan
+    via Spark's multi-distinct Expand), then a 6-row stack — the
+    profiler never rescans per column. At true scale the exact
+    distincts swap for HLL (approx_count_distinct_certified shows
+    the certification pattern)."""
+    o = _lt(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("nu_k"),
+        F.countDistinct("o_orderkey").alias("nd_k"),
+        F.min("o_orderkey").cast("string").alias("mn_k"),
+        F.max("o_orderkey").cast("string").alias("mx_k"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nu_c"),
+        F.countDistinct("o_custkey").alias("nd_c"),
+        F.min("o_custkey").cast("string").alias("mn_c"),
+        F.max("o_custkey").cast("string").alias("mx_c"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("nu_s"),
+        F.countDistinct("o_orderstatus").alias("nd_s"),
+        F.min("o_orderstatus").alias("mn_s"),
+        F.max("o_orderstatus").alias("mx_s"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nu_p"),
+        F.countDistinct(
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+        ).alias("nd_p"),
+        F.floor(F.min("o_totalprice") * 100)
+        .cast("long")
+        .cast("string")
+        .alias("mn_p"),
+        F.floor(F.max("o_totalprice") * 100)
+        .cast("long")
+        .cast("string")
+        .alias("mx_p"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nu_d"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("nd_d"),
+        F.min(F.to_date("o_orderdate")).cast("string").alias("mn_d"),
+        F.max(F.to_date("o_orderdate")).cast("string").alias("mx_d"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("nu_o"),
+        F.countDistinct("o_orderpriority").alias("nd_o"),
+        F.min("o_orderpriority").alias("mn_o"),
+        F.max("o_orderpriority").alias("mx_o"),
+    )
+    return s.select(
+        F.expr(
+            "stack(6,"
+            " 'o_orderkey', nu_k, nd_k, mn_k, mx_k,"
+            " 'o_custkey', nu_c, nd_c, mn_c, mx_c,"
+            " 'o_orderstatus', nu_s, nd_s, mn_s, mx_s,"
+            " 'o_totalprice_cents', nu_p, nd_p, mn_p, mx_p,"
+            " 'o_orderdate_day', nu_d, nd_d, mn_d, mx_d,"
+            " 'o_orderpriority', nu_o, nd_o, mn_o, mx_o"
+            ") AS (column_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"
+    )

@@ -751,3 +751,19 @@ def test_hhi_bounds_and_monopoly_limit(spark, sf_dir):
         assert r["hhi_bp2"] <= 100_000_000
         lower = 10**8 // r["n_suppliers"] - 10000 * r["n_suppliers"]
         assert r["hhi_bp2"] >= max(lower, 0)
+
+
+def test_table_profile_matches_direct_queries(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from dist_keras_spark.plans.analytics6 import table_profile_orders
+
+    rows = {r["column_name"]: r for r in table_profile_orders(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = o.count()
+    assert all(r["n_rows"] == n and r["n_nulls"] == 0 for r in rows.values())
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_orderstatus"]["n_distinct"] == o.select("o_orderstatus").distinct().count()
+    mn, mx = o.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    assert rows["o_custkey"]["min_repr"] == str(mn)
+    assert rows["o_custkey"]["max_repr"] == str(mx)

@@ -154,6 +154,7 @@ EXTENDED = [
     "blocking_quality_metrics",
     "seasonal_strength_dow",
     "hhi_concentration_by_nation",
+    "table_profile_orders",
 ]
 
 

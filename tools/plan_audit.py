@@ -198,6 +198,7 @@ AUDITED = {
     "blocking_quality_metrics": "signatures/bands scan-side; candidate join band-bucketed, never all-pairs; truth reuses the inverted index; certify on a sampled stratum at true scale",
     "seasonal_strength_dow": "daily rollup partial-aggregates; everything after runs on (types x days) and (types x 7) bounded frames",
     "hhi_concentration_by_nation": "(nation, supplier) rollup partial-aggregates; nation totals broadcast back; second dimension-keyed agg - no windows",
+    "table_profile_orders": "ONE scan computes every column's stats (multi-distinct shares the scan via Expand); 6-row stack; profiler never rescans per column",
 }
 
 
