@@ -105,6 +105,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    keep_counts: bool = False,
 ) -> DataFrame:
     """J3: exact n-gram Jaccard over an inverted index.
 
@@ -142,8 +143,14 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("c"), F.first("na").alias("na"), F.first("nb").alias("nb"))
     )
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    extra = ["c", "na", "nb"] if keep_counts else []
+    # `keep_counts` exposes the exact integer sufficient statistics
+    # (|A∩B|, |A|, |B|) so certification queries can derive
+    # integer-exact fixed-point ratios ((1e6*c) div (na+nb-c)) instead
+    # of flooring the IEEE quotient — the two disagree by 1 ulp-floor
+    # for many exact ratios (ADVICE r8 #1).
     return shared.select(
-        "id_a", "id_b", jac.alias("jaccard")
+        "id_a", "id_b", jac.alias("jaccard"), *extra
     ).filter(F.col("jaccard") >= threshold)
 
 

@@ -840,9 +840,10 @@ WITH baskets AS (
       ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
     GROUP BY 1, 2
 ), thresh AS (
-    SELECT avg(n_ab) AS mean_ab FROM pairs
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(n_ab) AS BIGINT) AS sum_ab FROM pairs
 ), edges AS (
-    SELECT x, y FROM pairs, thresh WHERE n_ab >= mean_ab
+    SELECT x, y FROM pairs, thresh WHERE n_pairs * n_ab >= sum_ab
 ), tri AS (
     SELECT e1.x AS a, e1.y AS b, e2.y AS c
     FROM edges e1
@@ -886,10 +887,14 @@ def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    thresh = pairs.agg(F.avg("n_ab").alias("mean_ab"))
+    # Integer-exact mean threshold (ADVICE r8 #4 applied graph-wide):
+    # count(*)*n_ab >= sum(n_ab) is avg-threshold in exact int64.
+    thresh = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("n_ab").alias("sum_ab")
+    )
     edges = (
         pairs.crossJoin(F.broadcast(thresh))
-        .filter(F.col("n_ab") >= F.col("mean_ab"))
+        .filter(F.col("n_pairs") * F.col("n_ab") >= F.col("sum_ab"))
         .select("x", "y")
     )
     e1 = edges.alias("e1")
@@ -919,11 +924,14 @@ WITH baskets AS (
     FROM baskets a JOIN baskets b
       ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
     GROUP BY 1, 2
-), thresh AS (SELECT avg(n_ab) AS mean_ab FROM pairs),
+), thresh AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(n_ab) AS BIGINT) AS sum_ab FROM pairs),
 edges AS (
-    SELECT x AS src, y AS dst FROM pairs, thresh WHERE n_ab >= mean_ab
+    SELECT x AS src, y AS dst FROM pairs, thresh
+    WHERE n_pairs * n_ab >= sum_ab
     UNION ALL
-    SELECT y AS src, x AS dst FROM pairs, thresh WHERE n_ab >= mean_ab
+    SELECT y AS src, x AS dst FROM pairs, thresh
+    WHERE n_pairs * n_ab >= sum_ab
 ), nodes AS (SELECT DISTINCT src AS node FROM edges),
 deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
 nn AS (SELECT count(*) AS n FROM nodes),
@@ -986,9 +994,12 @@ def pagerank_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    thresh = pairs.agg(F.avg("n_ab").alias("mean_ab"))
+    # Integer-exact mean threshold (ADVICE r8 #4 applied graph-wide).
+    thresh = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("n_ab").alias("sum_ab")
+    )
     und = pairs.crossJoin(F.broadcast(thresh)).filter(
-        F.col("n_ab") >= F.col("mean_ab")
+        F.col("n_pairs") * F.col("n_ab") >= F.col("sum_ab")
     )
     edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
         und.select(F.col("y").alias("src"), F.col("x").alias("dst"))

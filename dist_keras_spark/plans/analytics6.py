@@ -933,13 +933,14 @@ WITH baskets AS (
     FROM baskets a JOIN baskets b
       ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
     GROUP BY 1, 2
-), thresh AS (SELECT avg(n_ab) AS mean_ab FROM pairs),
+), thresh AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(n_ab) AS BIGINT) AS sum_ab FROM pairs),
 edges AS (
     SELECT x AS src, y AS dst, n_ab AS w FROM pairs, thresh
-    WHERE n_ab >= mean_ab
+    WHERE n_pairs * n_ab >= sum_ab
     UNION ALL
     SELECT y AS src, x AS dst, n_ab AS w FROM pairs, thresh
-    WHERE n_ab >= mean_ab
+    WHERE n_pairs * n_ab >= sum_ab
 ), l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
 v1 AS (
     SELECT e.dst AS node, l0.lab, CAST(sum(e.w) AS BIGINT) AS sw
@@ -1000,9 +1001,16 @@ def label_propagation_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    thresh = pairs.agg(F.avg("n_ab").alias("mean_ab"))
+    # Integer-exact mean threshold (ADVICE r8 #4): n_ab >= avg(n_ab)
+    # compares against an IEEE average; count(*)*n_ab >= sum(n_ab) is
+    # the same predicate in exact int64 arithmetic (n_pairs ≤ brands²,
+    # n_ab ≤ orders — the product is far inside headroom), making the
+    # docstring's no-float claim literally true on both engines.
+    thresh = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("n_ab").alias("sum_ab")
+    )
     und = pairs.crossJoin(F.broadcast(thresh)).filter(
-        F.col("n_ab") >= F.col("mean_ab")
+        F.col("n_pairs") * F.col("n_ab") >= F.col("sum_ab")
     )
     edges = und.select(
         F.col("x").alias("src"), F.col("y").alias("dst"), F.col("n_ab").alias("w")
@@ -1623,11 +1631,14 @@ WITH baskets AS (
     FROM baskets a JOIN baskets b
       ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
     GROUP BY 1, 2
-), thresh AS (SELECT avg(n_ab) AS mean_ab FROM pairs),
+), thresh AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                     CAST(sum(n_ab) AS BIGINT) AS sum_ab FROM pairs),
 edges AS (
-    SELECT x AS src, y AS dst FROM pairs, thresh WHERE n_ab >= mean_ab
+    SELECT x AS src, y AS dst FROM pairs, thresh
+    WHERE n_pairs * n_ab >= sum_ab
     UNION ALL
-    SELECT y AS src, x AS dst FROM pairs, thresh WHERE n_ab >= mean_ab
+    SELECT y AS src, x AS dst FROM pairs, thresh
+    WHERE n_pairs * n_ab >= sum_ab
 ), d0 AS (
     SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges
     GROUP BY src
@@ -1684,9 +1695,14 @@ def kcore_peel_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
-    thresh = pairs.agg(F.avg("n_ab").alias("mean_ab"))
+    # Integer-exact mean threshold (ADVICE r8 #4, same fix as
+    # label_propagation_two_rounds): count(*)*n_ab >= sum(n_ab) is
+    # avg-threshold in exact int64 arithmetic.
+    thresh = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("n_ab").alias("sum_ab")
+    )
     und = pairs.crossJoin(F.broadcast(thresh)).filter(
-        F.col("n_ab") >= F.col("mean_ab")
+        F.col("n_pairs") * F.col("n_ab") >= F.col("sum_ab")
     )
     edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
         und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
@@ -1844,8 +1860,17 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
         ],
     )
-    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
-        "id_a", "id_b", F.floor(F.col("jaccard") * 1000000).cast("long").alias("jacc_e6")
+    # Integer-exact fixed-point ratio from the sufficient statistics
+    # (ADVICE r8 #1): floor(float_jaccard * 1e6) disagrees with the
+    # oracle's (1e6*c) div (na+nb-c) by 1 for many exact ratios (e.g.
+    # c=41, u=80 → 512499 vs 512500), so derive jacc_e6 from the counts
+    # the same way the oracle does. abs_err_e6 inherits the exactness.
+    pairs = jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, keep_counts=True
+    ).select(
+        "id_a",
+        "id_b",
+        F.expr("(1000000 * c) div (na + nb - c)").cast("long").alias("jacc_e6"),
     )
     sa = sig.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)]
@@ -2223,14 +2248,16 @@ SELECT grp,
        CAST(count(*) AS BIGINT) AS n,
        CAST(floor(CAST(sum(pred) AS DOUBLE) / count(*) * 1000000.0)
             AS BIGINT) AS pred_pos_rate_micro,
-       CAST(floor(CAST(sum(CASE WHEN pred = 1 AND target = 1 THEN 1
-                               ELSE 0 END) AS DOUBLE)
-            / sum(CASE WHEN target = 1 THEN 1 ELSE 0 END) * 1000000.0)
-            AS BIGINT) AS tpr_micro,
-       CAST(floor(CAST(sum(CASE WHEN pred = 1 AND target = 0 THEN 1
-                               ELSE 0 END) AS DOUBLE)
-            / sum(CASE WHEN target = 0 THEN 1 ELSE 0 END) * 1000000.0)
-            AS BIGINT) AS fpr_micro
+       CASE WHEN sum(CASE WHEN target = 1 THEN 1 ELSE 0 END) > 0
+            THEN CAST(floor(CAST(sum(CASE WHEN pred = 1 AND target = 1
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN target = 1 THEN 1 ELSE 0 END) * 1000000.0)
+                 AS BIGINT) END AS tpr_micro,
+       CASE WHEN sum(CASE WHEN target = 0 THEN 1 ELSE 0 END) > 0
+            THEN CAST(floor(CAST(sum(CASE WHEN pred = 1 AND target = 0
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN target = 0 THEN 1 ELSE 0 END) * 1000000.0)
+                 AS BIGINT) END AS fpr_micro
 FROM p GROUP BY grp
 """
 
@@ -2271,20 +2298,27 @@ def fairness_metrics_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("pred_pos_rate_micro"),
-        F.floor(
-            pos.cast("double")
-            / F.sum((F.col("target") == 1).cast("long"))
-            * 1000000.0
-        )
-        .cast("long")
-        .alias("tpr_micro"),
-        F.floor(
-            fpos.cast("double")
-            / F.sum((F.col("target") == 0).cast("long"))
-            * 1000000.0
-        )
-        .cast("long")
-        .alias("fpr_micro"),
+        # NULL-guarded rates (ADVICE r8 #3): a label-homogeneous cohort
+        # has zero positives (or negatives); unguarded division yields
+        # Infinity and floor(inf).cast(long) raises under ANSI on BOTH
+        # engines. NULL is the defined value of an undefined rate, and
+        # the oracle applies the identical CASE guard.
+        F.when(
+            F.sum((F.col("target") == 1).cast("long")) > 0,
+            F.floor(
+                pos.cast("double")
+                / F.sum((F.col("target") == 1).cast("long"))
+                * 1000000.0
+            ).cast("long"),
+        ).alias("tpr_micro"),
+        F.when(
+            F.sum((F.col("target") == 0).cast("long")) > 0,
+            F.floor(
+                fpos.cast("double")
+                / F.sum((F.col("target") == 0).cast("long"))
+                * 1000000.0
+            ).cast("long"),
+        ).alias("fpr_micro"),
     )
 
 
@@ -2353,7 +2387,21 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     under bounded_window_key; approx_percentile_certified shows the
     sketch path to swap in at true scale); coverage is one
     partial-agg row. The split is retry-stable md5, so calibration
-    and test never leak into each other across reruns."""
+    and test never leak into each other across reruns.
+
+    INT64 HEADROOM BOUND (ADVICE r8 #2): the slope numerator
+    (count·Σxy − Σx·Σy)·1e6 measures ~−1.6e17 at sf0.1 — ~58×
+    inside int64 — and count·Σxy alone is ~1.2e15; both grow
+    superlinearly with rows, so beyond roughly sf1–10 the Spark side
+    overflows (ANSI error on PySpark 4.1) while DuckDB silently
+    widens BIGINT sums to HUGEINT and stays exact. The uncentered
+    sufficient-stat form is therefore the SMALL-DATA calibration
+    shape only. The rescale path at true scale, as documented for
+    changepoint_mean_shift / semdedup_cell_prune: center x and y
+    first (subtract per-fold integer means, bounding Σxy by
+    n·max|Δx|·max|Δy|), or drop the 1e6 slope scale to 1e3, or
+    compute the moments via Welford-style partial aggregation in
+    double and certify against a sampled integer stratum."""
     from dist_keras_spark.operators.utils import bounded_window_key
 
     l = _lt(spark, sf_dir, "lineitem")
