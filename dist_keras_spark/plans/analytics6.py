@@ -2487,9 +2487,23 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _blocking_quality_oracle_sql() -> str:
+def _blocking_quality_oracle_sql(sample_pct: int | None = None) -> str:
     """Portable banded-MinHash candidates (4 bands × 4 of the k=16
-    signature from minhash_estimate_error) vs exact ≥τ pairs."""
+    signature from minhash_estimate_error) vs exact ≥τ pairs.
+
+    `sample_pct` restricts BOTH sides to the deterministic md5-bucket
+    stratum of documents (the house hash_split convention, spelled
+    digit-by-digit because DuckDB lacks conv()) — the production
+    certify-on-a-sample shape."""
+    src = "documents"
+    if sample_pct is not None:
+        bucket = (
+            "((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096"
+            "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256"
+            "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16"
+            "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100"
+        )
+        src = f"(SELECT * FROM documents WHERE {bucket} < {sample_pct})"
     mins = ",\n           ".join(
         f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MH_P}))"
         f" AS m{i}"
@@ -2507,7 +2521,7 @@ WITH sets AS (
     SELECT doc_id,
            list_distinct(list_transform(range(1, len(t) - 1),
                          i -> array_to_string(t[i:i+2], ' '))) AS s
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
 ), hsets AS (
     SELECT doc_id,
            list_transform(s,
@@ -2539,35 +2553,32 @@ SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
              ON c.id_a = t.id_a AND c.id_b = t.id_b))
             // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
            AS pair_completeness_micro,
+       -- n_docs*(n_docs-1) must stay BIGINT end-to-end: `/ 2` makes it
+       -- DOUBLE, and DuckDB `bigint // double` does NOT floor (it is
+       -- plain division, measured on 1.0.0), so the outer CAST would
+       -- ROUND the un-floored quotient — off by one vs Spark whenever
+       -- the quotient fraction ≥ 0.5 (caught by the sampled stratum).
        CAST(1000000 - (1000000 * (SELECT count(*) FROM cand))
-            // (n_docs * (n_docs - 1) / 2) AS BIGINT)
+            // (n_docs * (n_docs - 1) // 2) AS BIGINT)
            AS reduction_ratio_micro
 FROM nn
 """
 
 
-@query("blocking_quality_metrics", oracle=_blocking_quality_oracle_sql())
-def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Certification of the LSH BLOCKING structure itself (the record-
-    linkage quality pair, public knowledge: pair completeness = share
-    of true matches the blocks retain; reduction ratio = share of the
-    n²/2 comparison space the blocks eliminate — the two numbers that
-    justify any banding scheme). Candidates come from 4 bands × 4
-    rows of the PORTABLE k=16 minhash signature (the
-    minhash_estimate_error constants; band key = md5 of the 4 minima,
-    engine-identical), truth from the exact inverted-index Jaccard ≥
-    0.5 join. Completes the certification family: pq_recall_vs_exact
-    certifies the ANN index, minhash_estimate_error the estimator,
-    THIS the candidate generator.
-
-    100 TB shape: signatures/bands scan-side; the candidate join is
-    band-bucketed (never all-pairs); truth reuses the inverted index
-    — and at true scale you certify on a SAMPLED stratum, which this
-    query's shape admits unchanged (the fixture runs it exactly)."""
+def _blocking_quality_frame(
+    spark: SparkSession, sf_dir: str, sample_pct: int | None = None
+) -> DataFrame:
+    """Shared plan for the blocking-certification pair: full-corpus
+    (`blocking_quality_metrics`) and sampled-stratum
+    (`blocking_quality_sampled`) differ ONLY in the deterministic
+    document filter applied before anything else."""
     from dist_keras_spark.functions.text import shingles, tokens
     from dist_keras_spark.operators.dedup import jaccard_pairs
+    from dist_keras_spark.operators.quality import deterministic_sample
 
     d = _lt(spark, sf_dir, "documents")
+    if sample_pct is not None:
+        d = deterministic_sample(d, "doc_id", sample_pct)
     sets = d.select(
         "doc_id", shingles(tokens(F.col("text")), n=3, distinct=True).alias("s")
     ).filter(F.size("s") > 0)
@@ -2642,6 +2653,53 @@ def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio_micro"),
         )
     )
+
+
+@query("blocking_quality_metrics", oracle=_blocking_quality_oracle_sql())
+def blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certification of the LSH BLOCKING structure itself (the record-
+    linkage quality pair, public knowledge: pair completeness = share
+    of true matches the blocks retain; reduction ratio = share of the
+    n²/2 comparison space the blocks eliminate — the two numbers that
+    justify any banding scheme). Candidates come from 4 bands × 4
+    rows of the PORTABLE k=16 minhash signature (the
+    minhash_estimate_error constants; band key = md5 of the 4 minima,
+    engine-identical), truth from the exact inverted-index Jaccard ≥
+    0.5 join. Completes the certification family: pq_recall_vs_exact
+    certifies the ANN index, minhash_estimate_error the estimator,
+    THIS the candidate generator.
+
+    100 TB shape: signatures/bands scan-side; the candidate join is
+    band-bucketed (never all-pairs); truth reuses the inverted index
+    — and at true scale you certify on a SAMPLED stratum:
+    `blocking_quality_sampled` IS that production shape, measured."""
+    return _blocking_quality_frame(spark, sf_dir)
+
+
+@query(
+    "blocking_quality_sampled",
+    oracle=_blocking_quality_oracle_sql(sample_pct=50),
+)
+def blocking_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of `blocking_quality_metrics` (VERDICT r8
+    #4): certify the banding scheme on a deterministic md5-bucket
+    stratum (50% of documents, the house hash_split convention —
+    retry/partitioning-stable, engine-identical) instead of the full
+    corpus. Both the candidate generator and the exact-truth join see
+    ONLY the stratum, so the certification cost falls quadratically
+    with the sample rate (pair work ∝ pct²: 50% → ~4× cheaper, 10% →
+    ~100×) while completeness/reduction stay unbiased estimates of
+    the full-corpus numbers — the standard record-linkage evaluation
+    protocol. The oracle replays the identical stratum digit-by-digit.
+
+    100 TB: this is the query you actually run — the exact-truth side
+    is the expensive object being controlled, and the stratum bound
+    makes its cost a dial instead of a corpus-sized constant. Note
+    pair_completeness measures within-stratum recall; cross-stratum
+    pairs are excluded by construction on BOTH sides (sampling pairs,
+    not docs, would bias reduction ratio instead — documented
+    trade-off, Christen 2012)."""
+    return _blocking_quality_frame(spark, sf_dir, sample_pct=50)
 
 
 @query(

@@ -701,6 +701,42 @@ def test_blocking_quality_structure(spark, sf_dir):
     assert r["pair_completeness_micro"] >= 500_000
 
 
+def test_blocking_quality_sampled_stratum_deterministic(spark, sf_dir):
+    """VERDICT r8 #4: the sampled certification must be retry- and
+    partitioning-stable (the whole point of a hash stratum), and its
+    stratum must be the exact md5-bucket subset — re-running and
+    re-partitioning the input may not move a single counter."""
+    import pyspark.sql.functions as F
+
+    from dist_keras_spark.operators.quality import deterministic_sample
+    from dist_keras_spark.plans.analytics6 import blocking_quality_sampled
+
+    r1 = blocking_quality_sampled(spark, sf_dir).collect()[0].asDict()
+    r2 = blocking_quality_sampled(spark, sf_dir).collect()[0].asDict()
+    assert r1 == r2
+    # stratum membership is pure content hash: invariant under an
+    # adversarial repartition of the source
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids_a = {
+        r["doc_id"]
+        for r in deterministic_sample(d, "doc_id", 50).select("doc_id").collect()
+    }
+    ids_b = {
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(7, "lang"), "doc_id", 50)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_a == ids_b
+    n_docs = d.count()
+    # a 50% bucket sample should land near half (binomial 3σ bound)
+    assert abs(len(ids_a) - n_docs / 2) <= 3 * (n_docs * 0.25) ** 0.5
+    assert r1["n_candidates"] >= r1["n_caught"]
+    assert r1["n_true"] >= r1["n_caught"]
+    assert 0 <= r1["pair_completeness_micro"] <= 1_000_000
+    assert 0 <= r1["reduction_ratio_micro"] <= 1_000_000
+
+
 def test_seasonal_strength_rederives_in_python(spark, sf_dir):
     import pyspark.sql.functions as F
 
