@@ -726,3 +726,396 @@ def colbert_maxsim_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "rk", "maxsim")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data curation: cluster-cap sampling + incremental batch dedup
+# --------------------------------------------------------------------------
+
+
+def _cluster_cap_oracle_sql() -> str:
+    return f"""
+WITH cc AS ({ORACLE["neardup_cluster_assign"]}),
+ranked AS (
+    SELECT d.doc_id, cc.cluster_id, d.n_chars,
+           row_number() OVER (PARTITION BY cc.cluster_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rank_in_cluster
+    FROM documents d JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(rank_in_cluster AS BIGINT) AS rank_in_cluster
+FROM ranked WHERE rank_in_cluster <= 2
+"""
+
+
+@query("cluster_cap_sample", oracle=_cluster_cap_oracle_sql())
+def cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cap sampling — the web-corpus curation step that keeps
+    at most K representatives per near-dup cluster instead of exactly
+    one (public knowledge: RefinedWeb/FineWeb-style pipelines cap
+    rather than hard-dedup, preserving natural-duplication signal
+    while bounding any one template's mass). Clusters are the
+    REGISTERED neardup_cluster_assign connected components wrapped as
+    a CTE — this query is pinned to the exact clustering the driver
+    already hash-checks; the keep-rank orders by quality proxy
+    (n_chars DESC, the longest-representative heuristic) with doc_id
+    tie-break, K = 2.
+
+    100 TB shape: one join of documents with the cluster map (both
+    keyed on doc_id — co-partitioned), one cluster-keyed window;
+    singleton clusters (the overwhelming mass) pass through rank 1
+    untouched. The cap is a WHERE on a rank, so changing K is free."""
+    from dist_keras_spark.plans.llm import neardup_cluster_assign
+
+    cc = neardup_cluster_assign(spark, sf_dir)
+    d = _lt(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = d.join(cc, "doc_id").withColumn(
+        "rank_in_cluster",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank_in_cluster") <= 2)
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("rank_in_cluster").cast("long").alias("rank_in_cluster"),
+        )
+    )
+
+
+_IDB_BUCKET = (
+    "((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100"
+)
+
+
+@query(
+    "incremental_dedup_new_batch",
+    oracle=f"""
+WITH batch AS (SELECT * FROM documents WHERE {_IDB_BUCKET} < 20),
+corpus AS (SELECT * FROM documents WHERE {_IDB_BUCKET} >= 20),
+exact AS (
+    SELECT DISTINCT b.doc_id
+    FROM batch b JOIN corpus c ON md5(b.text) = md5(c.text)
+),
+bs AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch)
+),
+cs AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+2], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+),
+bp AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM bs WHERE len(s) > 0),
+cp AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM cs WHERE len(s) > 0),
+near AS (
+    SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+    FROM bp b JOIN cp c ON b.shingle = c.shingle
+    GROUP BY 1, 2
+    HAVING 2 * count(*) >= any_value(b.ns) + any_value(c.ns) - count(*)
+),
+nearn AS (
+    SELECT batch_id, CAST(count(*) AS BIGINT) AS n_near_matches
+    FROM near GROUP BY batch_id
+)
+SELECT b.doc_id,
+       CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS exact_dup,
+       CAST(coalesce(n.n_near_matches, 0) AS BIGINT) AS n_near_matches,
+       CAST(CASE WHEN e.doc_id IS NULL AND n.batch_id IS NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS keep
+FROM batch b
+LEFT JOIN exact e ON e.doc_id = b.doc_id
+LEFT JOIN nearn n ON n.batch_id = b.doc_id
+""",
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production shape every crawl pipeline
+    actually runs: dedup a NEW BATCH (deterministic 20% md5 stratum)
+    against the EXISTING CORPUS (the other 80%), never corpus ×
+    corpus. Exact layer: md5(text) anti-profile against the corpus
+    hash set. Near layer: ASYMMETRIC inverted-index join — batch
+    postings probe corpus postings, exact Jaccard ≥ 0.5 decided by
+    the integer cross-multiplied form (2c ≥ na+nb−c). Per batch doc:
+    exact_dup, near-match count, and the keep verdict.
+
+    100 TB shape: the cost is |batch|·df-bounded, NOT corpus² — the
+    corpus side contributes only postings matching a batch shingle
+    (predicate-pushed through the join); at true scale the corpus
+    postings/hashes are a maintained index (the snapshot/IVM
+    machinery in sources/snapshots.py) so each nightly batch pays
+    only its own scan plus probes. The md5 split makes the fixture
+    self-contained; production swaps the stratum for arrival date."""
+    from dist_keras_spark.functions.text import shingles, tokens
+    from dist_keras_spark.operators.quality import hash_split
+
+    d = _lt(spark, sf_dir, "documents")
+    bucket = hash_split(d, "doc_id", 100)
+    batch = d.filter(bucket < 20)
+    corpus = d.filter(bucket >= 20)
+    exact = (
+        batch.alias("b")
+        .join(
+            corpus.alias("c"),
+            F.md5(F.col("b.text")) == F.md5(F.col("c.text")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+
+    def postings(df: DataFrame, out_id: str) -> DataFrame:
+        sets = df.select(
+            F.col("doc_id").alias(out_id),
+            shingles(tokens(F.col("text")), n=3, distinct=True).alias("s"),
+        ).filter(F.size("s") > 0)
+        return sets.select(
+            out_id, F.size("s").alias(f"{out_id}_ns"), F.explode("s").alias("shingle")
+        )
+
+    bp = postings(batch, "batch_id")
+    cp = postings(corpus, "corpus_id")
+    near = (
+        bp.join(cp, "shingle")
+        .groupBy("batch_id", "corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("batch_id_ns").alias("na"),
+            F.first("corpus_id_ns").alias("nb"),
+        )
+        .filter(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+    )
+    nearn = near.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_near_matches")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(nearn, batch.doc_id == nearn.batch_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("exact_hit"), F.lit(0)).cast("long").alias(
+                "exact_dup"
+            ),
+            F.coalesce(F.col("n_near_matches"), F.lit(0)).cast("long").alias(
+                "n_near_matches"
+            ),
+            F.when(
+                F.col("exact_hit").isNull() & F.col("batch_id").isNull(),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Events family: sessionization with a hard duration cap
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_with_cap",
+    oracle="""
+WITH prevd AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    -- second-truncated gap on BOTH engines (date_diff('second') ==
+    -- Spark unix_timestamp subtraction): the cap family works in
+    -- whole seconds throughout, so the gap test must too
+    SELECT user_id, ts, event_id,
+           CASE WHEN date_diff('second', prev_ts, ts) <= 1800
+                THEN 0 ELSE 1 END AS new_sess
+    FROM prevd
+), numbered AS (
+    SELECT user_id, ts, event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+), anchored AS (
+    SELECT user_id, ts, sid,
+           min(ts) OVER (PARTITION BY user_id, sid) AS gap_start
+    FROM numbered
+), capped AS (
+    SELECT user_id, ts, sid,
+           CAST(date_diff('second', gap_start, ts) AS BIGINT) // 7200 AS sub
+    FROM anchored
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_s
+FROM capped
+GROUP BY user_id, sid, sub
+""",
+)
+def sessionize_with_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-boundary sessionization: the 30-minute inactivity gap of
+    events_session_window PLUS a hard 2-hour duration cap — the
+    analytics contract most product pipelines actually use (a
+    always-on device never closes its gap session; the cap bounds
+    state and session length). Gap and cap both work in WHOLE
+    seconds (second-truncated diffs agree across engines; the
+    interval-exact gap of events_session_window differs only for
+    sub-second boundary grazes). Two deterministic passes: gaps-and-
+    islands (lag → cumulative flag sum) anchors each gap-session's
+    start, then the cap splits it at whole 2-hour offsets from that
+    anchor — each event's final session is pure arithmetic on its
+    own timestamp, no iteration. Second-boundary diffs are integer
+    on both engines (date_diff('second') == unix truncation for
+    positive timestamps).
+
+    100 TB shape: every window partitions on user_id (the data-
+    scaling key) over ONE shuffle — Catalyst reuses the (user_id)
+    exchange across the lag, the cumulative sum, the anchor min and
+    the final aggregation. This is also the batch oracle for the
+    streaming state-bound story: the cap is what makes
+    applyInPandasWithState state provably bounded per key."""
+    e = _lt(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag(F.col("ts")).over(wo))
+            <= 1800,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(wo.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    anchored = numbered.withColumn(
+        "gap_start", F.min("ts").over(W.partitionBy("user_id", "sid"))
+    )
+    capped = anchored.withColumn(
+        "sub",
+        (
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("gap_start")
+            )
+            / F.lit(7200)
+        ).cast("long"),
+    )
+    return capped.groupBy("user_id", "sid", "sub").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("span_s"),
+    ).select("user_id", "session_start", "n", "span_s")
+
+
+# --------------------------------------------------------------------------
+# Profiler breadth: the documents table (string-heavy profile)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "table_profile_documents",
+    oracle="""
+WITH s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS nu_i,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_i,
+           CAST(min(doc_id) AS VARCHAR) AS mn_i,
+           CAST(max(doc_id) AS VARCHAR) AS mx_i,
+           CAST(count(*) - count(text) AS BIGINT) AS nu_t,
+           CAST(count(DISTINCT length(text)) AS BIGINT) AS nd_t,
+           CAST(min(length(text)) AS VARCHAR) AS mn_t,
+           CAST(max(length(text)) AS VARCHAR) AS mx_t,
+           CAST(count(*) - count(lang) AS BIGINT) AS nu_l,
+           CAST(count(DISTINCT lang) AS BIGINT) AS nd_l,
+           min(lang) AS mn_l, max(lang) AS mx_l,
+           CAST(count(*) - count(source) AS BIGINT) AS nu_s,
+           CAST(count(DISTINCT source) AS BIGINT) AS nd_s,
+           min(source) AS mn_s, max(source) AS mx_s,
+           CAST(count(*) - count(n_chars) AS BIGINT) AS nu_c,
+           CAST(count(DISTINCT n_chars) AS BIGINT) AS nd_c,
+           CAST(min(n_chars) AS VARCHAR) AS mn_c,
+           CAST(max(n_chars) AS VARCHAR) AS mx_c
+    FROM documents
+)
+SELECT column_name, n_rows, n_nulls, n_distinct, min_repr, max_repr
+FROM (
+    SELECT n_rows, 'doc_id' AS column_name, nu_i AS n_nulls,
+           nd_i AS n_distinct, mn_i AS min_repr, mx_i AS max_repr FROM s
+    UNION ALL SELECT n_rows, 'text_len', nu_t, nd_t, mn_t, mx_t FROM s
+    UNION ALL SELECT n_rows, 'lang', nu_l, nd_l, mn_l, mx_l FROM s
+    UNION ALL SELECT n_rows, 'source', nu_s, nd_s, mn_s, mx_s FROM s
+    UNION ALL SELECT n_rows, 'n_chars', nu_c, nd_c, mn_c, mx_c FROM s
+)
+""",
+)
+def table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass profiler (table_profile_orders's twin) on the
+    STRING-HEAVY documents table — the data-catalog ingest step for a
+    text corpus: per column, nulls / exact distincts / min / max in
+    ONE aggregate scan. The text column profiles by LENGTH (raw
+    multi-KB strings as min/max reprs would bloat the catalog row and
+    teach nothing; length distribution is what a corpus profile
+    reads). lang/source min/max are ASCII — byte-order comparable
+    identically on both engines.
+
+    100 TB shape: one scan, all columns' partials together (Spark's
+    multi-distinct Expand shares it); 5-row stack output. Exact
+    distincts swap for HLL at true scale with
+    approx_count_distinct_certified as the certification pattern."""
+    d = _lt(spark, sf_dir, "documents")
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("doc_id")).alias("nu_i"),
+        F.countDistinct("doc_id").alias("nd_i"),
+        F.min("doc_id").cast("string").alias("mn_i"),
+        F.max("doc_id").cast("string").alias("mx_i"),
+        (F.count(F.lit(1)) - F.count("text")).alias("nu_t"),
+        F.countDistinct(F.length("text")).alias("nd_t"),
+        F.min(F.length("text")).cast("string").alias("mn_t"),
+        F.max(F.length("text")).cast("string").alias("mx_t"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("nu_l"),
+        F.countDistinct("lang").alias("nd_l"),
+        F.min("lang").alias("mn_l"),
+        F.max("lang").alias("mx_l"),
+        (F.count(F.lit(1)) - F.count("source")).alias("nu_s"),
+        F.countDistinct("source").alias("nd_s"),
+        F.min("source").alias("mn_s"),
+        F.max("source").alias("mx_s"),
+        (F.count(F.lit(1)) - F.count("n_chars")).alias("nu_c"),
+        F.countDistinct("n_chars").alias("nd_c"),
+        F.min("n_chars").cast("string").alias("mn_c"),
+        F.max("n_chars").cast("string").alias("mx_c"),
+    )
+    return s.select(
+        F.expr(
+            "stack(5,"
+            " 'doc_id', nu_i, nd_i, mn_i, mx_i,"
+            " 'text_len', nu_t, nd_t, mn_t, mx_t,"
+            " 'lang', nu_l, nd_l, mn_l, mx_l,"
+            " 'source', nu_s, nd_s, mn_s, mx_s,"
+            " 'n_chars', nu_c, nd_c, mn_c, mx_c"
+            ") AS (column_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"
+    )
