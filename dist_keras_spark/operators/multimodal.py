@@ -231,3 +231,70 @@ def fake_audio_frame_energy(
             )
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def fake_video_frames(blob: bytes, n_frames: int, frame_px: int) -> np.ndarray:
+    """Deterministic stand-in video decode: (n_frames, frame_px) int
+    pixels 0..255 from the counter-mode sha256 stream — frame t pixel
+    j is stream byte t·frame_px + j, so the SQL replay indexes the
+    same flat byte stream the audio decoder documents. A real codec
+    (pyav/opencv, absent from this container) is a drop-in returning
+    decoded frames; every downstream stat is unchanged."""
+    flat = _hash_bytes(blob, n_frames * frame_px).astype(np.int64)
+    return flat.reshape(n_frames, frame_px)
+
+
+def fake_video_frame_stats(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    frame_px: int = 16,
+    stride: int = 2,
+) -> DataFrame:
+    """mapInPandas video decode → FRAME-SAMPLED per-frame stats.
+
+    The video-pipeline shape: decode once per blob inside the Arrow
+    batch, keep every `stride`-th frame (temporal subsampling — the
+    standard cost lever: a 1 fps sample of 30 fps video is 30× less
+    tensor traffic), emit one ROW per sampled frame with exact int64
+    stats: pixel sum / min / max and the motion proxy Σ|pₜ − pₜ₋ₛ|
+    against the previous SAMPLED frame (0 for the first). Row-per-
+    frame output is what a downstream frame-level trainer or
+    similarity index joins on — the explode happens at decode time,
+    never by shuffling raw blobs."""
+    schema = (
+        f"{id_col} long, frame_idx int, pixel_sum long, pixel_min long,"
+        " pixel_max long, motion long"
+    )
+    sampled = list(range(0, n_frames, stride))
+
+    def run(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            ids, fidx, psum, pmin, pmax, motion = [], [], [], [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                frames = fake_video_frames(blob, n_frames, frame_px)
+                prev = None
+                for t in sampled:
+                    f = frames[t]
+                    ids.append(rid)
+                    fidx.append(t)
+                    psum.append(int(f.sum()))
+                    pmin.append(int(f.min()))
+                    pmax.append(int(f.max()))
+                    motion.append(
+                        0 if prev is None else int(np.abs(f - prev).sum())
+                    )
+                    prev = f
+            yield pd.DataFrame(
+                {
+                    id_col: np.array(ids, dtype=np.int64),
+                    "frame_idx": np.array(fidx, dtype=np.int32),
+                    "pixel_sum": np.array(psum, dtype=np.int64),
+                    "pixel_min": np.array(pmin, dtype=np.int64),
+                    "pixel_max": np.array(pmax, dtype=np.int64),
+                    "motion": np.array(motion, dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)

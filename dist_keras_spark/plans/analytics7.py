@@ -1119,3 +1119,262 @@ def table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "column_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal trio completion: VIDEO frame-sampling
+# --------------------------------------------------------------------------
+
+
+def _video_oracle_sql() -> str:
+    def byte(idx_expr: str) -> str:
+        return (
+            f"('0x' || substr(sha256(text || ':' ||"
+            f" CAST(({idx_expr}) // 32 AS VARCHAR)),"
+            f" 2 * (({idx_expr}) % 32) + 1, 2))::BIGINT"
+        )
+
+    return f"""
+WITH fr AS (SELECT unnest([0, 2, 4, 6]) AS frame_idx),
+px AS (
+    SELECT doc_id, fr.frame_idx,
+           list_transform(range(0, 16),
+               j -> {byte("16 * fr.frame_idx + j")}) AS p,
+           CASE WHEN fr.frame_idx = 0 THEN NULL
+                ELSE list_transform(range(0, 16),
+                    j -> {byte("16 * (fr.frame_idx - 2) + j")}) END AS q
+    FROM documents, fr
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(list_sum(p) AS BIGINT) AS pixel_sum,
+       CAST(list_min(p) AS BIGINT) AS pixel_min,
+       CAST(list_max(p) AS BIGINT) AS pixel_max,
+       CAST(CASE WHEN q IS NULL THEN 0
+                 ELSE list_sum(list_transform(range(1, 17),
+                      j -> abs(p[j] - q[j]))) END AS BIGINT) AS motion
+FROM px
+"""
+
+
+@query("multimodal_video_framestats", oracle=_video_oracle_sql())
+def multimodal_video_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 VIDEO modality, completing the trio (image: env-blocked
+    behind decode_image's documented NotImplementedError; audio:
+    multimodal_audio_energy; video: THIS): opaque blob → Arrow
+    mapInPandas decode → temporal FRAME SAMPLING (every 2nd of 8
+    frames) → one row per sampled frame with exact int64 pixel
+    sum/min/max and the Σ|pₜ−pₜ₋₂| motion proxy against the previous
+    sampled frame. The decoder is the deterministic counter-mode
+    sha256 stand-in (same stream the audio op documents, so the
+    oracle replays frame t pixel j as flat byte 16t+j); a real codec
+    is a drop-in at operators/multimodal.py::fake_video_frames.
+
+    100 TB shape: blobs decode ONCE inside the scan-side Arrow batch
+    and explode to frame rows at decode time — raw video bytes never
+    shuffle; the stride is the standard cost dial (sampling 1-in-30
+    frames is 30× less tensor traffic); frame rows carry only stats
+    and land on whatever key the downstream trainer joins."""
+    from dist_keras_spark.operators.multimodal import (
+        attach_blob,
+        fake_video_frame_stats,
+    )
+
+    d = attach_blob(_lt(spark, sf_dir, "documents"))
+    out = fake_video_frame_stats(
+        d, n_frames=8, frame_px=16, stride=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "pixel_sum",
+        "pixel_min",
+        "pixel_max",
+        "motion",
+    )
+
+
+# --------------------------------------------------------------------------
+# Warehouse telemetry: cumulative distinct users, partition skew audit,
+# Zipf rank-frequency head
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+WITH firsts AS (
+    SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY 1, 2
+), per_day AS (
+    SELECT event_type, first_day AS day,
+           CAST(count(*) AS BIGINT) AS n_new
+    FROM firsts GROUP BY 1, 2
+)
+SELECT event_type, day, n_new,
+       CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_cum
+FROM per_day
+""",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users-to-date growth curve per event type — the warehouse DAU/
+    cumulative-reach metric, computed WITHOUT a cumulative distinct
+    (which has no efficient distributive form): each (type, user)
+    reduces to its FIRST day (one hash agg), daily new-user counts
+    roll up from that, and the cumulative sum runs over the CALENDAR
+    grid, never over events. A new day's refresh appends one grid
+    row — the same incremental argument as incremental_rollup_merge.
+
+    100 TB shape: the only data-sized operation is the (type, user)
+    first-touch aggregation (map-side combined); everything after is
+    calendar × type bounded. Window partitions on event_type."""
+    e = _lt(spark, sf_dir, "events")
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "n_new",
+        F.sum("n_new").over(win).cast("long").alias("n_cum"),
+    )
+
+
+@query(
+    "partition_skew_stats",
+    oracle="""
+WITH b AS (
+    SELECT ((strpos('0123456789abcdef',
+                substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                substring(md5(CAST(l_orderkey AS VARCHAR)), 2, 1)) - 1)) % 32
+               AS bucket,
+           l_orderkey
+    FROM lineitem
+), per AS (
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+    FROM b GROUP BY bucket
+), tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+                  CAST(count(*) AS BIGINT) AS n_buckets FROM per)
+SELECT p.bucket, p.n_rows, p.n_keys,
+       CAST((10000 * p.n_rows) // t.total AS BIGINT) AS share_bp,
+       CAST(CASE WHEN p.n_rows * t.n_buckets * 100 > 120 * t.total
+                 THEN 1 ELSE 0 END AS BIGINT) AS hot
+FROM per p CROSS JOIN tot t
+""",
+)
+def partition_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition skew audit — the diagnosis you run BEFORE
+    picking a join/agg key at scale: rows and distinct keys per
+    md5-bucket (32 buckets stand in for shuffle partitions; md5
+    rather than Spark's internal hash so the oracle replays the
+    assignment), each bucket's share in basis points, and a hot flag
+    at >1.2× the fair share via the integer cross-multiplied form
+    (n·B·100 > 120·total — no division, no float). Feeds the salting
+    decision: a hot bucket with FEW distinct keys salts; one with
+    many keys just repartitions.
+
+    100 TB shape: one hash aggregation, bucket-bounded output; this
+    is the cheap dry-run twin of AQE's runtime skew detection, and
+    the audit the join_skew_salted plan cites as its trigger."""
+    li = _lt(spark, sf_dir, "lineitem")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 2), 16, 10
+        ).cast("long"),
+        F.lit(32),
+    )
+    per = li.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_keys"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_rows",
+        "n_keys",
+        F.expr("(10000 * n_rows) div total").cast("long").alias("share_bp"),
+        F.when(
+            F.col("n_rows") * F.col("n_buckets") * 100 > 120 * F.col("total"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hot"),
+    )
+
+
+@query(
+    "zipf_rank_frequency",
+    oracle="""
+WITH freq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS f
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+), tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
+top AS (
+    SELECT token, f FROM freq ORDER BY f DESC, token LIMIT 50
+)
+SELECT token,
+       CAST(row_number() OVER (ORDER BY f DESC, token) AS BIGINT) AS rank,
+       f AS freq,
+       CAST(row_number() OVER (ORDER BY f DESC, token) * f AS BIGINT)
+           AS rf_product,
+       CAST((1000000 * f) // t.total AS BIGINT) AS share_e6
+FROM top CROSS JOIN tot t
+""",
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head diagnostic (public knowledge: rank × frequency ≈
+    constant in natural text): the top-50 tokens with rank, count,
+    the r·f product whose flatness IS the Zipf check, and each
+    token's corpus share in e6 fixed point. A sharply non-flat r·f
+    head is the boilerplate/template signal the dedup valves
+    (max_df, PPJoin prefix) key off — this query is their measured
+    justification on any corpus.
+
+    100 TB shape: one token count (map-side combined), a top-50
+    LIMIT, then a POST-LIMIT bounded ranking window (the reviewed
+    bounded-window pattern) — the vocabulary never sorts globally
+    beyond the top-k selection."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    d = _lt(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tot = freq.agg(F.sum("f").alias("total"))
+    top = freq.orderBy(F.desc("f"), F.asc("token")).limit(50)
+    rank = F.row_number().over(
+        W.partitionBy(bounded_window_key(F.col("token"))).orderBy(
+            F.desc("f"), F.asc("token")
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", rank.cast("long"))
+        .select(
+            "token",
+            "rank",
+            F.col("f").alias("freq"),
+            (F.col("rank") * F.col("f")).cast("long").alias("rf_product"),
+            F.expr("(1000000 * f) div total").cast("long").alias("share_e6"),
+        )
+    )
