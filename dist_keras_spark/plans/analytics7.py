@@ -288,7 +288,11 @@ def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     50% vs stddev's 0%). Both medians use the house DISCRETE rank
     selection (the (n+1)//2-th smallest, rid tie-break) so every
     value is an observed integer quantity — no interpolation, no
-    float, hash-exact by construction.
+    float, hash-exact by construction. Sibling of
+    robust_outliers_mad (analytics.py), which is the INTERPOLATED-
+    percentile float convention on event values; this is the
+    discrete-integer convention on quantities — the two conventions
+    any production MAD must pick between, both covered.
 
     100 TB shape: two supplier-keyed window passes over the same
     shuffle key (Catalyst reuses the partitioning; the second pass
@@ -1225,6 +1229,9 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll up from that, and the cumulative sum runs over the CALENDAR
     grid, never over events. A new day's refresh appends one grid
     row — the same incremental argument as incremental_rollup_merge.
+    Complements win_cumulative_distinct (analytics.py), which is the
+    per-EVENT running distinct at row grain; this is the corpus
+    growth curve at calendar grain with an incremental refresh shape.
 
     100 TB shape: the only data-sized operation is the (type, user)
     first-touch aggregation (map-side combined); everything after is

@@ -155,6 +155,23 @@ EXTENDED = [
     "seasonal_strength_dow",
     "hhi_concentration_by_nation",
     "table_profile_orders",
+    # round 9
+    "blocking_quality_sampled",  # sampled-stratum twin of blocking_quality_metrics
+    "t_closeness_audit",
+    "auc_mann_whitney",
+    "mad_robust_scale",
+    "clustering_coefficient_nodes",
+    "vocab_growth_curve",
+    "mrl_truncation_recall",
+    "colbert_maxsim_top3",
+    "cluster_cap_sample",
+    "incremental_dedup_new_batch",
+    "sessionize_with_cap",
+    "table_profile_documents",
+    "multimodal_video_framestats",
+    "cumulative_distinct_users",
+    "partition_skew_stats",
+    "zipf_rank_frequency",
 ]
 
 
