@@ -930,9 +930,7 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "sessionize_with_cap",
-    oracle="""
+_CAP_SESSIONS_SQL = """
 WITH prevd AS (
     SELECT user_id, ts, event_id,
            lag(ts) OVER (PARTITION BY user_id
@@ -966,8 +964,10 @@ SELECT user_id,
        CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_s
 FROM capped
 GROUP BY user_id, sid, sub
-""",
-)
+"""
+
+
+@query("sessionize_with_cap", oracle=_CAP_SESSIONS_SQL)
 def sessionize_with_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dual-boundary sessionization: the 30-minute inactivity gap of
     events_session_window PLUS a hard 2-hour duration cap — the
@@ -1384,4 +1384,49 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank") * F.col("f")).cast("long").alias("rf_product"),
             F.expr("(1000000 * f) div total").cast("long").alias("share_e6"),
         )
+    )
+
+
+@query("streaming_capped_sessions_live", oracle=_CAP_SESSIONS_SQL)
+def streaming_capped_sessions_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K7 custom-stateful as REAL streaming: gap + hard-cap
+    sessionization via applyInPandasWithState, AvailableNow-drained —
+    the live twin of `sessionize_with_cap`, sharing its oracle. The
+    cap is the logic no built-in session_window can express (it
+    splits relative to the GAP-session anchor), and it is also what
+    makes this the showcase stateful op: per-user state is the OPEN
+    session only — six longs, provably bounded BECAUSE of the cap —
+    while closed sessions emit incrementally and the open one
+    re-emits flagged per batch. The drained sink is reduced to each
+    session's LATEST summary (max n per (user, session_start) — the
+    idempotent-upsert convention), which after a full drain equals
+    the batch gaps-and-islands result exactly: second-truncated gap
+    arithmetic on int64 microseconds matches date_diff('second') on
+    both engines.
+
+    Scale: state store holds one tuple per ACTIVE user; emission is
+    append-mostly (one update row per open session per batch). The
+    memory-sink dedup below is the test-harness stand-in for the
+    foreachBatch MERGE sink (run_foreach_batch_upsert) a production
+    deployment uses."""
+    from dist_keras_spark.streaming.pipelines import (
+        run_available_now,
+        stream_events,
+    )
+    from dist_keras_spark.streaming.stateful import capped_sessions
+
+    drained = run_available_now(
+        capped_sessions(stream_events(spark, sf_dir)), output_mode="update"
+    )
+    latest = F.row_number().over(
+        W.partitionBy("user_id", "session_start").orderBy(
+            F.desc("n"), F.asc("is_open")
+        )
+    )
+    return (
+        drained.withColumn("rn", latest)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "session_start", "n", "span_s")
     )

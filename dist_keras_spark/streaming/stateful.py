@@ -107,3 +107,86 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+CAP_SESSION_OUTPUT = (
+    "user_id long, session_start timestamp, n long, span_s long, is_open int"
+)
+# open-session state ONLY — bounded per key regardless of history:
+# gap-session anchor seconds, previous event seconds, current sub
+# index, plus the open capped-group's (min_ts, max_ts, n). Timestamps
+# ride as int64 microseconds (exact).
+CAP_SESSION_STATE = (
+    "anchor_s long, prev_s long, sub long, min_us long, max_us long, n long"
+)
+
+_GAP_S = 1800
+_CAP_S = 7200
+
+
+def _cap_update(
+    key: tuple, pdf_iter, state: GroupState
+):
+    (user_id,) = key
+    import numpy as np
+
+    if state.exists:
+        anchor_s, prev_s, sub, min_us, max_us, n = state.get
+    else:
+        anchor_s = None
+    rows = []
+
+    def close():
+        rows.append((user_id, min_us, n, max_us // 1_000_000 - min_us // 1_000_000, 0))
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        ev = pd.concat(pdfs).sort_values(["ts", "event_id"])
+        for ts in ev["ts"]:
+            us = ts.value // 1000  # ns → µs, exact
+            s = us // 1_000_000  # truncated seconds (date_diff parity)
+            if anchor_s is None or s - prev_s > _GAP_S:
+                if anchor_s is not None:
+                    close()
+                anchor_s, sub = s, 0
+                min_us, max_us, n = us, us, 1
+            else:
+                new_sub = (s - anchor_s) // _CAP_S
+                if new_sub != sub:
+                    close()
+                    sub = new_sub
+                    min_us, max_us, n = us, us, 1
+                else:
+                    max_us, n = us, n + 1
+            prev_s = s
+    if anchor_s is not None:
+        state.update((anchor_s, prev_s, sub, min_us, max_us, n))
+        # emit the open group too, flagged — the drain's last emission
+        # for each user carries its final (possibly still-open) session
+        rows.append(
+            (user_id, min_us, n, max_us // 1_000_000 - min_us // 1_000_000, 1)
+        )
+    out = pd.DataFrame(
+        rows, columns=["user_id", "session_start", "n", "span_s", "is_open"]
+    )
+    if len(out):
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+    yield out
+
+
+def capped_sessions(events: DataFrame) -> DataFrame:
+    """K7 custom stateful operator: gap (30 min) + hard-cap (2 h)
+    sessionization — logic no built-in session_window expresses (the
+    cap is relative to the GAP-session anchor, not the watermark).
+    State per user is the OPEN session only (six longs — provably
+    bounded, the property the batch twin `sessionize_with_cap`
+    documents); closed sessions emit incrementally, the open one
+    re-emits flagged each batch so the drained sink always holds
+    every session's latest summary."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _cap_update,
+        outputStructType=CAP_SESSION_OUTPUT,
+        stateStructType=CAP_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -295,3 +295,95 @@ def test_documents_profile_matches_pandas(spark, sf_dir):
     assert prof["text_len"]["max_repr"] == str(int(tl.max()))
     assert prof["lang"]["n_distinct"] == docs["lang"].nunique()
     assert prof["source"]["min_repr"] == min(docs["source"])
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _cap_update directly."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _run_cap_batch(state, ts_list):
+    from dist_keras_spark.streaming.stateful import _cap_update
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts_list),
+            "event_id": range(len(ts_list)),
+            "user_id": [1] * len(ts_list),
+        }
+    )
+    return list(_cap_update((1,), iter([pdf]), state))[0]
+
+
+def test_capped_session_state_carries_across_batches():
+    """The cross-batch path the single-file AvailableNow drain never
+    exercises: an open session must continue, split at the cap
+    RELATIVE TO ITS ANCHOR, and close on a gap — across separate
+    _cap_update invocations sharing state."""
+    st = _FakeState()
+    # batch 1: two events 10 min apart -> one open session
+    out1 = _run_cap_batch(st, ["2024-01-01 00:00:00", "2024-01-01 00:10:00"])
+    assert list(out1["is_open"]) == [1]
+    assert out1.iloc[0]["n"] == 2
+    # batch 2: +10 min (same session), then +2h5m from ANCHOR -> cap
+    # split (sub 1), then a 40-min gap -> close capped, new session
+    out2 = _run_cap_batch(
+        st,
+        ["2024-01-01 00:20:00", "2024-01-01 02:05:00", "2024-01-01 02:45:00"],
+    )
+    closed = out2[out2["is_open"] == 0]
+    # first capped group closed with 3 events (00:00,00:10,00:20);
+    # second capped group (02:05) closed by the gap
+    assert [int(n) for n in closed["n"]] == [3, 1]
+    spans = [int(s) for s in closed["span_s"]]
+    assert spans == [1200, 0]
+    open_now = out2[out2["is_open"] == 1]
+    assert len(open_now) == 1 and int(open_now.iloc[0]["n"]) == 1
+    # state holds ONLY the open session (six longs)
+    assert len(st.get) == 6
+
+
+def test_capped_session_gap_boundary_is_second_truncated():
+    """Gap test parity with the oracle's date_diff('second'): 1800 s
+    exactly (even with microsecond excess below the next second) is
+    SAME session; 1801 s is a new one."""
+    st = _FakeState()
+    out = _run_cap_batch(
+        st, ["2024-01-01 00:00:00.900000", "2024-01-01 00:30:00.100000"]
+    )
+    assert list(out["is_open"]) == [1] and int(out.iloc[0]["n"]) == 2
+    st2 = _FakeState()
+    out2 = _run_cap_batch(
+        st2, ["2024-01-01 00:00:00", "2024-01-01 00:30:01"]
+    )
+    assert [int(n) for n in out2["n"]] == [1, 1]
+
+
+def test_streaming_capped_sessions_equals_batch(spark, sf_dir):
+    from dist_keras_spark.plans.analytics7 import (
+        sessionize_with_cap,
+        streaming_capped_sessions_live,
+    )
+
+    live = {
+        (r["user_id"], r["session_start"], r["n"], r["span_s"])
+        for r in streaming_capped_sessions_live(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["n"], r["span_s"])
+        for r in sessionize_with_cap(spark, sf_dir).collect()
+    }
+    assert live == batch
