@@ -1430,3 +1430,207 @@ def streaming_capped_sessions_live(
         .filter(F.col("rn") == 1)
         .select("user_id", "session_start", "n", "span_s")
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable-sketch certifications: KMV distinct estimator, Count-Min
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kmv_distinct_certified",
+    oracle="""
+WITH h AS (
+    SELECT DISTINCT
+        ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':kmv'), 1, 12))::BIGINT
+            AS hv
+    FROM lineitem
+), kmin AS (
+    SELECT hv FROM h ORDER BY hv LIMIT 64
+), kth AS (
+    SELECT CAST(max(hv) AS BIGINT) AS h_k,
+           CAST(count(*) AS BIGINT) AS k_used
+    FROM kmin
+), ex AS (
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_ndv
+    FROM lineitem
+)
+SELECT ex.exact_ndv, kth.k_used, kth.h_k,
+       CAST(CASE WHEN kth.k_used < 64 THEN ex.exact_ndv
+                 ELSE ((kth.k_used - 1) * 281474976710656) // kth.h_k END
+            AS BIGINT) AS est_ndv,
+       CAST(abs(ex.exact_ndv -
+                CASE WHEN kth.k_used < 64 THEN ex.exact_ndv
+                     ELSE ((kth.k_used - 1) * 281474976710656) // kth.h_k END)
+            AS BIGINT) AS abs_err
+FROM ex CROSS JOIN kth
+""",
+)
+def kmv_distinct_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, CERTIFIED next
+    to the exact answer (Bar-Yossef et al. 2002, public knowledge:
+    est = (k−1)·H / h₍ₖ₎ with H the hash space, σ ≈ NDV/√k). Unlike
+    HLL (whose register layout is implementation-defined, hence
+    agg_approx_count_distinct stays rows-only), KMV is DETERMINISTIC
+    given the hash — md5-prefix 48-bit here — so the sketch itself
+    replays exactly in SQL and the driver hash-checks estimator AND
+    certification. Under-filled sketches (NDV < k) return exact by
+    definition. Completes the certification family's sketch row:
+    percentile (KLL-style bound), NDV-by-HLL (rsd assert), NDV-by-KMV
+    (THIS — exact replay).
+
+    100 TB shape: the k smallest of DISTINCT hashes — a distinct on
+    the hash (map-side combined) then a global top-k LIMIT (Spark's
+    TakeOrdered, no full sort); the sketch is 64 longs and MERGEABLE
+    (union = k smallest of the union — how it beats exact distinct
+    across partitions/days at scale). The exact side exists to
+    certify; production drops it."""
+    li = _lt(spark, sf_dir, "lineitem")
+    hv = (
+        li.select(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("l_orderkey").cast("string"), F.lit(":kmv"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv")
+        )
+        .distinct()
+    )
+    kmin = hv.orderBy("hv").limit(64)
+    kth = kmin.agg(
+        F.max("hv").alias("h_k"), F.count(F.lit(1)).alias("k_used")
+    )
+    ex = li.agg(F.countDistinct("l_orderkey").alias("exact_ndv"))
+    est = F.when(
+        F.col("k_used") < 64, F.col("exact_ndv")
+    ).otherwise(F.expr("((k_used - 1) * 281474976710656) div h_k"))
+    return (
+        ex.crossJoin(F.broadcast(kth))
+        .withColumn("est_ndv", est.cast("long"))
+        .select(
+            "exact_ndv",
+            "k_used",
+            "h_k",
+            "est_ndv",
+            F.abs(F.col("exact_ndv") - F.col("est_ndv")).cast("long").alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+_CMS_ROWS = 3
+_CMS_W = 128
+
+
+def _cms_bucket_sql(row: int) -> str:
+    return (
+        f"('0x' || substr(md5(token || ':cms{row}'), 1, 8))::BIGINT % {_CMS_W}"
+    )
+
+
+def _cms_oracle_sql() -> str:
+    counters = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_bucket_sql(r)} AS b,"
+        f" CAST(count(*) AS BIGINT) AS c FROM toks2 GROUP BY 2"
+        for r in range(_CMS_ROWS)
+    )
+    probe_buckets = ", ".join(
+        f"{_cms_bucket_sql(r)} AS pb{r}" for r in range(_CMS_ROWS)
+    )
+    joins = " ".join(
+        f"JOIN counters x{r} ON x{r}.r = {r} AND x{r}.b = t.pb{r}"
+        for r in range(_CMS_ROWS)
+    )
+    est = "least(" + ", ".join(f"x{r}.c" for r in range(_CMS_ROWS)) + ")"
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), toks2 AS (SELECT token FROM toks WHERE token <> ''),
+counters AS ({counters}),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks2),
+top AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS true_count, {probe_buckets}
+    FROM toks2 GROUP BY token ORDER BY true_count DESC, token LIMIT 10
+)
+SELECT t.token, t.true_count,
+       CAST({est} AS BIGINT) AS est_count,
+       CAST({est} - t.true_count AS BIGINT) AS overcount,
+       tot.n AS stream_len
+FROM top t {joins}
+CROSS JOIN total tot
+"""
+
+
+@query("countmin_sketch_certified", oracle=_cms_oracle_sql())
+def countmin_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public
+    knowledge) built and PROBED in-query, certified against exact
+    counts: 3 rows × 128 md5-bucket counters over the token stream,
+    point estimate = min over rows — always ≥ the true count (the
+    one-sided CM guarantee, asserted per probe in pytest along with
+    the ε = e/w bound). Deterministic hash ⇒ the entire sketch
+    replays in SQL, so unlike HLL this sketch is hash-checked, not
+    trusted. Probes are the exact top-10 tokens (the heavy hitters a
+    CMS exists to answer).
+
+    100 TB shape: the sketch build is ONE groupBy (row, bucket)
+    aggregation with map-side combine onto a 3×128 grid — constant
+    state, embarrassingly MERGEABLE (entrywise sum), which is the
+    whole point at scale: per-partition/per-day sketches sum into the
+    global one without touching rows again. The exact top-10 exists
+    to certify; production reads the sketch alone."""
+    d = _lt(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+    def bucket(col, r: int):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(f":cms{r}"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_CMS_W),
+        )
+
+    counters = None
+    for r in range(_CMS_ROWS):
+        part = toks.groupBy(bucket(F.col("token"), r).alias("b")).agg(
+            F.count(F.lit(1)).alias("c")
+        ).select(F.lit(r).alias("r"), "b", "c")
+        counters = part if counters is None else counters.unionByName(part)
+    total = toks.agg(F.count(F.lit(1)).alias("stream_len"))
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(10)
+    )
+    probed = top
+    for r in range(_CMS_ROWS):
+        cr = counters.filter(F.col("r") == r).select(
+            F.col("b").alias(f"b{r}"), F.col("c").alias(f"c{r}")
+        )
+        probed = probed.join(
+            F.broadcast(cr), bucket(F.col("token"), r) == F.col(f"b{r}")
+        )
+    est = F.least(*[F.col(f"c{r}") for r in range(_CMS_ROWS)])
+    return (
+        probed.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "true_count",
+            est.cast("long").alias("est_count"),
+            (est - F.col("true_count")).cast("long").alias("overcount"),
+            "stream_len",
+        )
+    )

@@ -387,3 +387,52 @@ def test_streaming_capped_sessions_equals_batch(spark, sf_dir):
         for r in sessionize_with_cap(spark, sf_dir).collect()
     }
     assert live == batch
+
+
+def test_kmv_estimate_within_theoretical_bound(spark, sf_dir):
+    """KMV σ ≈ NDV/√k; 5σ on the fixtures is a hard gate (the
+    estimator is deterministic, so this is a one-time certification,
+    not a flaky sample)."""
+    from dist_keras_spark.plans.analytics7 import kmv_distinct_certified
+
+    r = kmv_distinct_certified(spark, sf_dir).collect()[0]
+    assert r["k_used"] <= 64
+    if r["k_used"] < 64:
+        assert r["est_ndv"] == r["exact_ndv"] and r["abs_err"] == 0
+    else:
+        assert r["abs_err"] <= 5 * r["exact_ndv"] // 8  # 5/√64 = 5/8
+        assert 0 < r["h_k"] < 1 << 48
+
+
+def test_countmin_rederives_in_python_and_never_undercounts(spark, sf_dir):
+    import hashlib
+
+    from dist_keras_spark.plans.analytics7 import (
+        _CMS_ROWS,
+        _CMS_W,
+        countmin_sketch_certified,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    stream = [w for t in docs["text"] for w in t.split(" ") if w]
+
+    def bucket(tok, r):
+        return int(hashlib.md5(f"{tok}:cms{r}".encode()).hexdigest()[:8], 16) % _CMS_W
+
+    counters = [[0] * _CMS_W for _ in range(_CMS_ROWS)]
+    from collections import Counter
+
+    freq = Counter(stream)
+    for tok, c in freq.items():
+        for r in range(_CMS_ROWS):
+            counters[r][bucket(tok, r)] += c
+    rows = countmin_sketch_certified(spark, sf_dir).collect()
+    assert len(rows) == min(10, len(freq))
+    for row in rows:
+        true = freq[row["token"]]
+        est = min(counters[r][bucket(row["token"], r)] for r in range(_CMS_ROWS))
+        assert row["true_count"] == true
+        assert row["est_count"] == est
+        assert row["overcount"] == est - true
+        assert est >= true  # the one-sided CM guarantee
+        assert row["stream_len"] == len(stream)

@@ -172,6 +172,9 @@ EXTENDED = [
     "cumulative_distinct_users",
     "partition_skew_stats",
     "zipf_rank_frequency",
+    "streaming_capped_sessions_live",
+    "kmv_distinct_certified",
+    "countmin_sketch_certified",
 ]
 
 
