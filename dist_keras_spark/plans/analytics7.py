@@ -1634,3 +1634,87 @@ def countmin_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_len",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join optimization pattern: binned range join (no equi key)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "range_join_binned",
+    oracle="""
+WITH iv AS (
+    SELECT o_orderkey AS iid,
+           CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               AS start_day
+    FROM orders WHERE o_orderkey % 1000 = 0
+), pts AS (
+    SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               AS day
+    FROM orders
+)
+SELECT iv.iid, iv.start_day,
+       CAST(count(p.day) AS BIGINT) AS n_orders_in_window
+FROM iv LEFT JOIN pts p
+  ON p.day >= iv.start_day AND p.day <= iv.start_day + 30
+GROUP BY 1, 2
+""",
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key) done scalably: every 1000th
+    order opens a 31-day window; count all orders falling inside
+    each. Spark's native plan for interval containment is a
+    BroadcastNestedLoopJoin — O(|intervals|·|points|) comparisons.
+    The BINNED rewrite makes it an EQUI join: fixed 32-day bins,
+    each interval explodes to the ≤2 bins it overlaps (bin width ≥
+    interval length ⇒ ceil+1 bins), each point maps to exactly one
+    bin; join on bin, then the exact range predicate filters
+    residuals. Comparisons drop from n·m to Σ per-bin products —
+    the standard time-binning trick (DuckDB's IEJoin and Spark range
+    -join hints solve the same problem engine-side; this is the
+    portable plan-level form). The pytest gate asserts the physical
+    plan contains NO nested-loop join.
+
+    100 TB shape: both sides shuffle on the bin key (AQE handles
+    bin skew); interval duplication is bounded by ceil(len/width)+1
+    = 2 rows per interval. The LEFT join keeps empty windows via an
+    interval-side count of matched points only."""
+    o = _lt(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    iv = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey").alias("iid"),
+        day.cast("long").alias("start_day"),
+    )
+    pts = o.select(day.cast("long").alias("day"))
+    # bin width 32 ≥ window 31 ⇒ an interval spans at most 2 bins
+    ivb = iv.select(
+        "iid",
+        "start_day",
+        F.explode(
+            F.sequence(
+                F.expr("start_day div 32"), F.expr("(start_day + 30) div 32")
+            )
+        ).alias("bin"),
+    )
+    ptb = pts.select("day", F.expr("day div 32").alias("bin"))
+    matched = (
+        ivb.join(ptb, "bin")
+        .filter(
+            (F.col("day") >= F.col("start_day"))
+            & (F.col("day") <= F.col("start_day") + 30)
+        )
+        .groupBy("iid", "start_day")
+        .agg(F.count(F.lit(1)).alias("n_orders_in_window"))
+    )
+    # restore empty windows (left-join semantics of the oracle)
+    return (
+        iv.join(matched, ["iid", "start_day"], "left")
+        .select(
+            "iid",
+            "start_day",
+            F.coalesce(F.col("n_orders_in_window"), F.lit(0))
+            .cast("long")
+            .alias("n_orders_in_window"),
+        )
+    )

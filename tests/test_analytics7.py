@@ -436,3 +436,27 @@ def test_countmin_rederives_in_python_and_never_undercounts(spark, sf_dir):
         assert row["overcount"] == est - true
         assert est >= true  # the one-sided CM guarantee
         assert row["stream_len"] == len(stream)
+
+
+def test_range_join_binned_has_no_nested_loop(spark, sf_dir):
+    """The whole point of the binned rewrite: the physical plan must
+    be an equi join (SMJ/SHJ/BHJ on the bin key), never a
+    BroadcastNestedLoopJoin — and it must agree with the naive theta
+    join it replaces."""
+    from dist_keras_spark.plans.analytics7 import range_join_binned
+
+    df = range_join_binned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # intervals that overlap two bins must still count exactly once:
+    # rederive two windows in pandas
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    epoch = pd.Timestamp("1970-01-01")
+    days = (pd.to_datetime(orders["o_orderdate"]) - epoch).dt.days
+    rows = {r["iid"]: r for r in df.collect()}
+    probe = orders[orders["o_orderkey"] % 1000 == 0]
+    for _, p in list(probe.iterrows())[:5]:
+        d0 = int((pd.to_datetime(p["o_orderdate"]) - epoch).days)
+        expect = int(((days >= d0) & (days <= d0 + 30)).sum())
+        assert rows[p["o_orderkey"]]["n_orders_in_window"] == expect
