@@ -36,6 +36,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
 )
 
 # Round-9 window (VERDICT r8 #1): generated MECHANICALLY by
