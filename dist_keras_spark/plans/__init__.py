@@ -37,6 +37,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics6,
     analytics7,
     analytics8,
+    analytics9,
 )
 
 # Round-9 window (VERDICT r8 #1): generated MECHANICALLY by

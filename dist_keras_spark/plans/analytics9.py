@@ -1,0 +1,276 @@
+"""Round-9 third wave: two primitives the registry still lacked —
+winnowing document fingerprinting (the rolling-hash fingerprint op;
+Schleimer, Wilkerson & Aiken 2003, MOSS) and an exact-rational
+two-sample Kolmogorov-Smirnov drift test (the distribution-level
+sibling of the categorical drift_chi2_daily gate). Association-rule
+lift and edit-distance blocking already exist (market_basket_lift,
+levenshtein_blocked_pairs) — this wave deliberately adds only what is
+genuinely new.
+
+dist-keras has no analogue for any of these — "beyond the reference"
+training-data-pipeline surface (brief: dedup / similarity / text
+analysis are first-class), mapped in COVERAGE.md.
+
+House rules (see analytics5.py): md5 is the engine-portable
+fingerprint; integer micro units via exact `div`; BIGINT `div`
+(Spark) == `//` (DuckDB) ONLY while every operand stays integer; fixed
+integer headroom bounds documented per query with the rescale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling k-gram hash, window minima)
+# --------------------------------------------------------------------------
+
+_WIN_K = 8  # k-gram length (noise threshold)
+_WIN_W = 4  # winnowing window (guarantee threshold t = k + w - 1 = 11)
+_WIN_MAX_DF = 50  # stop-fingerprint valve: drop fps in more docs than this
+
+
+@query(
+    "winnowing_fingerprint_pairs",
+    oracle=f"""
+WITH kg AS (
+    SELECT d.doc_id, i.i,
+           ('0x' || substr(md5(substr(d.text, CAST(i.i AS INTEGER), {_WIN_K})),
+                           1, 8))::BIGINT AS h,
+           length(d.text) - {_WIN_K - 1} AS npos
+    FROM documents d,
+         unnest(generate_series(1, length(d.text) - {_WIN_K - 1})) AS i(i)
+    WHERE length(d.text) >= {_WIN_K}
+), wmin AS (
+    -- window FIRST over every k-gram position, filter to full windows
+    -- AFTER: a WHERE on the same level would drop the tail rows from
+    -- the window input and silently truncate the last w-1 windows.
+    SELECT doc_id, fp FROM (
+        SELECT doc_id, i, npos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS fp
+        FROM kg
+    ) WHERE i + {_WIN_W - 1} <= npos
+), fps AS (SELECT DISTINCT doc_id, fp FROM wmin),
+df AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WIN_MAX_DF}),
+keep AS (SELECT f.doc_id, f.fp FROM fps f JOIN df ON df.fp = f.fp),
+pairs AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+    FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d1, d2, shared FROM pairs
+ORDER BY shared DESC, d1, d2 LIMIT 20
+""",
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm, public knowledge): every k=8 char-gram gets a
+    rolling md5-prefix hash; the fingerprint set is the minimum hash
+    of each w=4 consecutive-gram window, guaranteeing any shared
+    substring of length ≥ k+w-1 = 11 produces at least one shared
+    fingerprint. Top-20 document pairs by shared-fingerprint count —
+    the plagiarism/near-dup candidates. The paper's positional
+    tie-break selects WHICH position carries a repeated minimum; the
+    fingerprint SET (distinct values per doc) is identical either
+    way, which is what makes the op engine-portable. Fingerprints in
+    more than {_WIN_MAX_DF} docs are stop-fingerprints (boilerplate)
+    and dropped — same df valve as the shingle inverted index
+    (operators/dedup.py). All integer: 32-bit md5-prefix hashes,
+    counts.
+
+    Complements the dedup row: MinHash-LSH estimates whole-document
+    Jaccard; winnowing localizes SHARED SUBSTRINGS (contiguous
+    overlap ≥ 11 chars) — the right primitive for quote/boilerplate
+    detection and contamination tracing.
+
+    100 TB shape: k-gram explode and window-min are scan-side,
+    partitioned by doc_id (bounded by doc length); the pair join is
+    an inverted fingerprint index bounded by the df cap — never
+    all-pairs. At true scale the same shape runs per-band like LSH;
+    selectivity is tuned with k/w, not plan changes."""
+    d = _lt(spark, sf_dir, "documents").where(F.length("text") >= _WIN_K)
+    kg = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_WIN_K - 1))
+        ).alias("i"),
+        (F.length("text") - (_WIN_K - 1)).alias("npos"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        "npos",
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(text, i, {_WIN_K})")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    # Window over EVERY position first, then keep full windows only —
+    # filtering first would truncate the last w-1 windows (see oracle).
+    wmin = kg.select(
+        "doc_id",
+        "i",
+        "npos",
+        F.min("h")
+        .over(
+            W.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(W.currentRow, _WIN_W - 1)
+        )
+        .alias("fp"),
+    ).where(F.col("i") + (_WIN_W - 1) <= F.col("npos")).select("doc_id", "fp")
+    fps = wmin.select("doc_id", "fp").distinct()
+    df_keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") <= _WIN_MAX_DF)
+        .select("fp")
+    )
+    keep = fps.join(df_keep, "fp")
+    a = keep.alias("a")
+    b = keep.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.select("d1", "d2", F.col("shared").cast("long").alias("shared"))
+        .orderBy(F.desc("shared"), "d1", "d2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-rational two-sample Kolmogorov-Smirnov test
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ks_test_two_sample",
+    oracle="""
+WITH s AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
+    FROM lineitem WHERE l_returnflag IN ('R', 'A')
+), cnt AS (
+    SELECT v, CAST(sum(is_r) AS BIGINT) AS n_r,
+           CAST(sum(1 - is_r) AS BIGINT) AS n_a
+    FROM s GROUP BY v
+), cum AS (
+    SELECT sum(n_r) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f_r,
+           sum(n_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f_a,
+           sum(n_r) OVER () AS n1, sum(n_a) OVER () AS n2
+    FROM cnt
+), d AS (
+    SELECT CAST(max(abs(n2 * f_r - n1 * f_a)) AS BIGINT) AS d_num,
+           CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+    FROM cum
+)
+SELECT n1, n2, d_num,
+       CAST((1000000 * d_num) // (n1 * n2) AS BIGINT) AS d_e6,
+       CAST(((1000000 * d_num) // (n1 * n2))
+            * ((1000000 * d_num) // (n1 * n2)) // (n1 + n2) AS BIGINT)
+           AS ks_scaled,
+       CAST(1844164000000 // (n1 * n2) AS BIGINT) AS crit_scaled,
+       CAST(CASE WHEN ((1000000 * d_num) // (n1 * n2))
+                      * ((1000000 * d_num) // (n1 * n2)) // (n1 + n2)
+                      > 1844164000000 // (n1 * n2)
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+FROM d
+""",
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test, EXACT-RATIONAL: for
+    returned ('R') vs accepted ('A') line items over the integer
+    quantity support, D = max_v |F1(v) - F2(v)| is carried as the
+    integer numerator d_num = max|n2·cum1(v) - n1·cum2(v)| over the
+    common denominator n1·n2 — no float CDFs. The α=0.05 verdict uses
+    c(0.05)² = 1.358² = 1.844164 rearranged into pure integer floor
+    divisions applied IDENTICALLY on both engines: reject iff
+    d_e6²/(n1+n2) > 1.844164e12/(n1·n2) (both sides floored; the
+    boundary fuzz is deterministic and engine-identical, which is the
+    contract — chi2 drift has the same property in drift_chi2_daily).
+
+    Int64 headroom: d_e6 ≤ 1e6 so d_e6² ≤ 1e12 — SCALE-FREE; the
+    binding terms are 1e6·d_num ≤ 1e6·n1·n2 and n1·n2 itself, exact
+    through n1 = n2 ≈ 3e9 rows per sample (≈ sf5000). Beyond that,
+    rescale d_num by pre-dividing both cumulative counts by 1e3
+    (documented path, as changepoint_mean_shift).
+
+    100 TB shape: groupBy on the value support (map-side combined to
+    |support| rows — here ≤ 50), then ONE window over the bounded
+    support grid (bounded_window_key convention); the data-scaling
+    pass is a pure scan-aggregate. This is the canonical
+    distribution-drift gate a training-data pipeline runs between
+    ingestion snapshots."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    li = _lt(spark, sf_dir, "lineitem")
+    s = li.where(F.col("l_returnflag").isin("R", "A")).select(
+        F.col("l_quantity").cast("long").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+    )
+    cnt = s.groupBy("v").agg(
+        F.sum("is_r").alias("n_r"),
+        F.sum(F.lit(1) - F.col("is_r")).alias("n_a"),
+    )
+    bk = bounded_window_key(F.col("v"))
+    wo = (
+        W.partitionBy(bk)
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy(bk)
+    cum = cnt.select(
+        F.sum("n_r").over(wo).alias("f_r"),
+        F.sum("n_a").over(wo).alias("f_a"),
+        F.sum("n_r").over(wp).alias("n1"),
+        F.sum("n_a").over(wp).alias("n2"),
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(F.col("n2") * F.col("f_r") - F.col("n1") * F.col("f_a"))
+        ).alias("d_num"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    return d.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr("(1000000 * d_num) div (n1 * n2)").cast("long").alias("d_e6"),
+        F.expr(
+            "((1000000 * d_num) div (n1 * n2))"
+            " * ((1000000 * d_num) div (n1 * n2)) div (n1 + n2)"
+        )
+        .cast("long")
+        .alias("ks_scaled"),
+        F.expr("1844164000000 div (n1 * n2)").cast("long").alias("crit_scaled"),
+        F.expr(
+            "CASE WHEN ((1000000 * d_num) div (n1 * n2))"
+            " * ((1000000 * d_num) div (n1 * n2)) div (n1 + n2)"
+            " > 1844164000000 div (n1 * n2) THEN 1 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("reject_05"),
+    )
