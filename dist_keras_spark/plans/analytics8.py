@@ -76,7 +76,7 @@ WITH members AS (
 SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
        agg.n_probes, agg.false_pos,
        CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
-       CAST((1000000 * agg.false_pos) // agg.n_probes AS BIGINT) AS fpr_e6,
+       CAST((1000000 * agg.false_pos) // greatest(agg.n_probes, 1) AS BIGINT) AS fpr_e6,
        CAST((1000000 * (SELECT count(*) FROM bits)
                      * (SELECT count(*) FROM bits)
                      * (SELECT count(*) FROM bits))
@@ -167,7 +167,7 @@ def bloom_fpr_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_probes").cast("long").alias("n_probes"),
             F.col("false_pos").cast("long").alias("false_pos"),
             F.col("bits_set").cast("long").alias("bits_set"),
-            F.expr("(1000000 * false_pos) div n_probes").cast("long").alias("fpr_e6"),
+            F.expr("(1000000 * false_pos) div greatest(n_probes, 1)").cast("long").alias("fpr_e6"),
             F.expr(f"(1000000 * bits_set * bits_set * bits_set) div {m3}")
             .cast("long")
             .alias("theo_fpr_e6"),
@@ -229,7 +229,7 @@ sku AS (
     FROM kth CROSS JOIN mt CROSS JOIN ex
 )
 SELECT ex.exact_union, est.est_union, ex.exact_inter,
-       CAST((est.matches * est.est_union) // est.k_used AS BIGINT)
+       CAST((est.matches * est.est_union) // greatest(est.k_used, 1) AS BIGINT)
            AS est_inter,
        est.matches, est.k_used
 FROM ex CROSS JOIN est
@@ -307,7 +307,7 @@ def kmv_union_intersect_certified(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("exact_union").cast("long").alias("exact_union"),
             "est_union",
             F.col("exact_inter").cast("long").alias("exact_inter"),
-            F.expr("(matches * est_union) div k_used").cast("long").alias("est_inter"),
+            F.expr("(matches * est_union) div greatest(k_used, 1)").cast("long").alias("est_inter"),
             F.col("matches").cast("long").alias("matches"),
             F.col("k_used").cast("long").alias("k_used"),
         )

@@ -187,14 +187,14 @@ WITH s AS (
     FROM cum
 )
 SELECT n1, n2, d_num,
-       CAST((1000000 * d_num) // (n1 * n2) AS BIGINT) AS d_e6,
-       CAST(((1000000 * d_num) // (n1 * n2))
-            * ((1000000 * d_num) // (n1 * n2)) // (n1 + n2) AS BIGINT)
+       CAST((1000000 * d_num) // greatest(n1 * n2, 1) AS BIGINT) AS d_e6,
+       CAST(((1000000 * d_num) // greatest(n1 * n2, 1))
+            * ((1000000 * d_num) // greatest(n1 * n2, 1)) // greatest(n1 + n2, 1) AS BIGINT)
            AS ks_scaled,
-       CAST(1844164000000 // (n1 * n2) AS BIGINT) AS crit_scaled,
-       CAST(CASE WHEN ((1000000 * d_num) // (n1 * n2))
-                      * ((1000000 * d_num) // (n1 * n2)) // (n1 + n2)
-                      > 1844164000000 // (n1 * n2)
+       CAST(1844164000000 // greatest(n1 * n2, 1) AS BIGINT) AS crit_scaled,
+       CAST(CASE WHEN ((1000000 * d_num) // greatest(n1 * n2, 1))
+                      * ((1000000 * d_num) // greatest(n1 * n2, 1)) // greatest(n1 + n2, 1)
+                      > 1844164000000 // greatest(n1 * n2, 1)
                  THEN 1 ELSE 0 END AS BIGINT) AS reject_05
 FROM d
 """,
@@ -258,18 +258,18 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         F.col("d_num").cast("long").alias("d_num"),
-        F.expr("(1000000 * d_num) div (n1 * n2)").cast("long").alias("d_e6"),
+        F.expr("(1000000 * d_num) div greatest(n1 * n2, 1)").cast("long").alias("d_e6"),
         F.expr(
-            "((1000000 * d_num) div (n1 * n2))"
-            " * ((1000000 * d_num) div (n1 * n2)) div (n1 + n2)"
+            "((1000000 * d_num) div greatest(n1 * n2, 1))"
+            " * ((1000000 * d_num) div greatest(n1 * n2, 1)) div greatest(n1 + n2, 1)"
         )
         .cast("long")
         .alias("ks_scaled"),
-        F.expr("1844164000000 div (n1 * n2)").cast("long").alias("crit_scaled"),
+        F.expr("1844164000000 div greatest(n1 * n2, 1)").cast("long").alias("crit_scaled"),
         F.expr(
-            "CASE WHEN ((1000000 * d_num) div (n1 * n2))"
-            " * ((1000000 * d_num) div (n1 * n2)) div (n1 + n2)"
-            " > 1844164000000 div (n1 * n2) THEN 1 ELSE 0 END"
+            "CASE WHEN ((1000000 * d_num) div greatest(n1 * n2, 1))"
+            " * ((1000000 * d_num) div greatest(n1 * n2, 1)) div greatest(n1 + n2, 1)"
+            " > 1844164000000 div greatest(n1 * n2, 1) THEN 1 ELSE 0 END"
         )
         .cast("long")
         .alias("reject_05"),
