@@ -175,6 +175,13 @@ EXTENDED = [
     "streaming_capped_sessions_live",
     "kmv_distinct_certified",
     "countmin_sketch_certified",
+    # round 9 third wave
+    "range_join_binned",
+    "bloom_fpr_certified",
+    "kmv_union_intersect_certified",
+    "link_prediction_common_neighbors",
+    "winnowing_fingerprint_pairs",
+    "ks_test_two_sample",
 ]
 
 
