@@ -212,10 +212,13 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract — chi2 drift has the same property in drift_chi2_daily).
 
     Int64 headroom: d_e6 ≤ 1e6 so d_e6² ≤ 1e12 — SCALE-FREE; the
-    binding terms are 1e6·d_num ≤ 1e6·n1·n2 and n1·n2 itself, exact
-    through n1 = n2 ≈ 3e9 rows per sample (≈ sf5000). Beyond that,
-    rescale d_num by pre-dividing both cumulative counts by 1e3
-    (documented path, as changepoint_mean_shift).
+    binding term is 1e6·d_num with d_num ≤ n1·n2 in the worst case
+    (fully disjoint supports), so the query is unconditionally exact
+    while n1·n2 ≤ 9.2e12 — n1 = n2 ≈ 3e6, about sf2 for lineitem
+    halves. Beyond that, pre-divide both cumulative counts (and the
+    totals) by 1e3 before forming d_num — D is a ratio, so uniform
+    pre-scaling preserves it to 1e-3 relative (same rescale
+    discipline as changepoint_mean_shift).
 
     100 TB shape: groupBy on the value support (map-side combined to
     |support| rows — here ≤ 50), then ONE window over the bounded
@@ -273,4 +276,101 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("reject_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (forensic data quality)
+# --------------------------------------------------------------------------
+
+# floor(1e6 * log10(1 + 1/d)) for d = 1..9, precomputed so NO engine
+# evaluates a transcendental (libm log is not bit-portable across
+# engines; fixed literals are). Sums to 999995/1e6 by flooring.
+_BENFORD_E6 = [301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757]
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle=f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+obs AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                       1, 1) AS BIGINT) AS digit,
+           CAST(count(*) AS BIGINT) AS n_d
+    FROM orders GROUP BY 1
+), grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+exp AS (
+    SELECT g.digit,
+           ({_BENFORD_E6})[g.digit] AS exp_e6
+    FROM grid g
+)
+SELECT CAST(e.digit AS BIGINT) AS digit,
+       CAST(coalesce(o.n_d, 0) AS BIGINT) AS n_d,
+       CAST((1000000 * coalesce(o.n_d, 0)) // greatest(n.n, 1) AS BIGINT)
+           AS obs_e6,
+       CAST(e.exp_e6 AS BIGINT) AS exp_e6,
+       CAST(abs((1000000 * coalesce(o.n_d, 0)) // greatest(n.n, 1)
+                - e.exp_e6) AS BIGINT) AS abs_dev_e6
+FROM exp e LEFT JOIN obs o ON o.digit = e.digit, n
+""",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (Newcomb 1881 / Benford 1938,
+    public knowledge — the standard forensic data-quality screen for
+    fabricated or truncated amount columns): observed first-digit
+    frequency of the order total vs the Benford expectation
+    log10(1+1/d), per digit, with the absolute deviation — all in
+    integer micro-units. The nine expected shares are PRECOMPUTED
+    literals (floor(1e6·log10(1+1/d))) so neither engine evaluates a
+    transcendental at query time; the first digit comes from string
+    arithmetic on floor(amount) (always ≥ 1 here, so no zero/sign
+    digit), and the digit grid is outer-joined so all nine rows
+    appear even when a digit never occurs. TPC-H totals are NOT
+    Benford-distributed — the audit's point is to MEASURE deviation,
+    and the fixture exercises large abs_dev_e6 values.
+
+    Int64 headroom: 1e6·n_d ≤ 1e6·rows — exact through ~9.2e12 rows.
+
+    100 TB shape: one scan-side map to a 9-value key, map-side
+    combined count, 9-row grid broadcast; nothing else. The cheapest
+    audit in the catalog and the first one a finance-data ingest
+    should run."""
+    o = _lt(spark, sf_dir, "orders")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    obs = (
+        o.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("digit"))
+    exp = grid.select(
+        "digit",
+        F.element_at(
+            F.array(*[F.lit(v) for v in _BENFORD_E6]),
+            F.col("digit").cast("int"),
+        ).alias("exp_e6"),
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce(F.col("n_d"), F.lit(0)).cast("long").alias("n_d"),
+            F.expr("(1000000 * coalesce(n_d, 0)) div greatest(n, 1)")
+            .cast("long")
+            .alias("obs_e6"),
+            F.col("exp_e6").cast("long").alias("exp_e6"),
+            F.abs(
+                F.expr("(1000000 * coalesce(n_d, 0)) div greatest(n, 1)")
+                - F.col("exp_e6")
+            )
+            .cast("long")
+            .alias("abs_dev_e6"),
+        )
     )

@@ -103,3 +103,33 @@ def test_ks_statistic_rederives_in_pandas(spark, sf_dir):
     )
     # Same-population samples must not reject at this fixture size.
     assert row["reject_05"] == 0
+
+
+def test_benford_audit_rederives_in_python(spark, sf_dir):
+    import math
+
+    from dist_keras_spark.plans.analytics9 import (
+        _BENFORD_E6,
+        benford_first_digit_audit,
+    )
+
+    # The baked literals ARE floor(1e6*log10(1+1/d)) — guard the table.
+    assert _BENFORD_E6 == [
+        math.floor(1_000_000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+    ]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    digits = (
+        orders["o_totalprice"]
+        .apply(lambda x: int(str(int(math.floor(x)))[0]))
+        .value_counts()
+        .to_dict()
+    )
+    n = len(orders)
+    rows = benford_first_digit_audit(spark, sf_dir).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    for r in rows:
+        n_d = digits.get(r["digit"], 0)
+        assert r["n_d"] == n_d
+        assert r["obs_e6"] == (1_000_000 * n_d) // n
+        assert r["exp_e6"] == _BENFORD_E6[r["digit"] - 1]
+        assert r["abs_dev_e6"] == abs(r["obs_e6"] - r["exp_e6"])
