@@ -95,7 +95,12 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by doc_id (bounded by doc length); the pair join is
     an inverted fingerprint index bounded by the df cap — never
     all-pairs. At true scale the same shape runs per-band like LSH;
-    selectivity is tuned with k/w, not plan changes."""
+    selectivity is tuned with k/w, not plan changes. The fingerprint
+    subtree appears 4× in the static plan (keep ⋈ keep, each side
+    also feeding the df valve) but executes ONCE: AQE inserts 4
+    ReusedExchange nodes at runtime (measured sf0.01, r9) — the
+    ReuseExchange-over-eager-staging boundary documented at
+    blocking_quality_metrics, reconfirmed here."""
     d = _lt(spark, sf_dir, "documents").where(F.length("text") >= _WIN_K)
     kg = d.select(
         "doc_id",
