@@ -98,6 +98,47 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     )
 
 
+def shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """id → DISTINCT n-word shingle postings (id, ns, shingle), built
+    on the whole-stage-codegen path: explode token POSITIONS, then
+    slice + array_join as plain row expressions.
+
+    Identical output to exploding the transform()-built array
+    (shingle_sets), but Spark interprets higher-order-function lambdas
+    per element — measured r8 (substring poly twin, ~100×) and
+    re-measured r9: the transform chain alone cost ~5s per evaluation
+    over 5k docs at sf0.1, and inverted-index plans reference the
+    postings subtree up to 4× (df ranking + both self-join sides), so
+    the interpreted form dominated ppjoin_prefix_filter_pairs end to
+    end. This builder is the hot path for every postings consumer;
+    shingle_sets remains for consumers that need the per-doc ARRAY
+    (the minhash Arrow kernel's input).
+
+    ns = set cardinality (count over the id partition AFTER distinct
+    == size(array_distinct(...))); docs shorter than n tokens produce
+    no postings in both forms. Two shuffles, both on data-scaling
+    keys: distinct on (id, shingle), the ns window on id.
+    """
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), t.alias("t")).where(
+        F.size("t") >= n
+    )
+    rows = base.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("i"),
+        "t",
+    ).select(
+        "id", F.expr(f"array_join(slice(t, i, {n}), ' ')").alias("shingle")
+    )
+    return (
+        rows.distinct()
+        .withColumn("ns", F.count(F.lit(1)).over(W.partitionBy("id")))
+        .select("id", "ns", "shingle")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -121,10 +162,7 @@ def jaccard_pairs(
     shingles) but the computed jaccard becomes approximate, so the
     default (None) keeps exact semantics for the oracle.
     """
-    sets = shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
-        "ns", F.size("sh")
-    )
-    postings = sets.select("id", "ns", F.explode("sh").alias("shingle"))
+    postings = shingle_postings(df, id_col, text_col, n)
     if max_df is not None:
         dfreq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         postings = postings.join(
@@ -561,12 +599,28 @@ def substring_fingerprints(
     the house engine-portable fingerprint (J1 exact dedup uses it the
     same way): Spark's md5() and DuckDB's md5() agree byte-for-byte,
     so the oracle replays the identical fingerprint arithmetic.
-    Documents shorter than n tokens yield no postings (shingles()
-    returns the empty array)."""
-    sh = shingles(tokens(F.col(text_col)), n=n, distinct=True)
+    Documents shorter than n tokens yield no postings. Built on the
+    codegen explode path (positions → slice/array_join as plain row
+    expressions), not the interpreted transform() array — at n = 50
+    each interpreted lambda call slices and joins 50 tokens, so this
+    site paid the r8-documented HOF penalty hardest (r9 measured the
+    3-gram chain at ~5s/evaluation over 5k sf0.1 docs; the 50-gram
+    chain is proportionally worse). Distinct runs on (id, gram)
+    BEFORE md5 — exactly array_distinct's semantics."""
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), t.alias("t")).where(
+        F.size("t") >= n
+    )
     return (
-        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        .select("id", F.explode("sh").alias("gram"))
+        base.select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("i"),
+            "t",
+        )
+        .select(
+            "id", F.expr(f"array_join(slice(t, i, {n}), ' ')").alias("gram")
+        )
+        .distinct()
         .select("id", F.md5("gram").alias("fp"))
     )
 
@@ -763,12 +817,7 @@ def ppjoin_prefix_pairs(
     All-integer threshold: tau_den·c ≥ tau_num·(na+nb−c); returned
     jacc_e6 = (1e6·c) div (na+nb−c).
     """
-    sets = (
-        shingle_sets(spread(df, id_col), id_col, text_col, n)
-        .withColumn("ns", F.size("sh"))
-        .filter(F.col("ns") > 0)
-    )
-    posts = sets.select("id", "ns", F.explode("sh").alias("shingle"))
+    posts = shingle_postings(df, id_col, text_col, n)
     dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     # prefix length: ns − ceil(τ·ns) + 1, all-integer ceil
     plen = (

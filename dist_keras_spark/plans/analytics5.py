@@ -934,15 +934,14 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint, and the verdict join is fingerprint-bucketed. The
     novelty quotient is floor-micro of an exact-int ratio — engine
     bit-identical."""
-    from dist_keras_spark.functions.text import shingles, tokens
+    from dist_keras_spark.operators.dedup import substring_fingerprints
 
     docs = _lt(spark, sf_dir, "documents")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(shingles(tokens(F.col("text")), n=3)).alias("gram"),
-        )
-        .select("doc_id", F.md5("gram").alias("fp"))
+    # (doc_id, fp) distinct 3-gram fingerprints on the codegen explode
+    # path (substring_fingerprints) — not the interpreted transform()
+    # array; same rows, ~5× cheaper per evaluation (r9 measured).
+    grams = substring_fingerprints(docs, "doc_id", "text", 3).select(
+        F.col("id").alias("doc_id"), "fp"
     )
     firsts = grams.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
@@ -2184,13 +2183,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: identical valves as J3 — max_df stop-shingle cut and
     id-only postings; containment adds zero extra passes (the pair
     aggregate already carries both set sizes)."""
-    from dist_keras_spark.operators.dedup import shingle_sets, spread
+    from dist_keras_spark.operators.dedup import shingle_postings
 
     docs = _lt(spark, sf_dir, "documents")
-    sets = shingle_sets(spread(docs, "doc_id"), "doc_id", "text", 3).withColumn(
-        "ns", F.size("sh")
-    )
-    post = sets.select("id", "ns", F.explode("sh").alias("shingle"))
+    # codegen explode path, not the interpreted transform() array —
+    # same postings, ~5× cheaper per evaluation (r9 measured).
+    post = shingle_postings(docs, "doc_id", "text", 3)
     a = post.select(F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle")
     b = post.select(F.col("id").alias("id_b"), F.col("ns").alias("nb"), "shingle")
     shared = (

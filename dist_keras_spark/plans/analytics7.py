@@ -860,7 +860,7 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery in sources/snapshots.py) so each nightly batch pays
     only its own scan plus probes. The md5 split makes the fixture
     self-contained; production swaps the stratum for arrival date."""
-    from dist_keras_spark.functions.text import shingles, tokens
+    from dist_keras_spark.operators.dedup import shingle_postings
     from dist_keras_spark.operators.quality import hash_split
 
     d = _lt(spark, sf_dir, "documents")
@@ -879,12 +879,12 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def postings(df: DataFrame, out_id: str) -> DataFrame:
-        sets = df.select(
-            F.col("doc_id").alias(out_id),
-            shingles(tokens(F.col("text")), n=3, distinct=True).alias("s"),
-        ).filter(F.size("s") > 0)
-        return sets.select(
-            out_id, F.size("s").alias(f"{out_id}_ns"), F.explode("s").alias("shingle")
+        # codegen explode path (shingle_postings), not the interpreted
+        # transform() array — same rows, ~5× cheaper (r9 measured).
+        return shingle_postings(df, "doc_id", "text", 3).select(
+            F.col("id").alias(out_id),
+            F.col("ns").alias(f"{out_id}_ns"),
+            "shingle",
         )
 
     bp = postings(batch, "batch_id")
