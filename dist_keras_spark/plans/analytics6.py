@@ -1763,6 +1763,43 @@ _MH_B = [124613411, 407285631, 1003941298, 1076363643, 1696297419,
          643049712]
 
 
+def _portable_minhash_sig(d: DataFrame) -> DataFrame:
+    """k=16 PORTABLE minhash signature — one row (doc_id, m0..m15) per
+    document with ≥ 1 distinct 3-gram. Gram rows come from the codegen
+    explode path (positions → slice/array_join as plain row
+    expressions) and each signature minimum is a plain groupBy
+    aggregate min((aᵢ·h + bᵢ) % P) — NOT array_min∘transform over a
+    transform()-built array: Spark interprets HOF lambdas per element,
+    and the 1 + 16 chained lambdas here dominated both certification
+    queries' cost (r9, same finding as operators/dedup.py::
+    shingle_postings). Values are identical — min over the same
+    distinct gram hashes. a·h + b < 2^62, int64-safe."""
+    from dist_keras_spark.functions.text import tokens
+
+    t = tokens(F.col("text"))
+    grams = (
+        d.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
+            "t",
+        )
+        .select("doc_id", F.expr("array_join(slice(t, i, 3), ' ')").alias("gram"))
+        .distinct()
+    )
+    h = F.pmod(
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
+        F.lit(_MH_P),
+    )
+    return grams.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+        ]
+    )
+
+
 def _minhash_estimate_oracle_sql() -> str:
     mins = ",\n           ".join(
         f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MH_P}))"
@@ -1825,41 +1862,15 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficients drawn once and inlined as integer literals on both
     sides; a·h+b < 2^62 so int64 never overflows. Everything integer.
 
-    100 TB shape: signatures are scan-side column math
-    (array_min∘transform per rehash — k=16 keeps the codegen class
-    small, the measured limit documented in operators/dedup.py);
-    the exact side reuses the inverted-index join. The production
-    path stays the Arrow kernel (k=64, banded); this query is its
-    portable accuracy audit."""
-    from dist_keras_spark.functions.text import shingles, tokens
+    100 TB shape: signature minima are plain groupBy aggregates over
+    codegen gram rows (_portable_minhash_sig — the r9 rewrite off the
+    interpreted transform() chain); the exact side reuses the
+    inverted-index join. The production path stays the Arrow kernel
+    (k=64, banded); this query is its portable accuracy audit."""
     from dist_keras_spark.operators.dedup import jaccard_pairs
 
     d = _lt(spark, sf_dir, "documents")
-    sets = d.select(
-        "doc_id", shingles(tokens(F.col("text")), n=3, distinct=True).alias("s")
-    ).filter(F.size("s") > 0)
-    hs = sets.select(
-        "doc_id",
-        F.transform(
-            "s",
-            lambda g: F.pmod(
-                F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-                F.lit(_MH_P),
-            ),
-        ).alias("hs"),
-    )
-    def _rehash(a: int, b: int):
-        # closure factory: PySpark reads lambda ARITY, so default-arg
-        # capture (lambda x, a=a: ...) mis-parses as a 3-arg HOF lambda
-        return lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P
-
-    sig = hs.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hs", _rehash(a, b))).alias(f"m{i}")
-            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
-        ],
-    )
+    sig = _portable_minhash_sig(d)
     # Integer-exact fixed-point ratio from the sufficient statistics
     # (ADVICE r8 #1): floor(float_jaccard * 1e6) disagrees with the
     # oracle's (1e6*c) div (na+nb-c) by 1 for many exact ratios (e.g.
@@ -2572,37 +2583,13 @@ def _blocking_quality_frame(
     (`blocking_quality_metrics`) and sampled-stratum
     (`blocking_quality_sampled`) differ ONLY in the deterministic
     document filter applied before anything else."""
-    from dist_keras_spark.functions.text import shingles, tokens
     from dist_keras_spark.operators.dedup import jaccard_pairs
     from dist_keras_spark.operators.quality import deterministic_sample
 
     d = _lt(spark, sf_dir, "documents")
     if sample_pct is not None:
         d = deterministic_sample(d, "doc_id", sample_pct)
-    sets = d.select(
-        "doc_id", shingles(tokens(F.col("text")), n=3, distinct=True).alias("s")
-    ).filter(F.size("s") > 0)
-    hs = sets.select(
-        "doc_id",
-        F.transform(
-            "s",
-            lambda g: F.pmod(
-                F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-                F.lit(_MH_P),
-            ),
-        ).alias("hs"),
-    )
-
-    def _rehash(a: int, b: int):
-        return lambda x: (F.lit(a) * x + F.lit(b)) % _MH_P
-
-    sig = hs.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hs", _rehash(a, b))).alias(f"m{i}")
-            for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
-        ],
-    )
+    sig = _portable_minhash_sig(d)
     bands = None
     for bi in range(4):
         part = sig.select(
@@ -2634,7 +2621,8 @@ def _blocking_quality_frame(
     truth = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
         "id_a", "id_b"
     )
-    n_docs = sets.agg(F.count(F.lit(1)).alias("n_docs"))
+    # one row per doc with >=1 gram — same population `sets` counted
+    n_docs = sig.agg(F.count(F.lit(1)).alias("n_docs"))
     caught = truth.join(cand, ["id_a", "id_b"])
     return (
         cand.agg(F.count(F.lit(1)).alias("n_candidates"))
