@@ -315,28 +315,29 @@ def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus data at all; the flagged-id set (tiny) joins back to the
     corpus the same way. At 100 TB this is two corpus scans and zero
     wide shuffles — the standard decontamination topology."""
-    from dist_keras_spark.operators.dedup import shingle_sets
+    from dist_keras_spark.operators.dedup import shingle_postings
 
     d = _lt(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", 3)
+    # codegen explode path (r9); the unused ns column prunes away.
+    # The final left side stays the RAW documents frame: postings drop
+    # docs shorter than 3 tokens, but every corpus doc gets a verdict.
+    posts = shingle_postings(d, "doc_id", "text", 3).select("id", "shingle")
     bench_sh = (
-        sets.filter(F.col("id") % 50 == 0)
-        .select(F.explode("sh").alias("shingle"))
-        .distinct()
+        posts.filter(F.col("id") % 50 == 0).select("shingle").distinct()
     )
-    corpus = sets.filter(F.col("id") % 50 != 0)
     hits = (
-        corpus.select("id", F.explode("sh").alias("shingle"))
+        posts.filter(F.col("id") % 50 != 0)
         .join(F.broadcast(bench_sh), "shingle", "left_semi")
         .select("id")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     return (
-        corpus.select("id")
-        .join(F.broadcast(hits), "id", "left")
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(F.broadcast(hits), F.col("doc_id") == F.col("id"), "left")
         .select(
-            F.col("id").alias("doc_id"),
+            "doc_id",
             F.coalesce("__hit", F.lit(0)).alias("contaminated"),
         )
     )
