@@ -139,6 +139,44 @@ def shingle_postings(
     )
 
 
+def shingle_array_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh, ns) with sh the DISTINCT shingle array, built codegen:
+    explode token positions → slice/array_join row expressions →
+    distinct → collect_list (one id-keyed shuffle) — not the
+    interpreted transform() chain (see shingle_postings).
+
+    Array ORDER is collection order, nondeterministic — callers must
+    be order-invariant, and both consumers are: the minhash Arrow
+    kernel takes k minima, the verify step takes array_intersect
+    SIZES. Docs with < n tokens yield NO row where shingle_sets
+    yields an empty-array row — output-equivalent in the minhash
+    pipeline (an empty set can never verify at jaccard ≥ τ > 0; the
+    degenerate empty-shingle band bucket disappears instead of being
+    max_bucket-capped)."""
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), t.alias("t")).where(
+        F.size("t") >= n
+    )
+    return (
+        base.select(
+            "id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("i"),
+            "t",
+        )
+        .select(
+            "id", F.expr(f"array_join(slice(t, i, {n}), ' ')").alias("shingle")
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(
+            F.collect_list("shingle").alias("sh"),
+            F.count(F.lit(1)).alias("ns"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -332,20 +370,19 @@ def minhash_lsh_pairs(
     """
     # ONE pass computes the shingle sets; both the LSH candidate side
     # (→ xxhash64 → Arrow band-hash kernel) and the exact-Jaccard
-    # verify side derive from it. The tokenize/shingle chain is
-    # interpreted-HOF (Spark doesn't codegen higher-order functions)
-    # and dominates fresh-plan cost, so evaluating it once instead of
-    # twice — and at 100 TB, ONE scan of the corpus instead of two —
-    # is the main structural win. Band hashes come straight out of the
-    # Arrow kernel (signature minima never leave the UDF): no separate
-    # banding expression stage, and the shuffled payload is `bands`
-    # longs per doc instead of k. `materialize` (see _stage) sizes the
-    # lineage truncation: 'local' for single-node, 'storage' at
-    # cluster scale, None for fully-lazy (recompute instead of pin).
+    # verify side derive from it — and at 100 TB, ONE scan of the
+    # corpus instead of two is the main structural win. The arrays are
+    # built codegen (shingle_array_sets, r9) instead of the interpreted
+    # transform() chain; array order is nondeterministic but every
+    # consumer below is order-invariant (kernel minima, intersect
+    # sizes). Band hashes come straight out of the Arrow kernel
+    # (signature minima never leave the UDF): no separate banding
+    # expression stage, and the shuffled payload is `bands` longs per
+    # doc instead of k. `materialize` (see _stage) sizes the lineage
+    # truncation: 'local' for single-node, 'storage' at cluster scale,
+    # None for fully-lazy (recompute instead of pin).
     sets = _stage(
-        shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
-            "ns", F.size("sh")
-        ),
+        shingle_array_sets(df, id_col, text_col, n),
         materialize,
     )
     hashed = sets.withColumn(
