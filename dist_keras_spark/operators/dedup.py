@@ -106,15 +106,16 @@ def shingle_postings(
     slice + array_join as plain row expressions.
 
     Identical output to exploding the transform()-built array
-    (shingle_sets), but Spark interprets higher-order-function lambdas
-    per element — measured r8 (substring poly twin, ~100×) and
-    re-measured r9: the transform chain alone cost ~5s per evaluation
-    over 5k docs at sf0.1, and inverted-index plans reference the
-    postings subtree up to 4× (df ranking + both self-join sides), so
-    the interpreted form dominated ppjoin_prefix_filter_pairs end to
-    end. This builder is the hot path for every postings consumer;
-    shingle_sets remains for consumers that need the per-doc ARRAY
-    (the minhash Arrow kernel's input).
+    (shingle_sets), and measured 3.3× faster in an r9 same-session A/B
+    at sf0.1 (postings n=3: 4.1–4.8s transform-explode vs 1.1–1.8s
+    this form; n=50 fingerprints: 2.2s vs ~1.0s). The penalty is in
+    EXPLODING a HOF-built array into a row stream — Spark evaluates
+    the interpreted lambda chain while flattening; once positions are
+    exploded first, slice/array_join are plain codegen row
+    expressions. When the ARRAY itself is the product the transform
+    chain is actually FASTER (0.5s vs 0.8s — collect_list's shuffle
+    costs more than the lambda), so shingle_sets deliberately remains
+    for array consumers (the minhash Arrow kernel's input).
 
     ns = set cardinality (count over the id partition AFTER distinct
     == size(array_distinct(...))); docs shorter than n tokens produce
@@ -136,44 +137,6 @@ def shingle_postings(
         rows.distinct()
         .withColumn("ns", F.count(F.lit(1)).over(W.partitionBy("id")))
         .select("id", "ns", "shingle")
-    )
-
-
-def shingle_array_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
-) -> DataFrame:
-    """(id, sh, ns) with sh the DISTINCT shingle array, built codegen:
-    explode token positions → slice/array_join row expressions →
-    distinct → collect_list (one id-keyed shuffle) — not the
-    interpreted transform() chain (see shingle_postings).
-
-    Array ORDER is collection order, nondeterministic — callers must
-    be order-invariant, and both consumers are: the minhash Arrow
-    kernel takes k minima, the verify step takes array_intersect
-    SIZES. Docs with < n tokens yield NO row where shingle_sets
-    yields an empty-array row — output-equivalent in the minhash
-    pipeline (an empty set can never verify at jaccard ≥ τ > 0; the
-    degenerate empty-shingle band bucket disappears instead of being
-    max_bucket-capped)."""
-    t = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), t.alias("t")).where(
-        F.size("t") >= n
-    )
-    return (
-        base.select(
-            "id",
-            F.explode(F.sequence(F.lit(1), F.size("t") - (n - 1))).alias("i"),
-            "t",
-        )
-        .select(
-            "id", F.expr(f"array_join(slice(t, i, {n}), ' ')").alias("shingle")
-        )
-        .distinct()
-        .groupBy("id")
-        .agg(
-            F.collect_list("shingle").alias("sh"),
-            F.count(F.lit(1)).alias("ns"),
-        )
     )
 
 
@@ -371,18 +334,22 @@ def minhash_lsh_pairs(
     # ONE pass computes the shingle sets; both the LSH candidate side
     # (→ xxhash64 → Arrow band-hash kernel) and the exact-Jaccard
     # verify side derive from it — and at 100 TB, ONE scan of the
-    # corpus instead of two is the main structural win. The arrays are
-    # built codegen (shingle_array_sets, r9) instead of the interpreted
-    # transform() chain; array order is nondeterministic but every
-    # consumer below is order-invariant (kernel minima, intersect
-    # sizes). Band hashes come straight out of the Arrow kernel
-    # (signature minima never leave the UDF): no separate banding
-    # expression stage, and the shuffled payload is `bands` longs per
-    # doc instead of k. `materialize` (see _stage) sizes the lineage
-    # truncation: 'local' for single-node, 'storage' at cluster scale,
-    # None for fully-lazy (recompute instead of pin).
+    # corpus instead of two is the main structural win. The ARRAY form
+    # deliberately stays on the transform() chain: an r9 same-session
+    # A/B measured it FASTER than explode→distinct→collect_list when
+    # the array itself is the product (0.5s vs 0.8s at sf0.1 — the
+    # HOF penalty bites when arrays are EXPLODED into row streams, the
+    # shingle_postings case, not when they stay arrays), and it keeps
+    # deterministic element order. Band hashes come straight out of
+    # the Arrow kernel (signature minima never leave the UDF): no
+    # separate banding expression stage, and the shuffled payload is
+    # `bands` longs per doc instead of k. `materialize` (see _stage)
+    # sizes the lineage truncation: 'local' for single-node, 'storage'
+    # at cluster scale, None for fully-lazy (recompute instead of pin).
     sets = _stage(
-        shingle_array_sets(df, id_col, text_col, n),
+        shingle_sets(spread(df, id_col), id_col, text_col, n).withColumn(
+            "ns", F.size("sh")
+        ),
         materialize,
     )
     hashed = sets.withColumn(
