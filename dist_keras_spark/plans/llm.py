@@ -1214,13 +1214,22 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered — so one full BPE training round at 100 TB is one
     scan + one shuffle, iterated per merge."""
     d = _lt(spark, sf_dir, "documents")
-    pairs = F.expr(
-        "transform(slice(tk, 1, size(tk) - 1),"
-        " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
-    )
+    # bigram rows on the codegen explode path (positions → element_at
+    # as plain row expressions) — exploding a transform()-built array
+    # evaluates the interpreted lambda while flattening (r9 boundary,
+    # operators/dedup.py::shingle_postings).
     counted = (
         d.select(F.split("text", " ").alias("tk"))
-        .select(F.explode(pairs).alias("pair"))
+        .where(F.size("tk") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
+            "tk",
+        )
+        .select(
+            F.expr(
+                "concat(element_at(tk, i), ' ', element_at(tk, i + 1))"
+            ).alias("pair")
+        )
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
