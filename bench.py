@@ -45,6 +45,12 @@ WARM_DIR = "/root/testdata/sf0.001"
 # reversed-order running frame, so a regression to the quadratic
 # pattern shows up as a >10x spike the driver sees.
 # Like-for-like vs r7 = total minus that entry.
+# Round 9 adds ppjoin_prefix_filter_pairs as the interpreted-HOF
+# regression guard: exploding a transform()-built shingle array ran
+# the whole op at 4.7-21.6s; the codegen explode-positions postings
+# path runs it at ~1.8-2.2s, so a regression to the interpreted
+# pattern shows up as a >2x spike the driver sees.
+# Like-for-like vs r8 = total minus that entry.
 BENCH_QUERIES = [
     "revenue_by_nation",
     "tpch_q5_local_supplier",
@@ -67,6 +73,7 @@ BENCH_QUERIES = [
     "join_asof_nearest",
     "arrow_journey_summary",
     "interpolate_linear_gaps",
+    "ppjoin_prefix_filter_pairs",
 ]
 
 
