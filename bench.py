@@ -87,10 +87,33 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_sample() -> list[int]:
+    """First /proc/stat line (user…steal) — jiffy counters."""
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:9]]
+
+
+def _cpu_mix(a: list[int], b: list[int]) -> dict[str, float]:
+    """%busy (non-idle, non-iowait) and %steal over the a→b window.
+
+    Loadavg misses sub-minute co-tenant bursts entirely (r9: four
+    bench runs at load1 < 1.4 spread 19.6-28.8s with DIFFERENT
+    queries spiking each run); the jiffy deltas over the exact suite
+    window say whether the CPUs were contended while we measured."""
+    d = [y - x for x, y in zip(a, b)]
+    tot = max(sum(d), 1)
+    idle = d[3] + d[4]
+    return {
+        "cpu_busy_pct": round(100 * (tot - idle) / tot, 1),
+        "cpu_steal_pct": round(100 * d[7] / tot, 1),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
     trace: dict[str, dict] = {}
+    cpu0 = _cpu_sample()
     # Loaded-machine discipline (VERDICT r6 #4): the r6 driver bench ran
     # at loadavg 8.3 and min-of-3 barely saved it. When the machine is
     # already busy at start, take min-of-5 per query so at least one run
@@ -156,11 +179,13 @@ def main() -> None:
     # noisy co-tenant run is then self-explaining in the trace instead
     # of looking like a regression.
     load1, load5, load15 = os.getloadavg()
+    cpu_mix = _cpu_mix(cpu0, _cpu_sample())
     with open(trace_path, "w") as fh:
         json.dump(
             {
                 "sf_dir": SF_DIR,
                 "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+                **cpu_mix,
                 "trace": trace,
             },
             fh,
@@ -178,6 +203,7 @@ def main() -> None:
                 "sf": float(sf),
                 "loadavg_at_start": round(load_at_start, 2),
                 "runs_per_query": base_runs,
+                **cpu_mix,
             }
         )
     )
