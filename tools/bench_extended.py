@@ -190,8 +190,11 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    from bench import _cpu_mix, _cpu_sample  # repo root is on sys.path
+
     spark = get_spark("bench_extended")
     timings: dict[str, float] = {}
+    cpu0 = _cpu_sample()
     for name in EXTENDED:
         fn = QUERIES[name]
         _materialize(fn(spark, WARM_DIR))  # codegen warm
@@ -206,6 +209,7 @@ def main() -> None:
     out = {
         "sf_dir": SF_DIR,
         "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+        **_cpu_mix(cpu0, _cpu_sample()),
         "total_sec": round(sum(timings.values()), 3),
         "queries": timings,
     }
