@@ -133,3 +133,70 @@ def test_benford_audit_rederives_in_python(spark, sf_dir):
         assert r["obs_e6"] == (1_000_000 * n_d) // n
         assert r["exp_e6"] == _BENFORD_E6[r["digit"] - 1]
         assert r["abs_dev_e6"] == abs(r["obs_e6"] - r["exp_e6"])
+
+
+def _mk_ts(series: dict[int, int]):
+    """Pure-Python Mann-Kendall + Theil-Sen on {period: value}."""
+    ks = sorted(series)
+    pairs = [
+        (series[j] - series[i], j - i)
+        for x, i in enumerate(ks)
+        for j in ks[x + 1 :]
+    ]
+    # re-do with explicit indices to mirror the month-index pairing
+    pairs = []
+    for x in range(len(ks)):
+        for y in range(x + 1, len(ks)):
+            pairs.append((series[ks[y]] - series[ks[x]], ks[y] - ks[x]))
+    s = sum((n > 0) - (n < 0) for n, _ in pairs)
+    n = len(ks)
+    from collections import Counter
+
+    tie18 = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in Counter(series.values()).values()
+        if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    trend = int(180000 * (abs(s) - 1) * (abs(s) - 1) > 38416 * var18)
+    ordered = sorted(pairs, key=lambda p: (p[0] / p[1], p[0], p[1]))
+    med = ordered[(len(ordered) + 1) // 2 - 1]
+    return n, s, var18, trend, med
+
+
+def test_mann_kendall_theilsen_rederives_in_python(spark, sf_dir):
+    import math
+
+    from dist_keras_spark.plans.analytics9 import trend_mann_kendall_theilsen
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    orders["mi"] = (orders["o_orderdate"].dt.year - 1992) * 12 + (
+        orders["o_orderdate"].dt.month - 1
+    )
+    orders["cents"] = orders["o_totalprice"].apply(
+        lambda x: int(math.floor(x * 100))
+    )
+    series = orders.groupby("mi")["cents"].sum().astype(int).to_dict()
+    n, s, var18, trend, (mnum, mden) = _mk_ts(series)
+
+    row = trend_mann_kendall_theilsen(spark, sf_dir).collect()[0]
+    assert row["n_periods"] == n
+    assert row["s_stat"] == s
+    assert row["var18"] == var18
+    assert row["trend_05"] == trend
+    assert (row["med_slope_num"], row["med_slope_den"]) == (mnum, mden)
+    # div truncates toward zero on both engines (measured r8) —
+    # Python's // floors, so mirror trunc explicitly for any sign.
+    q = abs(1_000_000 * mnum) // mden
+    assert row["slope_e6"] == (q if mnum >= 0 else -q)
+
+
+def test_mann_kendall_detects_planted_trend():
+    # a strictly increasing series must reject the no-trend null:
+    # S = n(n-1)/2, and the cross-multiplied verdict must fire.
+    series = {i: 100 + 7 * i for i in range(24)}
+    n, s, var18, trend, (mnum, mden) = _mk_ts(series)
+    assert s == n * (n - 1) // 2
+    assert trend == 1
+    # every pairwise slope is exactly 7 cents/period
+    assert mnum == 7 * mden
