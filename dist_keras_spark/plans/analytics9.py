@@ -524,3 +524,126 @@ def trend_mann_kendall_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * num) div den").cast("long").alias("slope_e6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis k-sample rank test (completes the nonparametric trio)
+# --------------------------------------------------------------------------
+
+_KW_H_EXPR = (
+    "((12.0 / (nn * (nn + 1.0)))"
+    " * ((s2_a / 2.0) * (s2_a / 2.0) / n_a"
+    " + (s2_n / 2.0) * (s2_n / 2.0) / n_n"
+    " + (s2_r / 2.0) * (s2_r / 2.0) / n_r)"
+    " - 3.0 * (nn + 1.0))"
+    " / (1.0 - tie3 / (CAST(nn AS DOUBLE) * nn * nn - nn))"
+)
+
+
+@query(
+    "kruskal_wallis_quantity",
+    oracle=f"""
+WITH cnt AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v,
+           CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_a,
+           CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_r,
+           CAST(count(*) AS BIGINT) AS t
+    FROM lineitem GROUP BY 1
+), ranked AS (
+    SELECT *,
+           2 * coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND 1 PRECEDING), 0) + t + 1
+               AS d
+    FROM cnt
+), agg AS (
+    SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_n) AS BIGINT) AS n_n,
+           CAST(sum(c_r) AS BIGINT) AS n_r,
+           CAST(sum(d * c_a) AS BIGINT) AS s2_a,
+           CAST(sum(d * c_n) AS BIGINT) AS s2_n,
+           CAST(sum(d * c_r) AS BIGINT) AS s2_r,
+           CAST(sum(t) AS BIGINT) AS nn,
+           CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+    FROM ranked
+)
+SELECT n_a, n_n, n_r, s2_a, s2_n, s2_r, nn, tie3,
+       round({_KW_H_EXPR}, 4) AS h_corr,
+       CAST(CASE WHEN {_KW_H_EXPR} > 5.991465 THEN 1 ELSE 0 END AS BIGINT)
+           AS reject_05
+FROM agg
+""",
+)
+def kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis k-sample rank test (Kruskal & Wallis 1952,
+    public knowledge) on line-item quantity across the three return
+    flags — completing the nonparametric trio with the two-sample KS
+    (ks_test_two_sample) and the Mann-Whitney AUC
+    (auc_mann_whitney). The rank machinery is EXACT INTEGER on both
+    engines: over the bounded value support, the midrank of a tied
+    block is carried as the DOUBLED rank d(v) = 2·cum_prev + t + 1
+    (always integer), so the per-group doubled rank sums s2_j, the
+    tie term Σ(t³−t), and every count are hash-exact sufficient
+    statistics. Only the FINAL scalar H = [12/(N(N+1))·ΣR_j²/n_j −
+    3(N+1)] / [1 − Σ(t³−t)/(N³−N)] is floating point — one fixed
+    expression tree over those exact integers, written CHARACTER-
+    IDENTICAL on both sides (the ab_test_t_stat convention,
+    strengthened: its inputs here are exact integers, not
+    engine-aggregated floats, so the doubles are bit-identical by
+    IEEE determinism and round(·,4)/the verdict comparison cannot
+    split).
+
+    Int64 headroom: s2_j ≤ 2N·n_j — exact through N ≈ 2e9 rows; the
+    float stage's R² ≈ 1e22 exceeds 2^53 at sf0.1 already, which is
+    FINE for the gate (identical doubles) and for the statistic
+    (relative error ~1e-16 per op; round-4 absorbs it).
+
+    100 TB shape: one scan → groupBy on the bounded value support
+    (map-side combined to |support| rows), one window over that
+    bounded grid (bounded_window_key convention), a 1-row scalar
+    epilogue. The same shape as ks_test_two_sample with k groups."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    li = _lt(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("c_n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("c_r"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    wo = (
+        W.partitionBy(bounded_window_key(F.col("v")))
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = cnt.withColumn(
+        "d", 2 * F.coalesce(F.sum("t").over(wo), F.lit(0)) + F.col("t") + 1
+    )
+    agg = ranked.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_n").cast("long").alias("n_n"),
+        F.sum("c_r").cast("long").alias("n_r"),
+        F.sum(F.col("d") * F.col("c_a")).cast("long").alias("s2_a"),
+        F.sum(F.col("d") * F.col("c_n")).cast("long").alias("s2_n"),
+        F.sum(F.col("d") * F.col("c_r")).cast("long").alias("s2_r"),
+        F.sum("t").cast("long").alias("nn"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    return agg.select(
+        "n_a",
+        "n_n",
+        "n_r",
+        "s2_a",
+        "s2_n",
+        "s2_r",
+        "nn",
+        "tie3",
+        F.expr(f"round({_KW_H_EXPR}, 4)").alias("h_corr"),
+        F.expr(f"CASE WHEN {_KW_H_EXPR} > 5.991465 THEN 1 ELSE 0 END")
+        .cast("long")
+        .alias("reject_05"),
+    )

@@ -138,12 +138,6 @@ def test_benford_audit_rederives_in_python(spark, sf_dir):
 def _mk_ts(series: dict[int, int]):
     """Pure-Python Mann-Kendall + Theil-Sen on {period: value}."""
     ks = sorted(series)
-    pairs = [
-        (series[j] - series[i], j - i)
-        for x, i in enumerate(ks)
-        for j in ks[x + 1 :]
-    ]
-    # re-do with explicit indices to mirror the month-index pairing
     pairs = []
     for x in range(len(ks)):
         for y in range(x + 1, len(ks)):
@@ -200,3 +194,60 @@ def test_mann_kendall_detects_planted_trend():
     assert trend == 1
     # every pairwise slope is exactly 7 cents/period
     assert mnum == 7 * mden
+
+
+def _kw(groups: dict[str, list[int]]):
+    """Pure-Python tie-corrected Kruskal-Wallis via doubled midranks."""
+    from collections import Counter
+
+    allc = Counter()
+    for vs in groups.values():
+        allc.update(vs)
+    support = sorted(allc)
+    d = {}
+    cum = 0
+    for v in support:
+        t = allc[v]
+        d[v] = 2 * cum + t + 1
+        cum += t
+    nn = sum(allc.values())
+    tie3 = sum(t**3 - t for t in allc.values())
+    h = (
+        (12.0 / (nn * (nn + 1.0)))
+        * sum(
+            (sum(d[v] for v in vs) / 2.0) ** 2 / len(vs)
+            for vs in groups.values()
+        )
+        - 3.0 * (nn + 1.0)
+    ) / (1.0 - tie3 / (float(nn) * nn * nn - nn))
+    return nn, tie3, h
+
+
+def test_kruskal_wallis_rederives_in_python(spark, sf_dir):
+    from dist_keras_spark.plans.analytics9 import kruskal_wallis_quantity
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    groups = {
+        f: li.loc[li["l_returnflag"] == f, "l_quantity"].astype(int).tolist()
+        for f in "ANR"
+    }
+    nn, tie3, h = _kw(groups)
+    row = kruskal_wallis_quantity(spark, sf_dir).collect()[0]
+    assert row["nn"] == nn
+    assert row["tie3"] == tie3
+    assert (row["n_a"], row["n_n"], row["n_r"]) == tuple(
+        len(groups[f]) for f in "ANR"
+    )
+    assert abs(row["h_corr"] - h) < 1e-3
+    assert row["reject_05"] == int(h > 5.991465)
+
+
+def test_kruskal_wallis_detects_planted_shift():
+    # one group shifted far right must reject at alpha = 0.05
+    groups = {
+        "A": list(range(1, 31)),
+        "B": list(range(1, 31)),
+        "C": list(range(100, 130)),
+    }
+    nn, tie3, h = _kw(groups)
+    assert h > 5.991465
