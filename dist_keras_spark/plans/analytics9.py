@@ -647,3 +647,92 @@ def kruskal_wallis_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reject_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hodges-Lehmann pseudomedian (weighted Walsh averages, all integer)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hodges_lehmann_quantity",
+    oracle="""
+WITH cnt AS (
+    SELECT CAST(l_quantity AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+), walsh AS (
+    SELECT a.v + b.v AS w2,
+           CAST(CASE WHEN a.v < b.v THEN a.n * b.n
+                     ELSE a.n * (a.n + 1) // 2 END AS BIGINT) AS wt
+    FROM cnt a JOIN cnt b ON a.v <= b.v
+), g AS (
+    SELECT w2, CAST(sum(wt) AS BIGINT) AS wt FROM walsh GROUP BY 1
+), c AS (
+    SELECT w2, wt,
+           sum(wt) OVER (ORDER BY w2 ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(wt) OVER () AS tot
+    FROM g
+)
+SELECT CAST(min(CASE WHEN 2 * cum >= tot + 1 THEN w2 END) AS BIGINT) AS hl2,
+       CAST(max(tot) AS BIGINT) AS n_walsh
+FROM c
+""",
+)
+def hodges_lehmann_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudomedian (Hodges & Lehmann 1963, public
+    knowledge) of returned-lineitem quantity — the location estimator
+    dual to the Wilcoxon test, closing the robust-location row
+    (median, trimmed mean, winsorized mean, MAD scale, Theil-Sen
+    slope, THIS). The estimator is the median of all n(n+1)/2 Walsh
+    averages (x_i + x_j)/2 for i ≤ j — quadratic in ROWS, but over a
+    BOUNDED value support it collapses to |support|² weighted pairs:
+    weight n_a·n_b for v_a < v_b and n_a(n_a+1)/2 on the diagonal.
+    Everything integer: Walsh values are carried DOUBLED (w2 =
+    v_a + v_b), the lower weighted median is the smallest w2 whose
+    cumulative weight ≥ (W+1)/2 via the all-integer 2·cum ≥ tot+1
+    form, identical on both engines.
+
+    Int64 headroom: W = n(n+1)/2 — exact through n ≈ 4e9 rows.
+
+    100 TB shape: one scan → groupBy on the bounded support
+    (map-side combined), a |support|²/2 weighted-pair frame (1275
+    rows at |support| = 50 — SF-invariant), one window over that
+    bounded grid (bounded_window_key convention). The naive form
+    would be a self-join producing n²/2 rows; the support collapse
+    IS the operator's scale story."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    li = _lt(spark, sf_dir, "lineitem")
+    cnt = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = cnt.alias("a")
+    b = cnt.alias("b")
+    walsh = a.join(b, F.col("a.v") <= F.col("b.v")).select(
+        (F.col("a.v") + F.col("b.v")).alias("w2"),
+        F.when(
+            F.col("a.v") < F.col("b.v"), F.col("a.n") * F.col("b.n")
+        )
+        .otherwise(F.expr("a.n * (a.n + 1) div 2"))
+        .alias("wt"),
+    )
+    g = walsh.groupBy("w2").agg(F.sum("wt").alias("wt"))
+    wo = (
+        W.partitionBy(bounded_window_key(F.col("w2")))
+        .orderBy("w2")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy(bounded_window_key(F.col("w2")))
+    c = g.select(
+        "w2",
+        F.sum("wt").over(wo).alias("cum"),
+        F.sum("wt").over(wp).alias("tot"),
+    )
+    return c.agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot") + 1, F.col("w2")))
+        .cast("long")
+        .alias("hl2"),
+        F.max("tot").cast("long").alias("n_walsh"),
+    )

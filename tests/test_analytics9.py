@@ -251,3 +251,32 @@ def test_kruskal_wallis_detects_planted_shift():
     }
     nn, tie3, h = _kw(groups)
     assert h > 5.991465
+
+
+def test_hodges_lehmann_rederives_in_python(spark, sf_dir):
+    from collections import Counter
+
+    from dist_keras_spark.plans.analytics9 import hodges_lehmann_quantity
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    c = Counter(li.loc[li["l_returnflag"] == "R", "l_quantity"].astype(int))
+    vals = sorted(c)
+    items: dict[int, int] = {}
+    for i, a in enumerate(vals):
+        items[2 * a] = items.get(2 * a, 0) + c[a] * (c[a] + 1) // 2
+        for b in vals[i + 1 :]:
+            items[a + b] = items.get(a + b, 0) + c[a] * c[b]
+    tot = sum(items.values())
+    n = sum(c.values())
+    assert tot == n * (n + 1) // 2  # Walsh-average count identity
+    cum = 0
+    hl2 = None
+    for w2 in sorted(items):
+        cum += items[w2]
+        if 2 * cum >= tot + 1:
+            hl2 = w2
+            break
+
+    row = hodges_lehmann_quantity(spark, sf_dir).collect()[0]
+    assert row["n_walsh"] == tot
+    assert row["hl2"] == hl2
