@@ -182,6 +182,10 @@ EXTENDED = [
     "link_prediction_common_neighbors",
     "winnowing_fingerprint_pairs",
     "ks_test_two_sample",
+    "benford_first_digit_audit",
+    "trend_mann_kendall_theilsen",
+    "kruskal_wallis_quantity",
+    "hodges_lehmann_quantity",
 ]
 
 
