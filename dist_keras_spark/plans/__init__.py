@@ -38,6 +38,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics7,
     analytics8,
     analytics9,
+    analytics10,
 )
 
 # Round-10 window (VERDICT r9 #1): generated MECHANICALLY by

@@ -1,0 +1,1039 @@
+"""Round-10 wave: nine primitives the registry still lacked, capped at
+nine by the rotation budget (VERDICT r9 #1/#6) —
+
+  statistics      : Spearman rank correlation (completing the
+                    Pearson/Kendall/Spearman family), CUSUM sequential
+                    drift detection (the online sibling of
+                    changepoint_mean_shift), Ljung-Box autocorrelation;
+  corpus science  : Chao1 vocabulary-richness + Good-Turing coverage,
+                    Chapman capture-recapture distinct estimation,
+                    rank-biased overlap between two term rankers;
+  feature/ER      : quantile normalization against a reference
+                    distribution, Fellegi-Sunter record-linkage
+                    scoring over blocked pairs;
+  embeddings      : linear-kernel MMD drift between embedding groups.
+
+dist-keras has no analogue for any of these — "beyond the reference"
+training-data-pipeline surface (brief: dedup / similarity / text
+analysis / data science are first-class), mapped in COVERAGE.md.
+
+House rules (see analytics5/9.py): md5 is the engine-portable
+fingerprint; integer micro units via exact `div` (BIGINT div == `//`
+only while every operand stays integer); floats only in final scalar
+expressions written CHARACTER-IDENTICAL on both sides over exact
+integer inputs; fixed int64 headroom bounds documented per query with
+the rescale path; deliberate population-sized windows ride the
+reviewed bounded_window_key convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from dist_keras_spark.plans.registry import query
+from dist_keras_spark.sources.tables import load_table as _lt
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (doubled-midrank exact sufficient stats)
+# --------------------------------------------------------------------------
+
+# Final scalar only — inputs are exact int64 sufficient statistics, so
+# the doubles are bit-identical across engines (the kruskal_wallis
+# convention). greatest() guards keep a degenerate (constant) input
+# defined on both engines instead of NULL-vs-error.
+_SPEARMAN_RHO_EXPR = (
+    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / sqrt(greatest((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 1.0))"
+)
+
+
+@query(
+    "spearman_rank_corr",
+    oracle=f"""
+WITH cx AS (
+    SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS t
+    FROM lineitem GROUP BY 1, 2
+), dx AS (
+    SELECT flag, v,
+           2 * coalesce(sum(t) OVER (PARTITION BY flag ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) + t + 1 AS d
+    FROM cx
+), cy AS (
+    SELECT l_returnflag AS flag,
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS u,
+           CAST(count(*) AS BIGINT) AS t
+    FROM lineitem GROUP BY 1, 2
+), dy AS (
+    SELECT flag, u,
+           2 * coalesce(sum(t) OVER (PARTITION BY flag ORDER BY u
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) + t + 1 AS d
+    FROM cy
+), rows_d AS (
+    SELECT l.l_returnflag AS flag, dx.d AS rx, dy.d AS ry
+    FROM lineitem l
+    JOIN dx ON dx.flag = l.l_returnflag
+           AND dx.v = CAST(l.l_quantity AS BIGINT)
+    JOIN dy ON dy.flag = l.l_returnflag
+           AND dy.u = CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)
+), agg AS (
+    SELECT flag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+           CAST(sum(rx * ry) AS BIGINT) AS sxy,
+           CAST(sum(rx * rx) AS BIGINT) AS sxx,
+           CAST(sum(ry * ry) AS BIGINT) AS syy
+    FROM rows_d GROUP BY flag
+)
+SELECT flag, n, sx, sy, sxy, sxx, syy,
+       round({_SPEARMAN_RHO_EXPR}, 6) AS rho
+FROM agg
+""",
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904, public knowledge)
+    between line-item quantity and discount per return flag —
+    completing the correlation family: Pearson (corr_sufficient_
+    stats), Kendall (trend_mann_kendall_theilsen's S), Spearman here.
+    Ties use midranks, carried as the DOUBLED integer d(v) = 2·cum_
+    prev + t + 1 (the kruskal_wallis convention), so every per-group
+    sufficient statistic (n, Σrx, Σry, Σrxry, Σrx², Σry²) is
+    hash-exact int64; ρ is Pearson on the doubled midranks (affine
+    invariance makes the doubling free) — one final float expression,
+    character-identical on both engines.
+
+    Int64 headroom: Σrxry ≤ n·(2n+1)² — exact through n ≈ 1.3e6 rows
+    PER GROUP (sf0.1 groups are ~2e5); beyond that, rescale by
+    computing per-stratum Spearman and Fisher-combining, or rank on a
+    coarser value grid (the support here is already the bounded
+    1..50 × 0..10 grid).
+
+    100 TB shape: two groupBys on the bounded value support (map-side
+    combined to ≤ |support| rows), midrank windows over that bounded
+    grid (partitioned by flag — never data-sized), then ONE row-level
+    broadcast join of the ≤150-row rank maps back onto the scan — the
+    fact table never shuffles — and a final per-flag aggregate."""
+    li = _lt(spark, sf_dir, "lineitem")
+    u_expr = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+
+    def _midranks(keyed: DataFrame, vcol: str) -> DataFrame:
+        wo = (
+            W.partitionBy("flag")
+            .orderBy(vcol)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return keyed.withColumn(
+            "d", 2 * F.coalesce(F.sum("t").over(wo), F.lit(0)) + F.col("t") + 1
+        )
+
+    dx = _midranks(
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("v"),
+        ).agg(F.count(F.lit(1)).alias("t")),
+        "v",
+    ).select("flag", "v", F.col("d").alias("rx"))
+    dy = _midranks(
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"), u_expr.alias("u")
+        ).agg(F.count(F.lit(1)).alias("t")),
+        "u",
+    ).select("flag", "u", F.col("d").alias("ry"))
+    rows = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_quantity").cast("long").alias("v"),
+            u_expr.alias("u"),
+        )
+        .join(F.broadcast(dx), ["flag", "v"])
+        .join(F.broadcast(dy), ["flag", "u"])
+    )
+    agg = rows.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    return agg.select(
+        "flag", "n", "sx", "sy", "sxy", "sxx", "syy",
+        F.expr(f"round({_SPEARMAN_RHO_EXPR}, 6)").alias("rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUSUM sequential drift detection (prefix-min closed form)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cusum_drift_detect",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                // 100000 AS BIGINT) AS x
+    FROM orders GROUP BY 1
+), stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(x * x) AS BIGINT) AS s2
+    FROM daily
+), params AS (
+    SELECT n, s // n AS ref,
+           CAST(floor(sqrt(CAST((n * s2 - s * s) // (n * (n - 1))
+                                AS DOUBLE))) AS BIGINT) AS sd
+    FROM stats
+), pre AS (
+    SELECT d.day,
+           sum(d.x - p.ref) OVER (ORDER BY d.day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS p,
+           p.sd
+    FROM daily d, params p
+), cus AS (
+    SELECT day,
+           p - least(min(p) OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 0) AS cusum,
+           sd
+    FROM pre
+)
+SELECT (SELECT n FROM params) AS n_days,
+       (SELECT ref FROM params) AS ref_k,
+       (SELECT sd FROM params) AS sd_k,
+       CAST(max(cusum) AS BIGINT) AS max_cusum,
+       CAST(sum(CASE WHEN cusum > 3 * sd THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarm_days,
+       min(CASE WHEN cusum > 3 * sd THEN day END) AS first_alarm_day
+FROM cus
+""",
+)
+def cusum_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector (Page 1954, public knowledge) on
+    the daily revenue series — the SEQUENTIAL sibling of
+    changepoint_mean_shift (which scans offline for the single best
+    split; CUSUM is what a monitoring pipeline actually runs). The
+    recursion S_t = max(0, S_{t-1} + x_t − ref) has the classic
+    prefix-min closed form S_t = P_t − min(0, min_{j≤t} P_j) with
+    P = running sum of (x − ref), so the whole detector is two
+    ordered windows over the daily rollup — no recursion, no UDF.
+    ref = in-sample mean (integer div), threshold = 3·sd with
+    sd = floor(sqrt((n·Σx² − (Σx)²) // (n(n−1)))) — floor(sqrt(·))
+    is engine-portable (correctly-rounded IEEE sqrt, see analytics9).
+
+    Units: daily revenue in KILODOLLARS (cents // 100000) so
+    n·Σx² stays int64-exact through ~2.4e4-unit daily values (sf1
+    daily ≈ 1.6e2 units — 100× headroom; at larger SF the same query
+    reads megadollar units, the documented rescale path).
+
+    100 TB shape: the per-day rollup is the only data-scaling pass
+    (map-side combined to ~n_days rows); both windows and the final
+    aggregate run on the calendar-sized frame (bounded_window_key
+    convention) a single executor holds at any SF."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    o = _lt(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+            " div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    params = stats.select(
+        "n",
+        F.expr("s div n").alias("ref"),
+        F.expr(
+            "CAST(floor(sqrt(CAST((n * s2 - s * s) div (n * (n - 1))"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("sd"),
+    )
+    bk = bounded_window_key(F.col("day"))
+    wo = (
+        W.partitionBy(bk)
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cus = (
+        daily.crossJoin(F.broadcast(params))
+        .withColumn("p", F.sum(F.col("x") - F.col("ref")).over(wo))
+        .withColumn(
+            "cusum", F.col("p") - F.least(F.min("p").over(wo), F.lit(0))
+        )
+    )
+    return cus.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("ref").cast("long").alias("ref_k"),
+        F.max("sd").cast("long").alias("sd_k"),
+        F.max("cusum").cast("long").alias("max_cusum"),
+        F.sum(F.when(F.col("cusum") > 3 * F.col("sd"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_days"),
+        F.min(F.when(F.col("cusum") > 3 * F.col("sd"), F.col("day"))).alias(
+            "first_alarm_day"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box autocorrelation portmanteau (lags 1..7, exact numerators)
+# --------------------------------------------------------------------------
+
+_LB_LAGS = 7
+_LB_CHI2_95 = 14.067140  # chi-square(7) 0.95 quantile, fixed literal
+
+# Q = n(n+2) Σ_k ρ_k²/(n−k) with ρ_k = num_k/num_0 — one float
+# expression over exact int64 columns, character-identical both sides.
+_LB_Q_EXPR = (
+    "CAST(n AS DOUBLE) * (n + 2) * ("
+    + " + ".join(
+        f"(CAST(num{k} AS DOUBLE) / num0) * (CAST(num{k} AS DOUBLE) / num0)"
+        f" / (n - {k})"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    + ")"
+)
+
+
+def _lb_oracle_sql() -> str:
+    lead_cols = ",\n           ".join(
+        f"lead(z, {k}) OVER (ORDER BY day) AS z{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    num_cols = ",\n       ".join(
+        f"CAST((SELECT n FROM stats) * (SELECT n FROM stats)"
+        f" * sum(z * z{k})"
+        f" - (SELECT n FROM stats) * (SELECT sz FROM stats)"
+        f"   * (sum(CASE WHEN z{k} IS NOT NULL THEN z END) + sum(z{k}))"
+        f" + ((SELECT n FROM stats) - {k})"
+        f"   * (SELECT sz FROM stats) * (SELECT sz FROM stats)"
+        f" AS BIGINT) AS num{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    # rho_e6 = 1e6·num_k/num_0 — but 1e6·num_k overflows int64 (num_k
+    # reaches ~7e15 at sf0.01), and DuckDB would promote to HUGEINT
+    # while Spark wraps. Dividing by the PRE-TRUNCATED num0//1e6
+    # instead keeps every operand int64 on both engines (≤1 ulp of
+    # fixed-point precision traded for exactness of the comparison).
+    rho_cols = ",\n       ".join(
+        f"num{k} // greatest(num0 // 1000000, 1) AS rho{k}_e6"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                // 100000 AS BIGINT) AS x
+    FROM orders GROUP BY 1
+), off AS (
+    SELECT CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS o
+    FROM daily
+), z0 AS (
+    SELECT day, x - (SELECT o FROM off) AS z FROM daily
+), stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(z) AS BIGINT) AS sz,
+           CAST(sum(z * z) AS BIGINT) AS szz
+    FROM z0
+), led AS (
+    SELECT z,
+           {lead_cols}
+    FROM z0
+), nums AS (
+    SELECT (SELECT n FROM stats) AS n,
+           CAST((SELECT n FROM stats) * (SELECT n FROM stats)
+                * (SELECT szz FROM stats)
+                - (SELECT sz FROM stats) * (SELECT sz FROM stats)
+                * (SELECT n FROM stats) AS BIGINT) AS num0,
+       {num_cols}
+    FROM led
+)
+SELECT n AS n_days, num0,
+       {rho_cols},
+       round({_LB_Q_EXPR}, 4) AS q_stat,
+       CAST(CASE WHEN {_LB_Q_EXPR} > {_LB_CHI2_95} THEN 1 ELSE 0 END
+            AS BIGINT) AS reject_05
+FROM nums
+"""
+
+
+@query("autocorr_ljung_box", oracle=_lb_oracle_sql())
+def autocorr_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test (Ljung & Box 1978,
+    public knowledge) at lags 1..7 on the daily revenue series — the
+    "is there ANY serial structure" gate a forecasting pipeline runs
+    before fitting anything (seasonal_naive_backtest / the EWMA ops
+    assume it; this measures it). Every ACF NUMERATOR is exact int64:
+    after subtracting the integer offset o = S div n (which shrinks
+    every product by ~1e6), num_k = n²·Σ z_t z_{t+k} − n·Sz·(Σ_front
+    + Σ_back) + (n−k)·Sz² over z = x − o; ρ_k = num_k/num_0 shares
+    the n² scale so it cancels exactly. rho_e6 uses integer div
+    (truncation identical both engines); Q and the χ²₇ verdict are
+    one float expression over the exact integers, character-identical
+    on both sides (kruskal_wallis convention).
+
+    Int64 headroom: n²·Σz² with kilodollar units and mean-offset z —
+    exact through daily |z| ≈ 2e4 units at 2405 days (sf1 |z| ≈ 4e3;
+    at larger SF the rollup reads coarser units, same rescale path as
+    cusum_drift_detect).
+
+    100 TB shape: per-day rollup is the only data-scaling pass; the
+    7 lead() columns, both scalar subquery aggregates, and the final
+    1-row epilogue all run on the calendar-sized frame
+    (bounded_window_key convention)."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    o = _lt(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))"
+            " div 100000 AS BIGINT)"
+        ).alias("x")
+    )
+    off = daily.agg(
+        F.expr("CAST(sum(x) AS BIGINT) div CAST(count(1) AS BIGINT)").alias("o")
+    )
+    z0 = daily.crossJoin(F.broadcast(off)).select(
+        "day", (F.col("x") - F.col("o")).alias("z")
+    )
+    stats = z0.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+    )
+    wo = W.partitionBy(bounded_window_key(F.col("day"))).orderBy("day")
+    led = z0.select(
+        "z",
+        *[F.lead("z", k).over(wo).alias(f"z{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    nums = led.crossJoin(F.broadcast(stats)).agg(
+        F.max("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(max(n) * max(n) * max(szz)"
+            " - max(sz) * max(sz) * max(n) AS BIGINT)"
+        ).alias("num0"),
+        *[
+            F.expr(
+                f"CAST(max(n) * max(n) * sum(z * z{k})"
+                f" - max(n) * max(sz)"
+                f" * (sum(CASE WHEN z{k} IS NOT NULL THEN z END) + sum(z{k}))"
+                f" + (max(n) - {k}) * max(sz) * max(sz) AS BIGINT)"
+            ).alias(f"num{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    return nums.select(
+        F.col("n").alias("n_days"),
+        "num0",
+        *[
+            F.expr(f"num{k} div greatest(num0 div 1000000, 1L)").alias(
+                f"rho{k}_e6"
+            )
+            for k in range(1, _LB_LAGS + 1)
+        ],
+        F.expr(f"round({_LB_Q_EXPR}, 4)").alias("q_stat"),
+        F.expr(f"CASE WHEN {_LB_Q_EXPR} > {_LB_CHI2_95} THEN 1 ELSE 0 END")
+        .cast("long")
+        .alias("reject_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chao1 vocabulary richness + Good-Turing coverage (trigram support)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chao1_vocab_richness",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+    SELECT array_to_string(t[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, len(t) - 3 + 2)) AS r(i)
+    WHERE len(t) >= 3
+), freq AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS f FROM grams GROUP BY g
+)
+SELECT CAST(count(*) AS BIGINT) AS d_distinct,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(count(*)
+            + (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+               * (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) - 1))
+              // (2 * (sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) + 1))
+            AS BIGINT) AS chao1_est,
+       CAST(1000000 - (1000000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))
+                      // sum(f) AS BIGINT) AS coverage_e6
+FROM freq
+""",
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 total-vocabulary estimate (Chao 1984, public knowledge)
+    plus Good-Turing sample coverage (Good 1953) over the corpus word
+    TRIGRAM support — the "how much vocabulary have we NOT seen yet"
+    pair that sizes tokenizer/vocab decisions before training
+    (vocab_growth_curve plots the empirical curve; this estimates its
+    asymptote). Bias-corrected Chao1 = D + N1(N1−1) // (2(N2+1)) —
+    defined even at N2 = 0 — and coverage = 1 − N1/N in e6 fixed
+    point; every quantity is an exact integer (counts and `div`).
+
+    Int64 headroom: trivial (counts and their squares; N1² exact
+    through ~3e9 singleton grams).
+
+    100 TB shape: the gram explode is scan-side (the shingle_postings
+    codegen path: explode positions, slice/array_join as row
+    expressions), one groupBy on the gram key (map-side combined),
+    then a 1-row epilogue. The frequency-of-frequencies table this
+    reduces to is ≤ max(f) rows — nothing data-sized survives the
+    first aggregate."""
+    d = _lt(spark, sf_dir, "documents")
+    grams = (
+        d.select(F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"), "t"
+        )
+        .select(F.expr("array_join(slice(t, i, 3), ' ')").alias("g"))
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    n1 = F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+    n2 = F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+    return freq.agg(
+        F.count(F.lit(1)).cast("long").alias("d_distinct"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        (
+            F.count(F.lit(1))
+            + F.expr(
+                "(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)"
+                " * (sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) - 1))"
+                " div (2 * (sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) + 1))"
+            )
+        )
+        .cast("long")
+        .alias("chao1_est"),
+        F.expr(
+            "CAST(1000000 - (1000000 * sum(CASE WHEN f = 1 THEN 1 ELSE 0 END))"
+            " div sum(f) AS BIGINT)"
+        ).alias("coverage_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Chapman capture-recapture distinct estimation (two md5 strata)
+# --------------------------------------------------------------------------
+
+_CR_PCT = 60  # each capture samples 60% of the distinct-text population
+
+
+@query(
+    "chapman_capture_recapture",
+    oracle=f"""
+WITH pop AS (
+    SELECT DISTINCT md5(text) AS k FROM documents
+), marked AS (
+    SELECT k,
+           CASE WHEN ('0x' || substr(md5('c1:' || k), 1, 4))::BIGINT
+                     % 100 < {_CR_PCT} THEN 1 ELSE 0 END AS in1,
+           CASE WHEN ('0x' || substr(md5('c2:' || k), 1, 4))::BIGINT
+                     % 100 < {_CR_PCT} THEN 1 ELSE 0 END AS in2
+    FROM pop
+)
+SELECT CAST(count(*) AS BIGINT) AS d_exact,
+       CAST(sum(in1) AS BIGINT) AS n1,
+       CAST(sum(in2) AS BIGINT) AS n2,
+       CAST(sum(in1 * in2) AS BIGINT) AS m_both,
+       CAST((sum(in1) + 1) * (sum(in2) + 1) // (sum(in1 * in2) + 1) - 1
+            AS BIGINT) AS chapman_est,
+       CAST((1000000 * abs((sum(in1) + 1) * (sum(in2) + 1)
+                           // (sum(in1 * in2) + 1) - 1 - count(*)))
+            // count(*) AS BIGINT) AS err_e6
+FROM marked
+""",
+)
+def chapman_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimator (Chapman 1951, public
+    knowledge — the bias-corrected Lincoln-Petersen index) applied to
+    corpus cardinality: estimate the DISTINCT-document count from two
+    independent deterministic hash captures instead of a full count-
+    distinct — the ecology estimator that sizes a dedup job (and
+    cross-checks the KMV/HLL sketches: kmv_distinct_certified bounds
+    the sketch, THIS bounds a sampling protocol). Captures are
+    salted-md5 buckets over the distinct-text key (house hash_split
+    convention — reproducible across engines/partitionings);
+    Chapman = (n1+1)(n2+1)//(m+1) − 1, exact integer; err_e6
+    certifies it against the exact D in the same query.
+
+    Int64 headroom: (n1+1)(n2+1) exact through ~3e9 docs per capture.
+
+    100 TB shape: one distinct on the md5 text key (the dedup_exact
+    shuffle — at scale you'd START from the already-deduped corpus
+    manifest), then the two capture flags are scan-side expressions
+    and everything after is a 1-row aggregate. The PRODUCTION form
+    samples each capture's bucket predicate directly in the scan
+    (partition-prunable), never materializing the population."""
+    d = _lt(spark, sf_dir, "documents")
+    pop = d.select(F.md5("text").alias("k")).distinct()
+
+    def _flag(salt: str) -> F.Column:
+        bucket = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("k"))), 1, 4),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        return F.when(bucket < _CR_PCT, 1).otherwise(0)
+
+    marked = pop.select(
+        _flag("c1:").alias("in1"), _flag("c2:").alias("in2")
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("d_exact"),
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m_both"),
+        F.expr(
+            "CAST((sum(in1) + 1) * (sum(in2) + 1) div (sum(in1 * in2) + 1)"
+            " - 1 AS BIGINT)"
+        ).alias("chapman_est"),
+        F.expr(
+            "CAST((1000000 * abs((sum(in1) + 1) * (sum(in2) + 1)"
+            " div (sum(in1 * in2) + 1) - 1 - count(1))) div count(1)"
+            " AS BIGINT)"
+        ).alias("err_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap between two term rankers (p = 1/2, exact rational)
+# --------------------------------------------------------------------------
+
+_RBO_K = 10
+# Common denominator of the RBO@10 weights (1-p)p^{d-1}/d = 1/(d·2^d)
+# at p = 1/2: lcm(1..10)·2^10 = 2520·1024. Every per-depth weight
+# _RBO_D // (d·2^d) is then an exact integer.
+_RBO_D = 2520 * 1024
+_RBO_W = [_RBO_D // (d * 2**d) for d in range(1, _RBO_K + 1)]
+
+
+def _rbo_oracle_sql() -> str:
+    inter_cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN m <= {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS inter{d}"
+        for d in range(1, _RBO_K + 1)
+    )
+    rbo_terms = " + ".join(
+        f"{_RBO_W[d - 1]} * sum(CASE WHEN m <= {d} THEN 1 ELSE 0 END)"
+        for d in range(1, _RBO_K + 1)
+    )
+    return f"""
+WITH freq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS f_tot,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS f_doc
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    WHERE token <> '' GROUP BY token
+), ta AS (
+    SELECT token, row_number() OVER (ORDER BY f_doc DESC, token) AS ra
+    FROM (SELECT token, f_doc FROM freq
+          ORDER BY f_doc DESC, token LIMIT {_RBO_K})
+), tb AS (
+    SELECT token, row_number() OVER (ORDER BY f_tot DESC, token) AS rb
+    FROM (SELECT token, f_tot FROM freq
+          ORDER BY f_tot DESC, token LIMIT {_RBO_K})
+), joined AS (
+    SELECT greatest(coalesce(ta.ra, {_RBO_K + 1}),
+                    coalesce(tb.rb, {_RBO_K + 1})) AS m
+    FROM ta FULL OUTER JOIN tb ON ta.token = tb.token
+)
+SELECT {inter_cols},
+       CAST((1000000 * ({rbo_terms})) // {_RBO_D} AS BIGINT) AS rbo_min_e6
+FROM joined
+"""
+
+
+@query("rbo_ranking_overlap", oracle=_rbo_oracle_sql())
+def rbo_ranking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010, public
+    knowledge) between two term rankers over the corpus — top-10 by
+    DOCUMENT frequency vs top-10 by TOTAL frequency (the df-vs-tf
+    divergence is exactly what separates boilerplate from burst
+    terms; a low RBO here is the zipf_rank_frequency anomaly signal
+    made into one number). RBO_min@10 at p = 1/2: Σ_d |A_d ∩ B_d| /
+    (d·2^d) — with p = 1/2 every weight is the exact rational
+    _RBO_D/(d·2^d) over the shared denominator 2520·1024, so the
+    whole statistic is integer until the final e6 fixed-point div.
+    This is the LOWER-bound (min) variant: tail agreement beyond
+    depth 10 contributes 0 (documented truncation, the paper's §4.3).
+
+    Int64 headroom: Σ inter_d·W_d ≤ 10·10·1.3e6 ≈ 1.3e8; ×1e6 ✓.
+
+    100 TB shape: one token count (map-side combined), two top-10
+    LIMITs, then POST-LIMIT bounded ranking windows (the zipf_rank_
+    frequency pattern) and a ≤20-row full outer join — the vocabulary
+    never sorts globally beyond the top-k selections."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    d = _lt(spark, sf_dir, "documents")
+    freq = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("f_tot"),
+            F.countDistinct("doc_id").alias("f_doc"),
+        )
+    )
+    bk = bounded_window_key(F.col("token"))
+    ta = (
+        freq.orderBy(F.desc("f_doc"), F.asc("token"))
+        .limit(_RBO_K)
+        .select(
+            "token",
+            F.row_number()
+            .over(W.partitionBy(bk).orderBy(F.desc("f_doc"), F.asc("token")))
+            .alias("ra"),
+        )
+    )
+    tb = (
+        freq.orderBy(F.desc("f_tot"), F.asc("token"))
+        .limit(_RBO_K)
+        .select(
+            F.col("token").alias("token_b"),
+            F.row_number()
+            .over(W.partitionBy(bk).orderBy(F.desc("f_tot"), F.asc("token")))
+            .alias("rb"),
+        )
+    )
+    joined = ta.join(
+        tb, F.col("token") == F.col("token_b"), "full_outer"
+    ).select(
+        F.greatest(
+            F.coalesce(F.col("ra"), F.lit(_RBO_K + 1)),
+            F.coalesce(F.col("rb"), F.lit(_RBO_K + 1)),
+        ).alias("m")
+    )
+    rbo_terms = " + ".join(
+        f"{_RBO_W[d - 1]} * sum(CASE WHEN m <= {d} THEN 1 ELSE 0 END)"
+        for d in range(1, _RBO_K + 1)
+    )
+    return joined.agg(
+        *[
+            F.sum(F.when(F.col("m") <= dd, 1).otherwise(0))
+            .cast("long")
+            .alias(f"inter{dd}")
+            for dd in range(1, _RBO_K + 1)
+        ],
+        F.expr(
+            f"CAST((1000000 * ({rbo_terms})) div {_RBO_D} AS BIGINT)"
+        ).alias("rbo_min_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization against a reference distribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quantile_normalize_acctbal",
+    oracle="""
+WITH cust AS (
+    SELECT c_mktsegment,
+           row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+           count(*) OVER () AS nc
+    FROM customer
+), ref AS (
+    SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS norm_cents,
+           row_number() OVER (ORDER BY s_acctbal, s_suppkey) AS rrn,
+           count(*) OVER () AS ns
+    FROM supplier
+), mapped AS (
+    SELECT c.c_mktsegment, r.norm_cents
+    FROM cust c
+    JOIN ref r
+      ON r.rrn = 1 + ((c.rn - 1) * (r.ns - 1)) // greatest(c.nc - 1, 1)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(norm_cents) AS BIGINT) AS sum_norm_cents,
+       CAST(min(norm_cents) AS BIGINT) AS min_norm_cents,
+       CAST(max(norm_cents) AS BIGINT) AS max_norm_cents
+FROM mapped GROUP BY c_mktsegment
+""",
+)
+def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003, public knowledge —
+    the batch-effect remover): map every customer balance onto the
+    SUPPLIER balance distribution by matching quantiles — rank
+    customer values, index the sorted reference at the proportional
+    rank 1 + (rn−1)(ns−1) // (nc−1) (exact integer interpolation-free
+    indexing, both engines), read the reference value in cents. The
+    feature-engineering op that puts two differently-scaled sources
+    on one distribution before mixing (mixture_temperature_alloc
+    decides how much of each source; this makes their numeric columns
+    comparable). Output: per-segment exact integer stats of the
+    normalized values.
+
+    100 TB shape: the reference ranking is dimension-sized (ns
+    suppliers → broadcast); the customer ranking is the one
+    population-sized ordered pass, riding the reviewed
+    bounded_window_key convention (the lorenz_curve_deciles
+    exact-baseline tradeoff — at true scale the same mapping reads
+    approx_percentile cut points instead of exact ranks, the
+    documented sketch swap)."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    c = _lt(spark, sf_dir, "customer")
+    s = _lt(spark, sf_dir, "supplier")
+    bkc = bounded_window_key(F.col("c_custkey"))
+    cust = c.select(
+        "c_mktsegment",
+        F.row_number()
+        .over(W.partitionBy(bkc).orderBy("c_acctbal", "c_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy(bkc)).alias("nc"),
+    )
+    bks = bounded_window_key(F.col("s_suppkey"))
+    ref = s.select(
+        F.floor(F.col("s_acctbal") * 100).cast("long").alias("norm_cents"),
+        F.row_number()
+        .over(W.partitionBy(bks).orderBy("s_acctbal", "s_suppkey"))
+        .alias("rrn"),
+        F.count(F.lit(1)).over(W.partitionBy(bks)).alias("ns"),
+    )
+    mapped = cust.join(
+        F.broadcast(ref),
+        F.col("rrn")
+        == 1
+        + F.expr("((rn - 1) * (ns - 1)) div greatest(nc - 1, 1)"),
+    )
+    return mapped.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("norm_cents").cast("long").alias("sum_norm_cents"),
+        F.min("norm_cents").cast("long").alias("min_norm_cents"),
+        F.max("norm_cents").cast("long").alias("max_norm_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fellegi-Sunter record-linkage scoring (blocked pairs, integer log-odds)
+# --------------------------------------------------------------------------
+
+# Field weights in MILLI-LOG2-ODDS, fixed integer literals shared by
+# both engines. Derivation (Fellegi & Sunter 1969 eq. 3.9, public
+# knowledge): agreement weight log2(m/u), disagreement log2((1-m)/(1-u))
+# with m = 0.95 (field agrees on a true match) and u = chance
+# agreement on a non-match from the field's value space:
+#   p_type  u = 1/6   -> +log2(5.70)  = +2511 / log2(0.060) = -4059
+#   adj     u = 1/8   -> +log2(7.60)  = +2926 / log2(0.057) = -4129
+#   noun    u = 1/8   -> +2926 / -4129
+#   price   u = 1/12  -> +log2(11.40) = +3511 / log2(0.055) = -4196
+_FS_W = {
+    "type": (2511, -4059),
+    "adj": (2926, -4129),
+    "noun": (2926, -4129),
+    "price": (3511, -4196),
+}
+
+
+def _fs_oracle_sql() -> str:
+    w = _FS_W
+    return f"""
+WITH p AS (
+    SELECT p_partkey, p_brand, p_size, p_type,
+           string_split(p_name, ' ')[1] AS adj,
+           string_split(p_name, ' ')[2] AS noun,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bin
+    FROM part
+), pairs AS (
+    SELECT CASE WHEN a.p_type = b.p_type THEN {w["type"][0]}
+                ELSE {w["type"][1]} END
+         + CASE WHEN a.adj = b.adj THEN {w["adj"][0]}
+                ELSE {w["adj"][1]} END
+         + CASE WHEN a.noun = b.noun THEN {w["noun"][0]}
+                ELSE {w["noun"][1]} END
+         + CASE WHEN a.price_bin = b.price_bin THEN {w["price"][0]}
+                ELSE {w["price"][1]} END AS score
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+)
+SELECT CAST(score AS BIGINT) AS score_milli,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY score
+"""
+
+
+@query("fellegi_sunter_linkage_score", oracle=_fs_oracle_sql())
+def fellegi_sunter_linkage_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969, public knowledge — the model behind every serious ER
+    system): candidate pairs from a BLOCKING key (p_brand, p_size),
+    scored by summing per-field integer log-odds weights — agreement
+    adds log2(m/u), disagreement adds log2((1−m)/(1−u)) — over the
+    fields NOT in the block (type, name adjective, name noun, price
+    bin). Output is the score histogram: the bimodal separation
+    between the match and non-match modes is what sets the
+    accept/review/reject thresholds. Complements the existing ER
+    family: blocking_quality_* certifies the CANDIDATE GENERATOR,
+    this scores the candidates; levenshtein_blocked_pairs is the
+    string-distance special case of the same blocked shape. Weights
+    are fixed milli-log2-odds integer literals (derivation in
+    _FS_W), so every score is exact int64 on both engines.
+
+    100 TB shape: the pair join is block-bounded (never all-pairs;
+    cost Σ_blocks n_b² — the block key is the dial, exactly the
+    record-linkage textbook shape), fields project scan-side, and the
+    result collapses to a ≤|score-support| histogram (≤ 2⁴ distinct
+    sums). Skewed blocks ride AQE skew-join splitting."""
+    w = _FS_W
+    p = _lt(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "p_type",
+        F.split("p_name", " ").getItem(0).alias("adj"),
+        F.split("p_name", " ").getItem(1).alias("noun"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bin"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    score = (
+        F.when(F.col("a.p_type") == F.col("b.p_type"), w["type"][0])
+        .otherwise(w["type"][1])
+        + F.when(F.col("a.adj") == F.col("b.adj"), w["adj"][0]).otherwise(
+            w["adj"][1]
+        )
+        + F.when(F.col("a.noun") == F.col("b.noun"), w["noun"][0]).otherwise(
+            w["noun"][1]
+        )
+        + F.when(
+            F.col("a.price_bin") == F.col("b.price_bin"), w["price"][0]
+        ).otherwise(w["price"][1])
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(score.cast("long").alias("score_milli"))
+    return pairs.groupBy("score_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear-kernel MMD drift between embedding groups (integer-quantized)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_mmd_drift",
+    oracle="""
+WITH q AS (
+    SELECT e.label,
+           CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000 + 0.5)
+                AS BIGINT) AS qx,
+           i
+    FROM embeddings e, unnest(range(1, 65)) AS t(i)
+), cnts AS (
+    SELECT CAST(sum(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+           CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+    FROM embeddings
+), dims AS (
+    SELECT i,
+           CAST(sum(CASE WHEN label <= 4 THEN qx ELSE 0 END) AS BIGINT)
+               AS sa,
+           CAST(sum(CASE WHEN label >= 5 THEN qx ELSE 0 END) AS BIGINT)
+               AS sb
+    FROM q GROUP BY i
+), md AS (
+    SELECT (1000 * d.sa) // c.na - (1000 * d.sb) // c.nb AS md,
+           c.na, c.nb
+    FROM dims d, cnts c
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(sum(md * md) AS BIGINT) AS mmd2_e12,
+       CAST(max(abs(md)) AS BIGINT) AS max_abs_md_e6
+FROM md
+""",
+)
+def embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy (Gretton et al. 2012,
+    public knowledge) between two embedding populations (labels 0–4
+    vs 5–9): MMD² = ‖μ_A − μ_B‖² — the distribution-drift test for
+    EMBEDDING space the way ks_test_two_sample is for scalar columns
+    and drift_chi2_daily for categories. With the linear kernel the
+    statistic needs only per-dimension mean differences, so it is
+    one scan: quantize each component to integer milli-units
+    (floor(x·1000+0.5) — floor-then-cast is the engine-portable
+    rounding), sum per dimension per group, take the mean difference
+    in integer micro-units via exact div, and Σ md² is the e12
+    fixed-point MMD². max|md| localizes the drift to its worst
+    dimension.
+
+    Int64 headroom: |md| ≤ 1.16e6 (unit-norm components), Σ over 64
+    dims ≤ 8.7e13 ✓; (1000·sa) exact through ~1.6e13 vectors/group.
+
+    100 TB shape: posexplode is scan-side (Tungsten generate — rows
+    never shuffle), ONE groupBy on the 64-value dimension key
+    (map-side combined to 64 rows), counts broadcast, 1-row epilogue.
+    The RBF-kernel variant needs pairwise terms — the documented
+    step up is a random-features projection (still one scan), not
+    the quadratic exact form."""
+    e = _lt(spark, sf_dir, "embeddings")
+    cnts = e.agg(
+        F.sum(F.when(F.col("label") <= 4, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("label") >= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    q = e.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "label",
+        "i",
+        F.floor(F.col("x").cast("double") * 1000 + 0.5)
+        .cast("long")
+        .alias("qx"),
+    )
+    dims = q.groupBy("i").agg(
+        F.sum(F.when(F.col("label") <= 4, F.col("qx")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("label") >= 5, F.col("qx")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+    )
+    md = dims.crossJoin(F.broadcast(cnts)).select(
+        F.expr("(1000 * sa) div na - (1000 * sb) div nb").alias("md"),
+        "na",
+        "nb",
+    )
+    return md.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(F.col("md") * F.col("md")).cast("long").alias("mmd2_e12"),
+        F.max(F.abs(F.col("md"))).cast("long").alias("max_abs_md_e6"),
+    )

@@ -440,7 +440,13 @@ def trend_mann_kendall_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (the label_propagation convention), ties broken by
     (num, den), and slope_e6 = (1e6·num) div den truncates toward
     zero identically on both engines (measured r8, negative OLS
-    slopes).
+    slopes). 1-ulp caveat: two distinct exact rationals within one
+    double ulp collapse to the same key and are then ordered by
+    (num, den) rather than true value, so the selected "median" can
+    be off-by-rank from the exact rational ordering in that corner —
+    deterministic and engine-identical either way, which is the
+    stated contract; an exact cross-multiplied comparator would
+    need an O(pairs²) join the calendar frame doesn't justify.
 
     Int64 headroom: |S| ≤ n(n−1)/2 so the verdict's 1.8e5·(|S|−1)²
     term is exact through n ≈ 5,000 periods — monthly or daily
@@ -530,13 +536,19 @@ def trend_mann_kendall_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kruskal-Wallis k-sample rank test (completes the nonparametric trio)
 # --------------------------------------------------------------------------
 
+# greatest(n_j, 1) / greatest(nn³-nn, 1) guards: an empty return-flag
+# group (or a degenerate single-value input) would otherwise divide by
+# zero, which Spark folds to NULL while DuckDB errors — the same
+# degenerate-input guard analytics8's bloom/kmv ratios carry. Not
+# reachable on the TPC-H fixtures (all three flags always present);
+# the guard keeps both engines defined on arbitrary inputs.
 _KW_H_EXPR = (
     "((12.0 / (nn * (nn + 1.0)))"
-    " * ((s2_a / 2.0) * (s2_a / 2.0) / n_a"
-    " + (s2_n / 2.0) * (s2_n / 2.0) / n_n"
-    " + (s2_r / 2.0) * (s2_r / 2.0) / n_r)"
+    " * ((s2_a / 2.0) * (s2_a / 2.0) / greatest(n_a, 1)"
+    " + (s2_n / 2.0) * (s2_n / 2.0) / greatest(n_n, 1)"
+    " + (s2_r / 2.0) * (s2_r / 2.0) / greatest(n_r, 1))"
     " - 3.0 * (nn + 1.0))"
-    " / (1.0 - tie3 / (CAST(nn AS DOUBLE) * nn * nn - nn))"
+    " / (1.0 - tie3 / greatest(CAST(nn AS DOUBLE) * nn * nn - nn, 1.0))"
 )
 
 

@@ -186,6 +186,16 @@ EXTENDED = [
     "trend_mann_kendall_theilsen",
     "kruskal_wallis_quantity",
     "hodges_lehmann_quantity",
+    # round 10
+    "spearman_rank_corr",
+    "cusum_drift_detect",
+    "autocorr_ljung_box",
+    "chao1_vocab_richness",
+    "chapman_capture_recapture",
+    "rbo_ranking_overlap",
+    "quantile_normalize_acctbal",
+    "fellegi_sunter_linkage_score",
+    "embedding_mmd_drift",
 ]
 
 
