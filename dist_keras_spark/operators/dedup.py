@@ -120,10 +120,19 @@ def shingle_postings(
     ns = set cardinality (count over the id partition AFTER distinct
     == size(array_distinct(...))); docs shorter than n tokens produce
     no postings in both forms. Two shuffles, both on data-scaling
-    keys: distinct on (id, shingle), the ns window on id.
+    keys: distinct on (id, shingle), the ns window on id — plus the
+    spread() no-op-sized pre-shuffle below.
+
+    spread() first (ADVICE r9 #3, re-measured in the r10 scaling
+    sweep): the single-partition local fixture scan serializes the
+    explode/array_join/md5 stage onto one core until the distinct
+    shuffle; spreading the doc rows first parallelizes it. At cluster
+    scale the scan is already split and this is a no-op-sized shuffle
+    of (id, text) rows.
     """
+    base = spread(df, id_col)
     t = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), t.alias("t")).where(
+    base = base.select(F.col(id_col).alias("id"), t.alias("t")).where(
         F.size("t") >= n
     )
     rows = base.select(

@@ -510,8 +510,14 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join shuffles ids+vectors ONCE on cell, and per-cell pair
     counts are bounded by cell size — the operator's scale knob is
     n_cells, exactly as in the paper (cells ∝ corpus size keeps
-    per-cell work constant). Bounds: dot ≤ 127²·64 ≈ 1.03e6, so
-    100·dot² ≤ 1.1e14 and 9·na·nb ≤ 9.6e12 — well inside int64."""
+    per-cell work constant). MEASURED at 10× (r10 scaling sweep,
+    bench_extended_trace "scaling_10x"): exp ≈ 1.25 — super-linear
+    exactly BECAUSE this query pins n_cells = 16 for oracle
+    determinism, so per-cell membership grows 10× and within-cell
+    pairs ~100×; with the paper's k ∝ N the exponent returns to ~1
+    (the within-cell quadratic is held constant). Bounds:
+    dot ≤ 127²·64 ≈ 1.03e6, so 100·dot² ≤ 1.1e14 and
+    9·na·nb ≤ 9.6e12 — well inside int64."""
     e = _lt(spark, sf_dir, "embeddings")
     scale = F.lit(127.0) / F.array_max(
         F.transform("embedding", lambda y: F.abs(y.cast("double")))
@@ -2691,7 +2697,10 @@ def blocking_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction estimates stay within sampling noise of the full
     numbers. At sf0.1 wall time is floored by the linear signature
     scan; at corpus scale the quadratic pair term dominates, which
-    is what the stratum controls.
+    is what the stratum controls — confirmed at 10× (r10 scaling
+    sweep, "scaling_10x"): sf1 full 18.5s vs sampled 7.8s, the
+    stratum's wall-time advantage growing with scale exactly as the
+    pair-term model predicts.
 
     100 TB: this is the query you actually run — the exact-truth side
     is the expensive object being controlled, and the stratum bound

@@ -729,19 +729,45 @@ WHERE e.vec_id <> q.query_id
 )
 def cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: pairwise cosine ≥ 0.2 between sampled queries and the corpus
-    — the pairwise-similarity primitive under the dedup/knn operators."""
-    from dist_keras_spark.functions.arrays import cosine_similarity
+    — the pairwise-similarity primitive under the dedup/knn operators.
 
-    e = _lt(spark, sf_dir, "embeddings")
+    Pairwise-stage discipline (r10 scaling sweep, the knn_bruteforce
+    pattern): the per-pair fold is an INTERPRETED HOF, so (a) spread()
+    the corpus — the single-partition local scan otherwise serializes
+    the whole pairwise stage onto one core; (b) precompute norms per
+    SIDE so each pair costs one fold, not three; (c) compute the
+    cosine ONCE in a projection and filter on the column — Spark does
+    not CSE interpreted HOFs across a filter+project pair, so the old
+    filter(cos).select(round(cos)) shape evaluated the fold twice per
+    pair. Same result; measured numbers in bench_extended_trace.json
+    "scaling_10x"."""
+    from dist_keras_spark.functions.arrays import dot, l2_norm
+    from dist_keras_spark.operators.dedup import spread
+
+    e = spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     q = e.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        l2_norm("embedding").alias("qnorm"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
-    cos = cosine_similarity("qvec", "cvec")
-    return (
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        l2_norm("embedding").alias("cnorm"),
+    )
+    scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .filter(cos >= 0.2)
-        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(
+                F.col("qnorm") * F.col("cnorm") != 0,
+                dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm")),
+            ).alias("cos_raw"),
+        )
+    )
+    return scored.filter(F.col("cos_raw") >= 0.2).select(
+        "query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine")
     )
 
 
@@ -1058,9 +1084,19 @@ def knn_int8_quantized_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding risk anywhere — quantization is deterministic IEEE math,
     scoring is int64). Shape: quantization is scan-side column math
     (transform/zip_with/aggregate, no UDF), the query side (every
-    20th vector) broadcasts, the corpus never shuffles; ranking is a
-    per-query-key window."""
-    e = _lt(spark, sf_dir, "embeddings")
+    20th vector) broadcasts, the corpus spreads once then never
+    shuffles; ranking is a per-query-key window.
+
+    spread() on the corpus is load-bearing here (r10 scaling sweep):
+    the per-pair zip_with/aggregate fold is INTERPRETED, and without
+    it the whole pairwise stage ran on the single input partition the
+    local fixture scan produces — 124.5s at sf1 vs knn_bruteforce's
+    6.5s (which spreads); with it the stage parallelizes like
+    bruteforce. At cluster scale the scan is already split and the
+    spread is a no-op-sized shuffle (see dedup.spread)."""
+    from dist_keras_spark.operators.dedup import spread
+
+    e = spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     scale = F.lit(127.0) / F.array_max(
         F.transform("embedding", lambda y: F.abs(y.cast("double")))
     )

@@ -117,7 +117,14 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall); only (doc_id, wgt) pairs cross the wide shuffle.
     Overflow bound: wgt <= tf·(N·100)/1 keeps Σwgt² under 2^63
     through N ≈ 10^6 docs per idf shard; beyond that, downscale the
-    quantizer."""
+    quantizer.
+
+    MEASURED at 10× (r10 scaling sweep, under co-tenant load):
+    exp ≈ 1.29 — mildly super-linear because posting-pair counts per
+    shared shingle grow with corpus density while the df valve is a
+    FIXED fraction (N/10); tightening max_df (absolute cap, not
+    fractional) is the dial that pulls the exponent back toward 1 at
+    true scale, at a small measured recall cost."""
     docs = _lt(spark, sf_dir, "documents")
     # MULTISET trigram rows on the codegen explode path (positions →
     # slice/array_join as plain row expressions) — exploding the
