@@ -53,7 +53,8 @@ AUDITED = {
     "merge_upsert_scd": "MERGE as one full-outer sort-merge join on the key; the change-set aggregate shuffles on the same key so the partitioning is reused",
     "unpivot_measures": "melt is a narrow map-side Expand — zero Exchange nodes in the plan",
     "agg_grouping_sets": "one scan + Expand(3 grouping combos) + single hash agg — strictly cheaper than 3 unioned aggregates at 100 TB (scan dominates)",
-    "knn_int8_quantized_top5": "int8 quantization scan-side (transform/zip_with, no UDF); query side broadcast; integer dot exact — corpus never shuffles before the per-query-key ranking window",
+    "knn_int8_quantized_top5": "int8 quantization scan-side (transform/zip_with, no UDF); query side broadcast; integer dot exact; corpus spreads once (no-op-sized at cluster scale — r10: the interpreted pairwise fold must parallelize) then only the per-query-key ranking window shuffles",
+    "cosine_pairs_threshold": "r10 rewrite: spread corpus, per-side norms precomputed, interpreted cosine computed ONCE in a projection then filtered (no CSE exists for interpreted HOFs across filter+project); query side broadcast",
     "join_asof_forward": "forward as-of via the same union+window operator (first() over [current,+inf)) — ONE key shuffle, never the quadratic range join the oracle spells out",
     "win_cumulative_distinct": "running distinct as first-occurrence flag + running sum — O(1) window state vs collect_set-over-window's per-row set",
     "share_of_total_broadcast": "grand total via a second tiny aggregate crossJoined back — NO sum() OVER () (empty window partition = every row through one task); plan asserted window-free",
