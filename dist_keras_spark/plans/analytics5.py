@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from dist_keras_spark.operators.dedup import substring_dup_pairs
 from dist_keras_spark.plans.registry import query
+from dist_keras_spark.operators.dedup import spread as _spread
 from dist_keras_spark.sources.tables import load_table as _lt
 
 
@@ -290,7 +291,11 @@ def power_iteration_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic). Magnitudes: |q|≤10·64 ⇒ |t|≤640, |v1|≤~3e7 at
     sf0.1, |v2|≤~2e15 — int64-safe with 3 orders of margin
     (valve: re-quantize v between steps beyond ~1e7 rows)."""
-    emb = _lt(spark, sf_dir, "embeddings")
+    # spread() first (r10 scaling sweep): the corpus-wide quantize +
+    # subspace-distance folds are INTERPRETED HOFs, and the local
+    # single-partition scan would serialize them onto one core; at
+    # cluster scale this is a no-op-sized shuffle (dedup.spread).
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select(
         "vec_id",
         _quant().alias("qv"),
@@ -719,7 +724,11 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes with the IVF cell pruning (knn_ivf_persisted_top5) for
     the classic IVF-PQ index; 4-bit codes cut the corpus to
     64 bits/vector, which is the whole point."""
-    emb = _lt(spark, sf_dir, "embeddings")
+    # spread() first (r10 scaling sweep): the corpus-wide quantize +
+    # subspace-distance folds are INTERPRETED HOFs, and the local
+    # single-partition scan would serialize them onto one core; at
+    # cluster scale this is a no-op-sized shuffle (dedup.spread).
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select(
         "vec_id",
         _quant().alias("v"),
@@ -853,7 +862,11 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq5 = pq_adc_top5(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    emb = _lt(spark, sf_dir, "embeddings")
+    # spread() first (r10 scaling sweep): the corpus-wide quantize +
+    # subspace-distance folds are INTERPRETED HOFs, and the local
+    # single-partition scan would serialize them onto one core; at
+    # cluster scale this is a no-op-sized shuffle (dedup.spread).
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select(
         "vec_id",
         _quant().alias("v"),
@@ -1125,7 +1138,11 @@ def ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables broadcast; the candidate join is cell-bucketed. Scoring
     work drops by the probe ratio vs pq_adc_top5 — recall loss is
     measurable by swapping this CTE into pq_recall_vs_exact."""
-    emb = _lt(spark, sf_dir, "embeddings")
+    # spread() first (r10 scaling sweep): the corpus-wide quantize +
+    # subspace-distance folds are INTERPRETED HOFs, and the local
+    # single-partition scan would serialize them onto one core; at
+    # cluster scale this is a no-op-sized shuffle (dedup.spread).
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select("vec_id", _quant().alias("v"))
     subs = q.select(
         "vec_id",
@@ -1573,7 +1590,11 @@ def rrf_fusion_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     each), never raw corpora — the joins are candidate-sized. The
     two input rankings reuse this module's scorers; swap either for
     BM25 to fuse sparse+dense retrieval the same way."""
-    emb = _lt(spark, sf_dir, "embeddings")
+    # spread() first (r10 scaling sweep): the corpus-wide quantize +
+    # subspace-distance folds are INTERPRETED HOFs, and the local
+    # single-partition scan would serialize them onto one core; at
+    # cluster scale this is a no-op-sized shuffle (dedup.spread).
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select("vec_id", _quant().alias("v"))
     queries = q.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1887,7 +1908,11 @@ def pq_lloyd_refined_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder. Iterating to convergence = repeating this query's two
     stages, same cost per round (kmeans_lloyd_two_iters shows the
     full-dim analogue)."""
-    emb = _lt(spark, sf_dir, "embeddings")
+    # spread() first (r10 scaling sweep): the corpus-wide quantize +
+    # subspace-distance folds are INTERPRETED HOFs, and the local
+    # single-partition scan would serialize them onto one core; at
+    # cluster scale this is a no-op-sized shuffle (dedup.spread).
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select("vec_id", _quant().alias("v"))
     subs = q.select(
         "vec_id",

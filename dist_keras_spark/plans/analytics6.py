@@ -518,7 +518,10 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the within-cell quadratic is held constant). Bounds:
     dot ≤ 127²·64 ≈ 1.03e6, so 100·dot² ≤ 1.1e14 and
     9·na·nb ≤ 9.6e12 — well inside int64."""
-    e = _lt(spark, sf_dir, "embeddings")
+    from dist_keras_spark.operators.dedup import spread
+
+    # spread() first (r10): quantize/assignment folds are interpreted
+    e = spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     scale = F.lit(127.0) / F.array_max(
         F.transform("embedding", lambda y: F.abs(y.cast("double")))
     )
