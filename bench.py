@@ -184,10 +184,15 @@ def _run_suite(spark, base_runs: int, warm: bool) -> tuple[dict, dict, dict]:
 STEAL_CLEAN_PCT = 1.0
 DRIFT_CLEAN_RATIO = 1.2
 MAX_PASSES = 3
+# DNF guard: retries must never push the whole bench past a driver
+# timeout — a labeled-dirty number beats no number (BENCH_r04 was a
+# DNF; never again). Stop retrying once this much wall time is spent.
+MAX_WALL_SEC = 12 * 60
 
 
 def main() -> None:
     spark = get_spark("bench")
+    t_start = time.perf_counter()
     # Loaded-machine discipline (VERDICT r6 #4): the r6 driver bench ran
     # at loadavg 8.3 and min-of-3 barely saved it. When the machine is
     # already busy at start, take min-of-5 per query so at least one run
@@ -208,6 +213,8 @@ def main() -> None:
             cpu_mix["cpu_steal_pct"] <= STEAL_CLEAN_PCT
             and passes[-1]["total"] <= best_total * DRIFT_CLEAN_RATIO
         ):
+            break
+        if time.perf_counter() - t_start > MAX_WALL_SEC:
             break
     # Emit the best (lowest-total) pass; it is clean iff ITS window saw
     # no steal — by construction it is the session min, so the drift
