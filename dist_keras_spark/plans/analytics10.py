@@ -42,55 +42,53 @@ from dist_keras_spark.sources.tables import load_table as _lt
 
 # Final scalar only — inputs are exact int64 sufficient statistics, so
 # the doubles are bit-identical across engines (the kruskal_wallis
-# convention). greatest() guards keep a degenerate (constant) input
-# defined on both engines instead of NULL-vs-error.
+# convention). Centered midranks sum to zero EXACTLY (Σd = n(n+1) is
+# a midrank identity), so ρ needs no cross-term correction. The
+# greatest() guard keeps a degenerate (constant) input defined on
+# both engines instead of NULL-vs-error.
 _SPEARMAN_RHO_EXPR = (
-    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-    " / sqrt(greatest((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-    " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 1.0))"
+    "CAST(sxy AS DOUBLE)"
+    " / sqrt(greatest(CAST(sxx AS DOUBLE) * syy, 1.0))"
 )
 
 
 @query(
     "spearman_rank_corr",
     oracle=f"""
-WITH cx AS (
+WITH cells AS (
     SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
-           CAST(count(*) AS BIGINT) AS t
-    FROM lineitem GROUP BY 1, 2
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS u,
+           CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY 1, 2, 3
+), mx AS (
+    SELECT flag, v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1, 2
 ), dx AS (
     SELECT flag, v,
            2 * coalesce(sum(t) OVER (PARTITION BY flag ORDER BY v
                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING), 0) + t + 1 AS d
-    FROM cx
-), cy AS (
-    SELECT l_returnflag AS flag,
-           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS u,
-           CAST(count(*) AS BIGINT) AS t
-    FROM lineitem GROUP BY 1, 2
+                                     AND 1 PRECEDING), 0) + t + 1
+           - sum(t) OVER (PARTITION BY flag) - 1 AS cx
+    FROM mx
+), my AS (
+    SELECT flag, u, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1, 2
 ), dy AS (
     SELECT flag, u,
            2 * coalesce(sum(t) OVER (PARTITION BY flag ORDER BY u
                                      ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND 1 PRECEDING), 0) + t + 1 AS d
-    FROM cy
-), rows_d AS (
-    SELECT l.l_returnflag AS flag, dx.d AS rx, dy.d AS ry
-    FROM lineitem l
-    JOIN dx ON dx.flag = l.l_returnflag
-           AND dx.v = CAST(l.l_quantity AS BIGINT)
-    JOIN dy ON dy.flag = l.l_returnflag
-           AND dy.u = CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)
+                                     AND 1 PRECEDING), 0) + t + 1
+           - sum(t) OVER (PARTITION BY flag) - 1 AS cy
+    FROM my
 ), agg AS (
-    SELECT flag, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-           CAST(sum(rx * ry) AS BIGINT) AS sxy,
-           CAST(sum(rx * rx) AS BIGINT) AS sxx,
-           CAST(sum(ry * ry) AS BIGINT) AS syy
-    FROM rows_d GROUP BY flag
+    SELECT cells.flag, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * cx * cy) AS BIGINT) AS sxy,
+           CAST(sum(c * cx * cx) AS BIGINT) AS sxx,
+           CAST(sum(c * cy * cy) AS BIGINT) AS syy
+    FROM cells
+    JOIN dx ON dx.flag = cells.flag AND dx.v = cells.v
+    JOIN dy ON dy.flag = cells.flag AND dy.u = cells.u
+    GROUP BY cells.flag
 )
-SELECT flag, n, sx, sy, sxy, sxx, syy,
+SELECT flag, n, sxy, sxx, syy,
        round({_SPEARMAN_RHO_EXPR}, 6) AS rho
 FROM agg
 """,
@@ -100,69 +98,76 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     between line-item quantity and discount per return flag —
     completing the correlation family: Pearson (corr_sufficient_
     stats), Kendall (trend_mann_kendall_theilsen's S), Spearman here.
-    Ties use midranks, carried as the DOUBLED integer d(v) = 2·cum_
-    prev + t + 1 (the kruskal_wallis convention), so every per-group
-    sufficient statistic (n, Σrx, Σry, Σrxry, Σrx², Σry²) is
-    hash-exact int64; ρ is Pearson on the doubled midranks (affine
-    invariance makes the doubling free) — one final float expression,
-    character-identical on both engines.
+    Ties use midranks, carried as CENTERED doubled integers
+    cx(v) = 2·cum_prev + t + 1 − (n+1) — the midrank identity
+    Σd = n(n+1) makes the centered ranks sum to zero EXACTLY, so
+    ρ = Σc·cx·cy / √(Σc·cx²·Σc·cy²) with no cross-term correction,
+    and every sufficient statistic is hash-exact int64. The whole
+    computation runs on the JOINT (v,u) CELL GRID (≤ 50·11 cells per
+    flag), never on rows: Σ_rows rx·ry ≡ Σ_cells c·cx·cy.
 
-    Int64 headroom: Σrxry ≤ n·(2n+1)² — exact through n ≈ 1.3e6 rows
-    PER GROUP (sf0.1 groups are ~2e5); beyond that, rescale by
-    computing per-stratum Spearman and Fisher-combining, or rank on a
-    coarser value grid (the support here is already the bounded
-    1..50 × 0..10 grid).
+    Int64 headroom: |cx| < n so Σc·cx² < n³ — exact through n ≈ 2.0e6
+    rows per group; the r10 10× sweep CRASHED the previous uncentered
+    row-level form at exactly sf1's 2e6-row groups (Σrxry ≤ 4n³
+    overflowed), which is why the centered cell-grid form exists.
+    Beyond 2e6 rows/group, rescale by per-stratum Spearman +
+    Fisher combining (the documented path).
 
-    100 TB shape: two groupBys on the bounded value support (map-side
-    combined to ≤ |support| rows), midrank windows over that bounded
-    grid (partitioned by flag — never data-sized), then ONE row-level
-    broadcast join of the ≤150-row rank maps back onto the scan — the
-    fact table never shuffles — and a final per-flag aggregate."""
+    100 TB shape: ONE groupBy on the bounded (flag, v, u) support
+    (map-side combined to ≤1650 rows) is the only data-scaling pass;
+    the marginal midrank maps, the cell join, and the final per-flag
+    aggregate are all grid-sized. The fact table never shuffles and
+    no data-sized window exists."""
     li = _lt(spark, sf_dir, "lineitem")
     u_expr = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("v"),
+        u_expr.alias("u"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
 
-    def _midranks(keyed: DataFrame, vcol: str) -> DataFrame:
+    def _centered(marg: DataFrame, vcol: str, out: str) -> DataFrame:
         wo = (
             W.partitionBy("flag")
             .orderBy(vcol)
             .rowsBetween(W.unboundedPreceding, -1)
         )
-        return keyed.withColumn(
-            "d", 2 * F.coalesce(F.sum("t").over(wo), F.lit(0)) + F.col("t") + 1
+        wp = W.partitionBy("flag")
+        return marg.select(
+            "flag",
+            vcol,
+            (
+                2 * F.coalesce(F.sum("t").over(wo), F.lit(0))
+                + F.col("t")
+                + 1
+                - F.sum("t").over(wp)
+                - 1
+            ).alias(out),
         )
 
-    dx = _midranks(
-        li.groupBy(
-            F.col("l_returnflag").alias("flag"),
-            F.col("l_quantity").cast("long").alias("v"),
-        ).agg(F.count(F.lit(1)).alias("t")),
-        "v",
-    ).select("flag", "v", F.col("d").alias("rx"))
-    dy = _midranks(
-        li.groupBy(
-            F.col("l_returnflag").alias("flag"), u_expr.alias("u")
-        ).agg(F.count(F.lit(1)).alias("t")),
-        "u",
-    ).select("flag", "u", F.col("d").alias("ry"))
-    rows = (
-        li.select(
-            F.col("l_returnflag").alias("flag"),
-            F.col("l_quantity").cast("long").alias("v"),
-            u_expr.alias("u"),
-        )
-        .join(F.broadcast(dx), ["flag", "v"])
+    mx = cells.groupBy("flag", "v").agg(F.sum("c").alias("t"))
+    my = cells.groupBy("flag", "u").agg(F.sum("c").alias("t"))
+    dx = _centered(mx, "v", "cx")
+    dy = _centered(my, "u", "cy")
+    agg = (
+        cells.join(F.broadcast(dx), ["flag", "v"])
         .join(F.broadcast(dy), ["flag", "u"])
-    )
-    agg = rows.groupBy("flag").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("rx").cast("long").alias("sx"),
-        F.sum("ry").cast("long").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        .groupBy("flag")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("cx") * F.col("cy"))
+            .cast("long")
+            .alias("sxy"),
+            F.sum(F.col("c") * F.col("cx") * F.col("cx"))
+            .cast("long")
+            .alias("sxx"),
+            F.sum(F.col("c") * F.col("cy") * F.col("cy"))
+            .cast("long")
+            .alias("syy"),
+        )
     )
     return agg.select(
-        "flag", "n", "sx", "sy", "sxy", "sxx", "syy",
+        "flag", "n", "sxy", "sxx", "syy",
         F.expr(f"round({_SPEARMAN_RHO_EXPR}, 6)").alias("rho"),
     )
 

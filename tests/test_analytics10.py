@@ -42,19 +42,18 @@ def test_spearman_rederives_in_python(spark, sf_dir):
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
     got = {r["flag"]: r for r in spark_rows(spearman_rank_corr, spark, sf_dir)}
     for flag, g in li.groupby("l_returnflag"):
-        rx = _midranks_doubled(g["l_quantity"].astype("int64"))
-        ry = _midranks_doubled(
-            np.floor(g["l_discount"] * 100 + 0.5).astype("int64")
-        )
         n = len(g)
-        sx, sy = int(rx.sum()), int(ry.sum())
-        sxy = int((rx * ry).sum())
-        sxx, syy = int((rx * rx).sum()), int((ry * ry).sum())
-        rho = (n * sxy - sx * sy) / math.sqrt(
-            max((n * sxx - sx * sx) * (n * syy - sy * sy), 1.0)
-        )
+        # centered doubled midranks: d - (n+1); Σ is exactly zero
+        cx = _midranks_doubled(g["l_quantity"].astype("int64")) - (n + 1)
+        cy = _midranks_doubled(
+            np.floor(g["l_discount"] * 100 + 0.5).astype("int64")
+        ) - (n + 1)
+        assert int(cx.sum()) == 0 and int(cy.sum()) == 0
+        sxy = int((cx * cy).sum())
+        sxx, syy = int((cx * cx).sum()), int((cy * cy).sum())
+        rho = sxy / math.sqrt(max(sxx * syy, 1.0))
         row = got[flag]
-        assert (row["n"], row["sx"], row["sy"]) == (n, sx, sy)
+        assert row["n"] == n
         assert (row["sxy"], row["sxx"], row["syy"]) == (sxy, sxx, syy)
         assert abs(row["rho"] - round(rho, 6)) < 1e-9
         # quantity and discount are independent in the fixture
