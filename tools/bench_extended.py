@@ -231,8 +231,17 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "bench_extended_trace.json",
     )
+    # MERGE into the existing trace: other tools park their evidence in
+    # the same file under their own keys (blocking_ab, scaling_10x) —
+    # a wholesale dump would wipe it (nearly did, r10).
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except (OSError, ValueError):
+        existing = {}
+    existing.update(out)
     with open(path, "w") as fh:
-        json.dump(out, fh, indent=1)
+        json.dump(existing, fh, indent=1)
     print(json.dumps(out))
 
 
