@@ -13,10 +13,10 @@ full materialization), and prints:
 Per-query timing is min-of-N (N=5 when the machine is already loaded
 at start, load1 > 2; else 3), with adaptive extra runs under observed
 interference. The whole suite is additionally steal-gated: a pass
-measured under >1% hypervisor CPU steal (or drifting >20% above the
-session's own best pass) is retried up to 3 passes — warm JVM, so
-retries cost only the measured runs — and the emitted line carries
-`clean` so a contended number labels itself.
+measured under >1% hypervisor CPU steal (or exceeding the committed
+best-ever CLEAN total in bench_anchor.json by >30%) is retried up to
+3 passes — warm JVM, so retries cost only the measured runs — and the
+emitted line carries `clean` so a contended number labels itself.
 
 Each query is warmed once at sf0.001 first so JVM/codegen warmup isn't
 attributed to the measured run.
@@ -172,22 +172,108 @@ def _run_suite(spark, base_runs: int, warm: bool) -> tuple[dict, dict, dict]:
     return timings, trace, _cpu_mix(cpu0, _cpu_sample())
 
 
-# Steal gate (VERDICT r9 #2): BENCH_r09 was captured during a 4.2%
-# hypervisor-steal burst and recorded the project's worst-looking
-# number (21.9s vs 13.1s clean) with the exculpatory evidence living
-# outside the artifact. The gate makes the artifact self-defending:
-# a pass whose window saw >1% steal, or whose total exceeds the
-# session's own best pass by >20%, is retried (bounded — retries are
-# cheap because the JVM stays warm), and the emitted JSON carries
-# `clean: true/false` so a still-contended number is labeled as such
-# IN the driver-parsed line rather than in a side file.
+# Steal gate (VERDICT r9 #2, anchor fix VERDICT r10 #2): BENCH_r09/r10
+# were captured during hypervisor-steal bursts and recorded the
+# project's worst-looking numbers (21.9s / 35.8s vs 13.1s clean) with
+# the exculpatory evidence living outside the artifact. The gate makes
+# the artifact self-defending: a pass whose window saw >1% steal, or
+# whose total exceeds the HISTORICAL clean anchor by >30%, is retried
+# (bounded — retries are cheap because the JVM stays warm), and the
+# emitted JSON carries `clean: true/false` so a contended number
+# labels itself IN the driver-parsed line rather than in a side file.
+#
+# The r10 lesson: anchoring drift to the SESSION's own best pass is
+# self-referential — when every pass of a session is contended, the
+# min pass trivially satisfies its own drift bound, and had that min
+# pass also shown 0% steal the artifact would have said `clean: true`
+# at 2.8× the real number. The anchor is therefore the best-ever
+# CLEAN suite total, persisted in the committed bench_anchor.json and
+# advanced only by a faster clean run of the SAME (sf, query-set):
+# no session can launder a slow total into `clean: true`.
 STEAL_CLEAN_PCT = 1.0
-DRIFT_CLEAN_RATIO = 1.2
+ANCHOR_DIRTY_RATIO = 1.3
 MAX_PASSES = 3
 # DNF guard: retries must never push the whole bench past a driver
 # timeout — a labeled-dirty number beats no number (BENCH_r04 was a
 # DNF; never again). Stop retrying once this much wall time is spent.
 MAX_WALL_SEC = 12 * 60
+
+
+def _anchor_path() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_ANCHOR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_anchor.json"
+        ),
+    )
+
+
+def _load_anchor(sf_dir: str, n_queries: int) -> float | None:
+    """Best-ever clean suite total for THIS (sf, query-count) shape, or
+    None when the committed anchor doesn't apply (different SF — e.g.
+    the sf0.001 completion-gate test — or a changed query list, where
+    a historical total would gate apples against oranges)."""
+    try:
+        with open(_anchor_path()) as fh:
+            a = json.load(fh)
+        if a.get("sf_dir") == sf_dir and a.get("n_queries") == n_queries:
+            return float(a["clean_total_sec"])
+    except (OSError, ValueError, KeyError):
+        pass
+    return None
+
+
+def _maybe_advance_anchor(
+    sf_dir: str, n_queries: int, total: float, clean: bool
+) -> None:
+    """A clean run faster than the recorded anchor becomes the new
+    anchor (same shape only). Monotone-decreasing, so a contended
+    session can never loosen the gate."""
+    if not clean:
+        return
+    current = _load_anchor(sf_dir, n_queries)
+    if current is not None and total >= current:
+        return
+    # Never clobber a committed anchor that belongs to a DIFFERENT
+    # shape (the sf0.001 completion-gate test runs this same main());
+    # only create one when no anchor file exists at all.
+    if current is None and os.path.exists(_anchor_path()):
+        return
+    with open(_anchor_path(), "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "n_queries": n_queries,
+                "clean_total_sec": round(total, 3),
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+
+
+def _pass_is_clean(p: dict, anchor: float | None) -> bool:
+    """Clean = no steal over the pass's window AND (when a historical
+    anchor applies) the total is within ANCHOR_DIRTY_RATIO of the
+    best-ever clean number. The second clause is what stops a
+    fully-contended session from emitting `clean: true` at 2× the
+    committed baseline just because its steal counter read 0."""
+    if p["cpu_mix"]["cpu_steal_pct"] > STEAL_CLEAN_PCT:
+        return False
+    if anchor is not None and p["total"] > anchor * ANCHOR_DIRTY_RATIO:
+        return False
+    return True
+
+
+def _select_pass(passes: list[dict], anchor: float | None) -> tuple[dict, bool]:
+    """Emit the fastest CLEAN pass when one exists (ADVICE r10: a
+    contended pass that happens to be fastest must not displace a
+    clean pass from the artifact); otherwise the overall min, labeled
+    clean=False."""
+    clean_passes = [p for p in passes if _pass_is_clean(p, anchor)]
+    if clean_passes:
+        return min(clean_passes, key=lambda p: p["total"]), True
+    return min(passes, key=lambda p: p["total"]), False
 
 
 def main() -> None:
@@ -201,6 +287,7 @@ def main() -> None:
     # self-explaining instead of reading as a regression.
     load_at_start = os.getloadavg()[0]
     base_runs = 5 if load_at_start > 2 else 3
+    anchor = _load_anchor(SF_DIR, len(BENCH_QUERIES))
     passes: list[dict] = []
     for i in range(MAX_PASSES):
         timings, trace, cpu_mix = _run_suite(spark, base_runs, warm=(i == 0))
@@ -208,19 +295,12 @@ def main() -> None:
             {"timings": timings, "trace": trace, "cpu_mix": cpu_mix,
              "total": round(sum(timings.values()), 3)}
         )
-        best_total = min(p["total"] for p in passes)
-        if (
-            cpu_mix["cpu_steal_pct"] <= STEAL_CLEAN_PCT
-            and passes[-1]["total"] <= best_total * DRIFT_CLEAN_RATIO
-        ):
+        if _pass_is_clean(passes[-1], anchor):
             break
         if time.perf_counter() - t_start > MAX_WALL_SEC:
             break
-    # Emit the best (lowest-total) pass; it is clean iff ITS window saw
-    # no steal — by construction it is the session min, so the drift
-    # criterion is satisfied trivially.
-    best = min(passes, key=lambda p: p["total"])
-    clean = best["cpu_mix"]["cpu_steal_pct"] <= STEAL_CLEAN_PCT
+    best, clean = _select_pass(passes, anchor)
+    _maybe_advance_anchor(SF_DIR, len(BENCH_QUERIES), best["total"], clean)
     timings, trace, cpu_mix = best["timings"], best["trace"], best["cpu_mix"]
     # Every individual run (incl. the two warm-ups) goes to a trace file
     # so environment-induced outliers (cold JVM, co-tenant load, GC) are
@@ -244,6 +324,7 @@ def main() -> None:
                 "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
                 **cpu_mix,
                 "clean": clean,
+                "anchor_sec": anchor,
                 "passes": [
                     {"total": p["total"], **p["cpu_mix"]} for p in passes
                 ],
@@ -266,6 +347,7 @@ def main() -> None:
                 "runs_per_query": base_runs,
                 **cpu_mix,
                 "clean": clean,
+                "anchor_sec": anchor,
                 "passes_run": len(passes),
             }
         )

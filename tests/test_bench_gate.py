@@ -27,6 +27,11 @@ def test_bench_completes_and_emits_json():
     env["SPARK_GRAFT_TRACE"] = os.path.join(
         os.environ.get("TMPDIR", "/tmp"), "spark_graft_bench_gate_trace.json"
     )
+    # ...and the anchor: the tiny-SF run must neither read nor advance
+    # the committed sf0.1 clean anchor
+    env["SPARK_GRAFT_ANCHOR"] = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "spark_graft_bench_gate_anchor.json"
+    )
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True,
@@ -46,3 +51,108 @@ def test_bench_completes_and_emits_json():
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
     assert payload["queries"], "bench emitted no per-query timings"
+
+
+# ---------------------------------------------------------------------------
+# Unit tests for the pass-selection / anchor gate logic (VERDICT r10 #2):
+# injected pass totals, no Spark. The r10 failure mode being pinned down:
+# a fully-contended session whose min pass shows 0% steal must NOT emit
+# `clean: true` at ~2x the committed clean anchor.
+# ---------------------------------------------------------------------------
+
+
+def _mk_pass(total, steal):
+    return {
+        "timings": {},
+        "trace": {},
+        "total": total,
+        "cpu_mix": {"cpu_busy_pct": 50.0, "cpu_steal_pct": steal},
+    }
+
+
+def _bench():
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    return bench
+
+
+def test_contended_session_zero_steal_is_not_clean_vs_anchor():
+    # r10's near-miss: both passes ~36s, second shows 0.1% steal.
+    # With the 13.135s anchor, neither pass may be labeled clean.
+    b = _bench()
+    passes = [_mk_pass(35.78, 7.9), _mk_pass(36.35, 0.1)]
+    best, clean = b._select_pass(passes, anchor=13.135)
+    assert clean is False
+    assert best["total"] == 35.78  # overall min, labeled dirty
+
+
+def test_clean_pass_preferred_over_faster_dirty_pass():
+    # ADVICE r10: a contended pass that happens to be fastest must not
+    # displace a clean pass from the artifact.
+    b = _bench()
+    passes = [_mk_pass(12.9, 6.0), _mk_pass(14.1, 0.0)]
+    best, clean = b._select_pass(passes, anchor=13.135)
+    assert clean is True
+    assert best["total"] == 14.1
+
+
+def test_fastest_clean_pass_wins_among_clean():
+    b = _bench()
+    passes = [_mk_pass(14.1, 0.0), _mk_pass(13.2, 0.2), _mk_pass(30.0, 9.0)]
+    best, clean = b._select_pass(passes, anchor=13.135)
+    assert clean is True
+    assert best["total"] == 13.2
+
+
+def test_no_anchor_falls_back_to_steal_only():
+    # A shape with no committed anchor (first run, or a changed query
+    # list) gates on steal alone — the historical total of a DIFFERENT
+    # query set must not be applied.
+    b = _bench()
+    passes = [_mk_pass(40.0, 0.0)]
+    best, clean = b._select_pass(passes, anchor=None)
+    assert clean is True
+
+
+def test_retry_keeps_going_while_above_anchor_bound():
+    b = _bench()
+    # 13.135 * 1.3 = 17.08: a 17.5s zero-steal pass is NOT clean -> retry
+    assert b._pass_is_clean(_mk_pass(17.5, 0.0), anchor=13.135) is False
+    assert b._pass_is_clean(_mk_pass(16.9, 0.0), anchor=13.135) is True
+    assert b._pass_is_clean(_mk_pass(16.9, 1.5), anchor=13.135) is False
+
+
+def test_anchor_monotone_and_shape_guarded(tmp_path, monkeypatch):
+    b = _bench()
+    anchor_file = tmp_path / "anchor.json"
+    monkeypatch.setenv("SPARK_GRAFT_ANCHOR", str(anchor_file))
+    # no file yet -> a clean run creates the anchor
+    b._maybe_advance_anchor("/x/sf0.1", 22, 14.0, clean=True)
+    assert b._load_anchor("/x/sf0.1", 22) == 14.0
+    # slower clean run does not loosen it
+    b._maybe_advance_anchor("/x/sf0.1", 22, 15.0, clean=True)
+    assert b._load_anchor("/x/sf0.1", 22) == 14.0
+    # faster clean run advances it
+    b._maybe_advance_anchor("/x/sf0.1", 22, 12.5, clean=True)
+    assert b._load_anchor("/x/sf0.1", 22) == 12.5
+    # dirty run never writes
+    b._maybe_advance_anchor("/x/sf0.1", 22, 1.0, clean=False)
+    assert b._load_anchor("/x/sf0.1", 22) == 12.5
+    # a DIFFERENT shape (the sf0.001 gate run) must not clobber the file
+    b._maybe_advance_anchor("/x/sf0.001", 22, 2.0, clean=True)
+    assert b._load_anchor("/x/sf0.1", 22) == 12.5
+    assert b._load_anchor("/x/sf0.001", 22) is None
+
+
+def test_committed_anchor_matches_bench_query_list():
+    # The committed anchor must stay in lockstep with BENCH_QUERIES —
+    # adding a 23rd headline query without re-baselining silently
+    # disables the anchor gate (shape mismatch -> anchor=None).
+    b = _bench()
+    payload = json.loads((REPO / "bench_anchor.json").read_text())
+    assert payload["n_queries"] == len(b.BENCH_QUERIES), (
+        "BENCH_QUERIES changed: re-baseline bench_anchor.json on a "
+        "quiet window (run bench.py, commit the new anchor)"
+    )
+    assert payload["clean_total_sec"] > 0
