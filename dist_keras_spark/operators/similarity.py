@@ -168,6 +168,15 @@ def knn_lsh(
     sweep budget. Now: spread() the corpus, bucket ids-only, verify
     O(candidates) with per-side precomputed norms and ONE interpreted
     fold per pair.
+
+    PRECONDITION: `id_col` must be unique within `corpus` (and within
+    `queries`). The ids-only candidate stage dedups on (query_id,
+    neighbor_id), so a corpus with a repeated id re-expands at the
+    join-back and the duplicate neighbor consumes top-k rank slots —
+    the pre-r10 distinct over (ids + vectors) happened to collapse
+    such rows; this form deliberately does not pay that vector-payload
+    shuffle. Dedup the corpus on id upstream if ids can repeat
+    (exact_dedup in operators/dedup.py is the one-shuffle way).
     """
     from dist_keras_spark.functions.arrays import dot, l2_norm
     from dist_keras_spark.operators.dedup import spread
@@ -319,6 +328,33 @@ def _cell_assign_udf(cents: np.ndarray, top: int):
         sims = x @ cents.T  # (batch × n_cells)
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :top].astype(np.int32)
         return pd.Series(list(idx))
+
+    return assign
+
+
+def int_argmax_cell_udf(cents: np.ndarray):
+    """Arrow kernel assigning each INTEGER-quantized vector the cell
+    with the maximum integer inner product. Exact int64 matmul — both
+    engines compute identical integers, so unlike the cosine
+    assignment there is no float tie risk at all; np.argmax is
+    first-max-wins, i.e. ties break toward the LOWER cell index,
+    mirroring the oracle's ORDER BY dot DESC, cell ASC.
+
+    This is what makes k ∝ N cell counts affordable: the crossJoin
+    assignment is O(N·k) interpreted-HOF dot products (the k=16
+    fixture path), while one (batch × dim) @ (dim × k) BLAS-shaped
+    integer matmul per Arrow batch keeps assignment scan-side and
+    vectorized at any k. Bounds: |v|≤127, dim 64 → |dot| ≤ 127²·64
+    ≈ 1.03e6, nowhere near int64."""
+    from pyspark.sql.types import IntegerType
+
+    c = cents.astype(np.int64)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vs: pd.Series) -> pd.Series:
+        x = np.stack(vs.to_numpy()).astype(np.int64)
+        sims = x @ c.T  # exact integer inner products (batch × k)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
     return assign
 

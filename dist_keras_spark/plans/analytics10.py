@@ -110,8 +110,12 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per group; the r10 10× sweep CRASHED the previous uncentered
     row-level form at exactly sf1's 2e6-row groups (Σrxry ≤ 4n³
     overflowed), which is why the centered cell-grid form exists.
-    Beyond 2e6 rows/group, rescale by per-stratum Spearman +
-    Fisher combining (the documented path).
+    The bound is ENFORCED, not just documented (ADVICE r10): groups
+    past 2e6 rows raise_error() instead of silently wrapping in Spark
+    while DuckDB promotes to HUGEINT — an overflow here must be an
+    error, never a quiet cross-engine divergence. Beyond 2e6
+    rows/group, rescale by per-stratum Spearman + Fisher combining
+    (the documented path).
 
     100 TB shape: ONE groupBy on the bounded (flag, v, u) support
     (map-side combined to ≤1650 rows) is the only data-scaling pass;
@@ -166,8 +170,24 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("syy"),
         )
     )
+    # Headroom gate on the per-flag row (≤3 rows, free): n > 2e6 means
+    # Σc·cx² can exceed int64 — fail loudly. The branch defines the
+    # output column, so Catalyst cannot prune it.
+    sxy_gated = F.when(
+        F.col("n") > 2_000_000,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "spearman_rank_corr: group exceeds the 2e6-row int64 "
+                    "headroom bound (n="
+                ),
+                F.col("n").cast("string"),
+                F.lit("); use per-stratum Spearman + Fisher combining"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("sxy"))
     return agg.select(
-        "flag", "n", "sxy", "sxx", "syy",
+        "flag", "n", sxy_gated.alias("sxy"), "sxx", "syy",
         F.expr(f"round({_SPEARMAN_RHO_EXPR}, 6)").alias("rho"),
     )
 

@@ -538,10 +538,12 @@ def trend_mann_kendall_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # greatest(n_j, 1) / greatest(nn³-nn, 1) guards: an empty return-flag
 # group (or a degenerate single-value input) would otherwise divide by
-# zero, which Spark folds to NULL while DuckDB errors — the same
-# degenerate-input guard analytics8's bloom/kmv ratios carry. Not
-# reachable on the TPC-H fixtures (all three flags always present);
-# the guard keeps both engines defined on arbitrary inputs.
+# zero — BOTH engines return NULL for x/0 here (measured: this
+# environment's DuckDB NULLs integer division by zero rather than
+# erroring), so the guard is not about cross-engine divergence; it
+# keeps the statistic DEFINED (a number, not NULL) on degenerate
+# inputs, same as analytics8's bloom/kmv ratio guards. Not reachable
+# on the TPC-H fixtures (all three flags always present).
 _KW_H_EXPR = (
     "((12.0 / (nn * (nn + 1.0)))"
     " * ((s2_a / 2.0) * (s2_a / 2.0) / greatest(n_a, 1)"
