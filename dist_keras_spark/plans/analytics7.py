@@ -638,17 +638,49 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COLBERT_OFFSETS = [0, 16, 32, 48]
 
 
-def _colbert_oracle_sql() -> str:
+def _maxsim_sql() -> str:
+    """Σ_{query tokens} max_{doc tokens} ⟨qt, dt⟩ over q.v / d.v
+    (quantized BIGINT lists) — shared by the exact-baseline and the
+    retrieve-then-rerank oracles so the scoring arithmetic cannot
+    drift between them."""
+
     def dot(oq: int, od: int) -> str:
         return (
             f"list_sum(list_transform(range(1, 17),"
             f" i -> q.v[{oq} + i] * d.v[{od} + i]))"
         )
 
-    maxsim = " + ".join(
+    return " + ".join(
         "greatest(" + ", ".join(dot(oq, od) for od in _COLBERT_OFFSETS) + ")"
         for oq in _COLBERT_OFFSETS
     )
+
+
+def _maxsim_expr():
+    """Spark twin of _maxsim_sql over columns `qv` (query tokens) and
+    `v` (doc tokens): exact int64 4×4 dot grid → per-query-token max →
+    sum."""
+
+    def tok_dot(oq: int, od: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qv", oq + 1, 16),
+                F.slice("v", od + 1, 16),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    maxsim = None
+    for oq in _COLBERT_OFFSETS:
+        term = F.greatest(*[tok_dot(oq, od) for od in _COLBERT_OFFSETS])
+        maxsim = term if maxsim is None else maxsim + term
+    return maxsim
+
+
+def _colbert_oracle_sql() -> str:
+    maxsim = _maxsim_sql()
     return f"""
 WITH q8 AS (
     SELECT vec_id,
@@ -710,30 +742,120 @@ def colbert_maxsim_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = q8.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-
-    def tok_dot(oq: int, od: int):
-        return F.aggregate(
-            F.zip_with(
-                F.slice("qv", oq + 1, 16),
-                F.slice("v", od + 1, 16),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    maxsim = None
-    for oq in _COLBERT_OFFSETS:
-        term = F.greatest(*[tok_dot(oq, od) for od in _COLBERT_OFFSETS])
-        maxsim = term if maxsim is None else maxsim + term
     scored = (
         q8.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            maxsim.alias("maxsim"),
+            _maxsim_expr().alias("maxsim"),
         )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("neighbor_id"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "rk", "maxsim")
+    )
+
+
+_COLBERT_CANDIDATES = 16
+
+
+def _colbert_rerank_oracle_sql(c: int = _COLBERT_CANDIDATES) -> str:
+    """Full end-to-end replay of retrieve-then-rerank: the candidate
+    CTE is the generated knn_ivf oracle (md5 centroid sample, cosine
+    cell assignment, probe, exact re-rank — the identical machinery
+    the driver already hash-checks as knn_ivf_top5) parameterized to
+    this query set (% 50) and candidate count; the rerank applies the
+    shared _maxsim_sql over ONLY those candidates."""
+    from dist_keras_spark.plans.llm import _knn_ivf_oracle_sql
+
+    cand = _knn_ivf_oracle_sql(n_cells=16, n_probe=8, seed=42, k=c, query_mod=50)
+    return f"""
+WITH cand AS ({cand}),
+q8 AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+), scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           CAST({_maxsim_sql()} AS BIGINT) AS maxsim
+    FROM cand c
+    JOIN q8 q ON q.vec_id = c.query_id
+    JOIN q8 d ON d.vec_id = c.neighbor_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY maxsim DESC, neighbor_id) AS rk
+    FROM scored
+)
+SELECT query_id, neighbor_id, rk, maxsim FROM ranked WHERE rk <= 3
+"""
+
+
+@query("colbert_rerank_top3", oracle=_colbert_rerank_oracle_sql())
+def colbert_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of colbert_maxsim_top3 (VERDICT r10 #1a): the
+    PRODUCTION retrieve-then-rerank shape of late interaction (Khattab
+    & Zaharia 2020 §3.3). Stage 1 retrieves 16 single-vector ANN
+    candidates per query with the existing IVF machinery
+    (operators/similarity.py knn_ivf — 16 md5-sampled cells, probe 8,
+    exact cosine re-rank within probed cells); stage 2 runs the exact
+    integer MaxSim (shared _maxsim_sql/_maxsim_expr with the baseline)
+    over ONLY those candidates and keeps the top 3.
+
+    Why this is the 100 TB form: the baseline scores Q × N pairs at
+    256 interpreted multiplies each (sweep exp ≈ 1.49 — inherently
+    quadratic); here the 256-multiply MaxSim touches Q × 16 rows no
+    matter how large the corpus, and the corpus-proportional work is
+    the IVF candidate stage, whose cost shape (scan-side Arrow
+    assignment, probe-pruned exact cosine) is the already-measured
+    knn_ivf path. MEASURED at 10× (r11 sweep, bench_extended_trace
+    "scaling_10x"): exp ≈ 0.53 (2.6s → 8.8s) vs the exact baseline's
+    1.49 (6.5s → 65s) — the twin is 7× faster at sf1 and the gap
+    widens another ~9× per decade. Candidates arrive ids-only and vectors are joined
+    back by id (the r10 knn_lsh discipline); both the candidate table
+    (Q·16 rows) and the query-token table (Q rows) broadcast, so the
+    corpus never shuffles.
+
+    Fidelity vs the exact baseline is measured, not assumed
+    (tools/measure_rerank_agreement.py → bench_extended_trace.json
+    "colbert_rerank_agreement", r11): on a corpus WITH true neighbor
+    structure (the seed-42 planted near-dup variant of sf0.1,
+    benchdata/planted) top-1 agreement is 40/40 — the twin finds
+    every real near-duplicate the exact ranking finds. On the
+    unmodified fixtures agreement is 0.05-0.23 recall@3, and that is
+    a FIXTURE property, not a retrieval failure: the corpora are
+    near-orthogonal noise (measured: zero of sf0.1's ~2M pairs exceed
+    cosine 0.8), so the exact top-3 there is a noise ranking that no
+    sublinear retrieval — IVF, LSH, or token-level — can reproduce
+    (numpy A/B, r11: exact single-vector top-256 candidates reach
+    only 0.27; per-token retrieval 0.65 at equal-or-higher cost)."""
+    from dist_keras_spark.operators.similarity import knn_ivf
+
+    e = _lt(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    cand = knn_ivf(
+        e, q, "vec_id", "embedding",
+        k=_COLBERT_CANDIDATES, n_cells=16, n_probe=8, seed=42,
+    ).select("query_id", "neighbor_id")
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    qv = q8.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dv = q8.select(F.col("vec_id").alias("neighbor_id"), "v")
+    scored = (
+        dv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", _maxsim_expr().alias("maxsim"))
     )
     rk = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("neighbor_id"))

@@ -629,7 +629,12 @@ def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_ivf_oracle_sql(
-    n_cells: int = 16, n_probe: int = 8, seed: int = 42, dim: int = 64, k: int = 5
+    n_cells: int = 16,
+    n_probe: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    k: int = 5,
+    query_mod: int = 20,
 ) -> str:
     """DuckDB SQL that replays knn_ivf end-to-end — the same technique
     as _knn_lsh_oracle_sql, but the quantizer is DATA-derived, so the
@@ -669,7 +674,7 @@ assign AS (
     FROM corpus c CROSS JOIN cent ct),
 corpus_cell AS (SELECT vec_id, cell FROM assign WHERE pr = 1),
 query_cell  AS (SELECT vec_id, cell FROM assign
-                WHERE pr <= {n_probe} AND vec_id % 20 = 0),
+                WHERE pr <= {n_probe} AND vec_id % {query_mod} = 0),
 cand AS (
     SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id
     FROM query_cell q JOIN corpus_cell cc USING (cell)

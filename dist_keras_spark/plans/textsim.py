@@ -174,3 +174,148 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.60)
         .select("doc_lo", "doc_hi", F.round(cos, 6).alias("cosine_q"))
     )
+
+
+# Absolute document-frequency cap for the scale-safe twin below. 64 is
+# comfortably above any real near-dup cluster size (the shingles that
+# make two documents near-identical are shared by the CLUSTER, df ≈
+# cluster size) and independent of corpus size — the property the
+# fractional N/10 valve lacks.
+_DF_CAP = 64
+
+
+@query(
+    "tfidf_cosine_pairs_dfcap",
+    oracle=f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) - 1),
+                  i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS w
+    FROM t
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+wt AS (
+    SELECT tf.doc_id, tf.w, df.df,
+           tf.tf * ((SELECT n FROM nn) * 100 // df.df) AS wgt
+    FROM tf JOIN df USING (w)
+),
+nrm AS (SELECT doc_id, sum(wgt * wgt) AS n2 FROM wt GROUP BY 1),
+dots AS (
+    SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+           CAST(sum(a.wgt * b.wgt) AS BIGINT) AS dot
+    FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+    WHERE a.df <= {_DF_CAP}
+    GROUP BY 1, 2
+)
+SELECT d.doc_lo, d.doc_hi,
+       round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine_q
+FROM dots d
+JOIN nrm na ON na.doc_id = d.doc_lo
+JOIN nrm nb ON nb.doc_id = d.doc_hi
+WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.60
+""",
+)
+def tfidf_cosine_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of tfidf_cosine_pairs (VERDICT r10 #1c): the
+    INVERTED-INDEX JOIN keeps only shingles with ABSOLUTE document
+    frequency df <= 64, while norms stay FULL-VOCABULARY. Same
+    integer-quantized arithmetic, same output schema.
+
+    Why the absolute cap is the production dial: a shared shingle with
+    document frequency df generates df·(df-1)/2 candidate pairs, so
+    under the FRACTIONAL df <= N/10 valve the worst-case posting-pair
+    count per shingle grows as (N/10)² — the r10 scaling sweep
+    measured the fractional variant at exp ≈ 1.29 for exactly this
+    reason. With an absolute cap every posting list is <= 64 rows,
+    pairs per shingle <= 2,016 — a CONSTANT — so candidate work is
+    O(#distinct shingles), linear in corpus size.
+
+    Why norms must NOT be capped (measured, r11): the quadratic danger
+    lives only in PAIR GENERATION; per-doc norms are a scan-side
+    aggregate, linear at any vocabulary. The first cut of this twin
+    capped the norms too, and at sf1 the shrunken denominators let
+    85,811 spurious pairs past the 0.6 threshold (vs the baseline's
+    1,401 — docs reduced to a handful of rare shingles look
+    near-parallel). With full norms the capped dot is a LOWER BOUND of
+    the full cosine: dropping a df>64 shingle can only remove dot
+    mass, never denominator mass, so every emitted pair also clears a
+    full-vector cosine of >= 0.6 — precision is structural
+    (pytest-gated: test_tfidf_dfcap_is_lower_bound_of_full_cosine),
+    and the only loss is pairs whose similarity lives in high-df
+    shingles.
+
+    Measured recall vs the fractional baseline (r11,
+    tools/measure_rerank_agreement.py → bench_extended_trace.json
+    "tfidf_dfcap_recall"): sf0.01 1.00 (25/25), sf0.1 1.00 (140/140),
+    sf1 0.00 (0/1401). The sf1 zero is a CORPUS-SHAPE finding, not a
+    bug: the generated sf1 text has no Zipf tail (29,746 of 29,965
+    distinct shingles have df 65-512, median df 92), its near-dup
+    clusters are ~75-101 template-sharing docs, and the minimum
+    shared-shingle df across its 1,401 true pairs is p50=75 / max=101
+    — so NO constant cap below the cluster size can see them, and any
+    cap above ~137 keeps the whole corpus (reproducing the fractional
+    valve's exp 1.29). On Zipf-distributed real text the near-dup
+    mass sits in the df <= 64 tail and the cap is the right
+    production dial; on template-dense corpora the right tool is the
+    cluster-level path (minhash_lsh_neardup / semdedup), not pairwise
+    tf-idf.
+
+    100 TB shape: tokenize scan → tf/df aggs (vocab-sized) →
+    full-vocab norms (one doc-keyed agg) → df<=64 inverted-index join
+    → pair agg. One wide shuffle on shingle, pair counts bounded per
+    posting list. MEASURED at 10× (r11 sweep, bench_extended_trace
+    "scaling_10x"): exp ≈ 0.82 (2.3s → 15.3s; the residual growth is
+    the tokenize/tf/df/norm scan stages, which scale with corpus
+    size by construction) vs the fractional valve's 1.29."""
+    docs = _lt(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"),
+            "t",
+        )
+        .select("doc_id", F.expr("array_join(slice(t, i, 3), ' ')").alias("w"))
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))  # 1-row total: sanctioned
+    )
+    # weights carry df so the cap can be applied at the JOIN while the
+    # norm aggregate sees every shingle
+    wt = tf.join(dfreq, "w").select(
+        "doc_id",
+        "w",
+        "df",
+        F.expr("tf * ((n * 100) div df)").alias("wgt"),
+    )
+    nrm = wt.groupBy("doc_id").agg(F.sum(F.col("wgt") * F.col("wgt")).alias("n2"))
+    capped = wt.filter(F.col("df") <= _DF_CAP)
+    a = capped.select(
+        F.col("doc_id").alias("doc_lo"), "w", F.col("wgt").alias("w_lo")
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_hi"), "w", F.col("wgt").alias("w_hi")
+    )
+    dots = (
+        a.join(b, ["w"])
+        .filter(F.col("doc_lo") < F.col("doc_hi"))
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.sum(F.col("w_lo") * F.col("w_hi")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_lo"), F.col("n2").alias("n2_lo"))
+    nb = nrm.select(F.col("doc_id").alias("doc_hi"), F.col("n2").alias("n2_hi"))
+    cos = F.col("dot") / (F.sqrt("n2_lo") * F.sqrt("n2_hi"))
+    return (
+        dots.join(na, "doc_lo")
+        .join(nb, "doc_hi")
+        .filter(cos >= 0.60)
+        .select("doc_lo", "doc_hi", F.round(cos, 6).alias("cosine_q"))
+    )

@@ -803,3 +803,39 @@ def test_table_profile_matches_direct_queries(spark, sf_dir):
     mn, mx = o.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
     assert rows["o_custkey"]["min_repr"] == str(mn)
     assert rows["o_custkey"]["max_repr"] == str(mx)
+
+
+def test_semdedup_scaled_cells_equals_baseline_at_clamped_k(spark, sf_dir):
+    """At fixture scale (500 vectors) the k ∝ N formula clamps to the
+    baseline's 16 cells, so semdedup_scaled_cells must produce
+    EXACTLY semdedup_cell_prune's output — through a different
+    physical path (Arrow int64-matmul argmax assignment vs the
+    broadcast crossJoin + window). Bit-equality here proves the matmul
+    kernel implements the same integer max-inner-product assignment,
+    including the ties-to-lower-cell rule."""
+    from dist_keras_spark.plans.analytics6 import (
+        semdedup_cell_prune,
+        semdedup_scaled_cells,
+    )
+
+    base = {
+        r["vec_id"]: (r["cell"], r["dropped"])
+        for r in semdedup_cell_prune(spark, sf_dir).collect()
+    }
+    scaled = {
+        r["vec_id"]: (r["cell"], r["dropped"])
+        for r in semdedup_scaled_cells(spark, sf_dir).collect()
+    }
+    assert scaled == base
+
+
+def test_semdedup_scaled_cells_grows_k_with_corpus(spark):
+    """At sf0.1 (2000 vectors) k = 2000//100 = 20 > 16: the scaled
+    twin must actually use the larger cell count (cells 16..19
+    populated) — this is the k ∝ N behavior the r10 sweep found
+    missing."""
+    from dist_keras_spark.plans.analytics6 import semdedup_scaled_cells
+
+    out = semdedup_scaled_cells(spark, "/root/testdata/sf0.1").toPandas()
+    assert out["cell"].max() == 19
+    assert out["cell"].nunique() > 16

@@ -460,3 +460,44 @@ def test_range_join_binned_has_no_nested_loop(spark, sf_dir):
         d0 = int((pd.to_datetime(p["o_orderdate"]) - epoch).days)
         expect = int(((days >= d0) & (days <= d0 + 30)).sum())
         assert rows[p["o_orderkey"]]["n_orders_in_window"] == expect
+
+
+def test_colbert_rerank_is_exact_maxsim_over_ivf_candidates(spark, sf_dir):
+    """The rerank twin must equal: (a) candidates = knn_ivf top-16
+    single-vector neighbors, (b) exact integer MaxSim over exactly
+    those candidates (numpy rederivation), (c) top-3 by (maxsim desc,
+    neighbor_id)."""
+    from dist_keras_spark.operators.similarity import knn_ivf
+    from dist_keras_spark.plans.analytics7 import colbert_rerank_top3
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    toks = np.floor(mat * 1000).astype(np.int64).reshape(len(mat), 4, 16)
+    ids = emb["vec_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    cand = (
+        knn_ivf(e, q, "vec_id", "embedding", k=16, n_cells=16, n_probe=8, seed=42)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    by_q: dict[int, list[int]] = {}
+    for r in cand:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+
+    def maxsim(qid: int, nid: int) -> int:
+        g = np.einsum("qd,td->qt", toks[pos[qid]], toks[pos[nid]])
+        return int(g.max(axis=1).sum())
+
+    got: dict[int, list] = {}
+    for r in colbert_rerank_top3(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    assert set(got) == set(by_q)
+    for qid, cands in by_q.items():
+        expect = sorted(cands, key=lambda n: (-maxsim(qid, n), n))[:3]
+        rows = sorted(got[qid], key=lambda r: r["rk"])
+        assert [r["neighbor_id"] for r in rows] == expect
+        for r in rows:
+            assert r["maxsim"] == maxsim(qid, r["neighbor_id"])

@@ -316,3 +316,48 @@ def test_ivf_rebuild_param_mismatch_raises(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="vector dim"):
         build_ivf_index(bad_dim, path, n_cells=4, seed=7)
+
+
+def test_tfidf_dfcap_is_lower_bound_of_full_cosine(spark, sf_dir):
+    """tfidf_cosine_pairs_dfcap's structural-precision claim: norms
+    are FULL-vocabulary while the dot keeps only df<=64 postings, so
+    every emitted cosine_q is a lower bound of the full tf-idf cosine
+    — an emitted pair can never be a cap artifact (the failure mode
+    the first cut of this twin had: capped norms let 85k spurious
+    pairs past the threshold at sf1). Re-derive the full cosine in
+    pandas for every emitted pair and check cosine_q <= full and
+    full >= 0.6."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from dist_keras_spark.plans.textsim import tfidf_cosine_pairs_dfcap
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n = len(docs)
+    tf: dict[int, Counter] = {}
+    df: Counter = Counter()
+    for _, row in docs.iterrows():
+        words = row["text"].split(" ")
+        sh = Counter(
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        )
+        tf[row["doc_id"]] = sh
+        df.update(sh.keys())
+    wgt: dict[int, dict[str, int]] = defaultdict(dict)
+    for d, sh in tf.items():
+        for w, c in sh.items():
+            wgt[d][w] = c * ((n * 100) // df[w])
+    n2 = {d: sum(v * v for v in ws.values()) for d, ws in wgt.items()}
+
+    out = tfidf_cosine_pairs_dfcap(spark, sf_dir).collect()
+    assert out, "no pairs at all — trivial fixture"
+    for r in out:
+        a, b = wgt[r["doc_lo"]], wgt[r["doc_hi"]]
+        full_dot = sum(v * b[w] for w, v in a.items() if w in b)
+        full_cos = full_dot / (
+            math.sqrt(n2[r["doc_lo"]]) * math.sqrt(n2[r["doc_hi"]])
+        )
+        assert r["cosine_q"] <= full_cos + 5e-7  # cosine_q is round-6
+        assert full_cos >= 0.60 - 1e-9
