@@ -76,6 +76,9 @@ AUDITED = {
     "join_asof_left": "keep-unmatched as-of: same ONE-shuffle union+window plan; the left branch only drops the final null filter",
     "levenshtein_blocked_pairs": "DISTINCT collapses the fact table to the 64-name domain BEFORE the quadratic step; noun-blocked equi-join bounds pairs; Levenshtein is scan-side JVM",
     "tfidf_cosine_pairs": "inverted-index equi-join on df-capped shingles (stop-shingle valve); integer-quantized weights — only (doc_id, wgt) cross the wide shuffle; norms joined back by id",
+    "tfidf_cosine_pairs_dfcap": "r11 scale-safe twin: ABSOLUTE df<=64 cap on the posting join (pairs/shingle constant); norms full-vocabulary from the uncapped weight table — same one wide shuffle, lower-bound cosine by construction",
+    "semdedup_scaled_cells": "r11 k∝N twin: assignment via ONE Arrow int64-matmul argmax kernel (ArrowEvalPython, scan-side) instead of the O(N·k) crossJoin; model-sized centroid collect; dedup self-join still shuffles ONCE on cell",
+    "colbert_rerank_top3": "r11 retrieve-then-rerank: knn_ivf candidate stage (scan-side Arrow assignment, probe join) feeds ids-only candidates; candidate+query-token tables broadcast into the corpus scan, MaxSim evaluated on Q*16 rows only; per-query ranking window",
     "heavy_hitters_support": "one map-side-combined count shuffle + 1-row broadcast total; integer predicate and support — the exact-oracle baseline for sketch heavy-hitters",
     "drift_chi2_daily": "day×type spine is dim-sized (two DISTINCT projections cross-joined); expected-mass arithmetic scan-side; one final day-keyed agg",
     "win_reset_running_sum": "two ROWS-frame windows, both partitioned on data-scaling keys (user, then user×session) — O(1) state, no unbounded frames",
