@@ -196,6 +196,10 @@ EXTENDED = [
     "quantile_normalize_acctbal",
     "fellegi_sunter_linkage_score",
     "embedding_mmd_drift",
+    # r11 scale-safe twins
+    "tfidf_cosine_pairs_dfcap",
+    "semdedup_scaled_cells",
+    "colbert_rerank_top3",
 ]
 
 
@@ -203,13 +207,19 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
     from bench import _cpu_mix, _cpu_sample  # repo root is on sys.path
 
+    # explicit names = re-time just those and MERGE per-query into the
+    # committed trace (new ops land without a 12-minute full rerun)
+    ops = [n for n in EXTENDED if n in only] if only else list(EXTENDED)
+    unknown = [n for n in (only or []) if n not in EXTENDED]
+    if unknown:
+        raise SystemExit(f"not in EXTENDED: {unknown}")
     spark = get_spark("bench_extended")
     timings: dict[str, float] = {}
     cpu0 = _cpu_sample()
-    for name in EXTENDED:
+    for name in ops:
         fn = QUERIES[name]
         _materialize(fn(spark, WARM_DIR))  # codegen warm
         _materialize(fn(spark, SF_DIR))  # full-size warm
@@ -239,11 +249,17 @@ def main() -> None:
             existing = json.load(fh)
     except (OSError, ValueError):
         existing = {}
+    # per-QUERY merge (subset runs must not wipe the other entries);
+    # total_sec re-sums the merged map so it stays self-consistent
+    merged_q = dict(existing.get("queries", {}))
+    merged_q.update(timings)
+    out["queries"] = merged_q
+    out["total_sec"] = round(sum(merged_q.values()), 3)
     existing.update(out)
     with open(path, "w") as fh:
         json.dump(existing, fh, indent=1)
-    print(json.dumps(out))
+    print(json.dumps({**out, "queries_timed_this_run": len(timings)}))
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:] or None)
