@@ -114,8 +114,10 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     past 2e6 rows raise_error() instead of silently wrapping in Spark
     while DuckDB promotes to HUGEINT — an overflow here must be an
     error, never a quiet cross-engine divergence. Beyond 2e6
-    rows/group, rescale by per-stratum Spearman + Fisher combining
-    (the documented path).
+    rows/group the REGISTERED path is spearman_rank_strata (below):
+    per-stratum Spearman + n-weighted combining — it runs at sf1
+    (where this query correctly raises on its ~2.0e6-row groups) and
+    tracks this query's exact ρ to ~1e-5 at sf0.1.
 
     100 TB shape: ONE groupBy on the bounded (flag, v, u) support
     (map-side combined to ≤1650 rows) is the only data-scaling pass;
@@ -182,13 +184,198 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "headroom bound (n="
                 ),
                 F.col("n").cast("string"),
-                F.lit("); use per-stratum Spearman + Fisher combining"),
+                F.lit("); use spearman_rank_strata (per-stratum combine)"),
             )
         ).cast("long"),
     ).otherwise(F.col("sxy"))
     return agg.select(
         "flag", "n", sxy_gated.alias("sxy"), "sxx", "syy",
         F.expr(f"round({_SPEARMAN_RHO_EXPR}, 6)").alias("rho"),
+    )
+
+
+_N_STRATA = 4
+
+
+def _spearman_strata_oracle_sql(k: int = _N_STRATA) -> str:
+    n_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN b = {j} THEN n END), 0) AS n{j}"
+        for j in range(k)
+    )
+    t_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN b = {j} THEN n * rho END), 0.0) AS t{j}"
+        for j in range(k)
+    )
+    n_sum = " + ".join(f"n{j}" for j in range(k))
+    t_sum = " + ".join(f"t{j}" for j in range(k))
+    return f"""
+WITH cells AS (
+    SELECT l_returnflag AS flag,
+           ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                               CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+               % {k} AS b,
+           CAST(l_quantity AS BIGINT) AS v,
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS u,
+           CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY 1, 2, 3, 4
+), mx AS (
+    SELECT flag, b, v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1, 2, 3
+), dx AS (
+    SELECT flag, b, v,
+           2 * coalesce(sum(t) OVER (PARTITION BY flag, b ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) + t + 1
+           - sum(t) OVER (PARTITION BY flag, b) - 1 AS cx
+    FROM mx
+), my AS (
+    SELECT flag, b, u, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1, 2, 3
+), dy AS (
+    SELECT flag, b, u,
+           2 * coalesce(sum(t) OVER (PARTITION BY flag, b ORDER BY u
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) + t + 1
+           - sum(t) OVER (PARTITION BY flag, b) - 1 AS cy
+    FROM my
+), agg AS (
+    SELECT cells.flag, cells.b, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * cx * cy) AS BIGINT) AS sxy,
+           CAST(sum(c * cx * cx) AS BIGINT) AS sxx,
+           CAST(sum(c * cy * cy) AS BIGINT) AS syy
+    FROM cells
+    JOIN dx ON dx.flag = cells.flag AND dx.b = cells.b AND dx.v = cells.v
+    JOIN dy ON dy.flag = cells.flag AND dy.b = cells.b AND dy.u = cells.u
+    GROUP BY cells.flag, cells.b
+), rho AS (
+    SELECT flag, b, n, {_SPEARMAN_RHO_EXPR} AS rho FROM agg
+), piv AS (
+    SELECT flag, {n_cols}, {t_cols} FROM rho GROUP BY flag
+)
+SELECT flag, CAST({n_sum} AS BIGINT) AS n,
+       round(({t_sum}) / CAST({n_sum} AS DOUBLE), 6) AS rho_w
+FROM piv
+"""
+
+
+@query("spearman_rank_strata", oracle=_spearman_strata_oracle_sql())
+def spearman_rank_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-2e6-rows path spearman_rank_corr's headroom gate
+    points at, implemented (r11): per-stratum Spearman + sample-size-
+    weighted combining. Rows are split into 4 deterministic strata by
+    md5 of the row key (l_orderkey:l_linenumber — the dataset_split
+    bucket pattern, engine-portable and retry-stable); each (flag,
+    stratum) runs the SAME centered-midrank cell-grid machinery as the
+    exact query (every sufficient statistic exact int64, headroom now
+    n_j ≈ n/4 per stratum — the stratum count is the scale dial:
+    choose k ≥ n/2e6 and the int64 bound holds at any corpus); the
+    combined estimate is ρ_w = Σ n_j·ρ_j / Σ n_j.
+
+    ρ_w is an ESTIMATOR, not the exact pooled ρ — stratified midranks
+    lose cross-stratum rank interactions (each stratum is an i.i.d.
+    sample of the same joint distribution, so ρ_j are exchangeable
+    estimates of the same population ρ; weighting by n_j is the
+    standard fixed-effects combine). Cross-engine exactness is still
+    bit-for-bit: ρ_j comes from identical int64 stats via the shared
+    _SPEARMAN_RHO_EXPR, each n_j·ρ_j lands in its OWN pivot column
+    (single non-null per flag — no float summation-order boundary),
+    and the final 4-term sum is written in the same literal order on
+    both sides.
+
+    100 TB shape: identical to the exact query with one extra
+    scan-side md5 and a (flag, stratum, v, u) group key — the cell
+    grid stays ≤ 50·11·k rows per flag; no data-sized window, the
+    fact table shuffles once into the map-side-combined cell agg."""
+    li = _lt(spark, sf_dir, "lineitem")
+    b_expr = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_STRATA
+    )
+    u_expr = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        b_expr.alias("b"),
+        F.col("l_quantity").cast("long").alias("v"),
+        u_expr.alias("u"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    def _centered(marg: DataFrame, vcol: str, out: str) -> DataFrame:
+        wo = (
+            W.partitionBy("flag", "b")
+            .orderBy(vcol)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        wp = W.partitionBy("flag", "b")
+        return marg.select(
+            "flag",
+            "b",
+            vcol,
+            (
+                2 * F.coalesce(F.sum("t").over(wo), F.lit(0))
+                + F.col("t")
+                + 1
+                - F.sum("t").over(wp)
+                - 1
+            ).alias(out),
+        )
+
+    mx = cells.groupBy("flag", "b", "v").agg(F.sum("c").alias("t"))
+    my = cells.groupBy("flag", "b", "u").agg(F.sum("c").alias("t"))
+    dx = _centered(mx, "v", "cx")
+    dy = _centered(my, "u", "cy")
+    agg = (
+        cells.join(F.broadcast(dx), ["flag", "b", "v"])
+        .join(F.broadcast(dy), ["flag", "b", "u"])
+        .groupBy("flag", "b")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("cx") * F.col("cy"))
+            .cast("long")
+            .alias("sxy"),
+            F.sum(F.col("c") * F.col("cx") * F.col("cx"))
+            .cast("long")
+            .alias("sxx"),
+            F.sum(F.col("c") * F.col("cy") * F.col("cy"))
+            .cast("long")
+            .alias("syy"),
+        )
+    )
+    rho = agg.select("flag", "b", "n", F.expr(_SPEARMAN_RHO_EXPR).alias("rho"))
+    piv = rho.groupBy("flag").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("b") == j, F.col("n"))), F.lit(0)
+            ).alias(f"n{j}")
+            for j in range(_N_STRATA)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("b") == j, F.col("n") * F.col("rho"))),
+                F.lit(0.0),
+            ).alias(f"t{j}")
+            for j in range(_N_STRATA)
+        ],
+    )
+    n_sum = " + ".join(f"n{j}" for j in range(_N_STRATA))
+    t_sum = " + ".join(f"t{j}" for j in range(_N_STRATA))
+    return piv.select(
+        "flag",
+        F.expr(f"CAST({n_sum} AS BIGINT)").alias("n"),
+        F.expr(f"round(({t_sum}) / CAST({n_sum} AS DOUBLE), 6)").alias(
+            "rho_w"
+        ),
     )
 
 

