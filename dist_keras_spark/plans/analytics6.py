@@ -517,8 +517,9 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_extended_trace "scaling_10x"): exp ≈ 1.25 — super-linear
     exactly BECAUSE this query pins n_cells = 16 for oracle
     determinism, so per-cell membership grows 10× and within-cell
-    pairs ~100×; with the paper's k ∝ N the exponent returns to ~1
-    (the within-cell quadratic is held constant). Bounds:
+    pairs ~100×; the k ∝ N production twin is REGISTERED as
+    semdedup_scaled_cells (r11, below) and measured at exp ≈ 0.54 —
+    this query stays as its fixed-k exact reference. Bounds:
     dot ≤ 127²·64 ≈ 1.03e6, so 100·dot² ≤ 1.1e14 and
     9·na·nb ≤ 9.6e12 — well inside int64."""
     from dist_keras_spark.operators.dedup import spread

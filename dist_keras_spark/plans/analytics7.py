@@ -728,7 +728,9 @@ def colbert_maxsim_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Khattab & Zaharia §3.3): single-vector ANN candidates first
     (knn_ivf / mrl_truncation machinery), MaxSim only over the ≤k
     candidates per query — linear scan cost, candidate-bounded
-    rerank, this query as the rerank's exact oracle."""
+    rerank, this query as the rerank's exact oracle — REGISTERED as
+    colbert_rerank_top3 (r11, below), measured at exp ≈ 0.53 with
+    planted-corpus top-1 fidelity 40/40."""
     from dist_keras_spark.operators.dedup import spread
 
     # spread() first (r10): the per-pair maxsim folds are interpreted

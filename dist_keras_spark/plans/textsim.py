@@ -122,9 +122,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEASURED at 10× (r10 scaling sweep, under co-tenant load):
     exp ≈ 1.29 — mildly super-linear because posting-pair counts per
     shared shingle grow with corpus density while the df valve is a
-    FIXED fraction (N/10); tightening max_df (absolute cap, not
-    fractional) is the dial that pulls the exponent back toward 1 at
-    true scale, at a small measured recall cost."""
+    FIXED fraction (N/10); the absolute-cap production twin is
+    REGISTERED as tfidf_cosine_pairs_dfcap (r11, below), measured at
+    exp ≈ 0.82 with the recall trade recorded per SF in
+    bench_extended_trace "tfidf_dfcap_recall"."""
     docs = _lt(spark, sf_dir, "documents")
     # MULTISET trigram rows on the codegen explode path (positions →
     # slice/array_join as plain row expressions) — exploding the
