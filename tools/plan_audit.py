@@ -203,6 +203,13 @@ AUDITED = {
     "seasonal_strength_dow": "daily rollup partial-aggregates; everything after runs on (types x days) and (types x 7) bounded frames",
     "hhi_concentration_by_nation": "(nation, supplier) rollup partial-aggregates; nation totals broadcast back; second dimension-keyed agg - no windows",
     "table_profile_orders": "ONE scan computes every column's stats (multi-distinct shares the scan via Expand); 6-row stack; profiler never rescans per column",
+    # round 11, second wave
+    "chunk_dedup_16word": "chunk explode scan-side (sequence+slice, n/16 rows out); ONE md5-keyed agg + join-back on the same uniform key (broadcast at small SF, AQE-sized at scale) + doc_id agg — 3 exchanges, all data-scaling keys",
+    "dup_chunk_cluster_mass": "md5-keyed agg then the frequency-of-frequencies reduction (chao1 shape) — 2 exchanges, second input is cluster-size-bounded",
+    "cross_source_dup_chunks": "self-join runs on the DISTINCT (chunk, source) projection; equi-key is uniform md5, source< as join residual; output <= sources^2",
+    "simpson_word_diversity": "explode -> (doc,word) map-side-combined agg -> doc agg -> dim-sized source agg; no joins, no windows",
+    "embedding_defect_scan": "norms via scan-side aggregate() HOF over the array column (NO explode — one row stays one row); ONE dim-keyed exchange total",
+    "packing_fragmentation_rate": "ONE lang-keyed exchange: running-sum window, then the groupBy REUSES the window's hash partitioning (agg adds no exchange)",
 }
 
 
