@@ -16,7 +16,14 @@ All tables scale 10x from sf0.1 — including `documents` (5k -> 50k)
 and `embeddings` (2k -> 20k), otherwise the dedup/ANN exponents the
 dataset exists to measure would be trivially flat.
 
-Usage: python tools/gen_benchdata.py [out_dir]   (default benchdata/sf1)
+Usage: python tools/gen_benchdata.py [out_dir] [mult]
+  out_dir default: benchdata/sf1
+  mult: row-count multiplier RELATIVE TO SF1 (mult=2 writes an
+  sf2-shaped 20x-of-sf0.1 dataset — the second scale point that turns
+  one-step exponents into two-decade curvature evidence). Dim tables
+  (region/nation) and value domains stay fixed; every fact-table
+  cardinality that scales with data (customers, orders, docs,
+  embeddings, event users) multiplies.
 """
 
 from __future__ import annotations
@@ -69,9 +76,19 @@ def _ts_us(days_ns: np.ndarray, epoch: str) -> pa.Array:
     return pa.array(base + days_ns.astype("timedelta64[us]"))
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, mult: float = 1.0) -> None:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
+
+    # scale every data-sized cardinality; dims and domains stay fixed
+    n_customer = int(N_CUSTOMER * mult)
+    n_supplier = int(N_SUPPLIER * mult)
+    n_part = int(N_PART * mult)
+    n_orders = int(N_ORDERS * mult)
+    n_events = int(N_EVENTS * mult)
+    n_docs = int(N_DOCS * mult)
+    n_emb = int(N_EMB * mult)
+    n_users = int(15_000 * mult)
 
     _write(out_dir, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
@@ -84,51 +101,51 @@ def main(out_dir: str) -> None:
     }))
 
     _write(out_dir, "customer", pa.table({
-        "c_custkey": pa.array(range(N_CUSTOMER), pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(N_CUSTOMER)],
-        "c_nationkey": pa.array(rng.integers(0, 25, N_CUSTOMER), pa.int32()),
-        "c_acctbal": np.round(rng.uniform(-1000, 10000, N_CUSTOMER), 2),
-        "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, N_CUSTOMER)]),
+        "c_custkey": pa.array(range(n_customer), pa.int64()),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_customer)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_customer), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_customer), 2),
+        "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_customer)]),
     }))
     _write(out_dir, "supplier", pa.table({
-        "s_suppkey": pa.array(range(N_SUPPLIER), pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(N_SUPPLIER)],
-        "s_nationkey": pa.array(rng.integers(0, 25, N_SUPPLIER), pa.int32()),
-        "s_acctbal": np.round(rng.uniform(-1000, 10000, N_SUPPLIER), 2),
+        "s_suppkey": pa.array(range(n_supplier), pa.int64()),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supplier)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supplier), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supplier), 2),
     }))
     _write(out_dir, "part", pa.table({
-        "p_partkey": pa.array(range(N_PART), pa.int64()),
+        "p_partkey": pa.array(range(n_part), pa.int64()),
         "p_name": [
             f"{P_ADJ[a]} {P_NOUN[b]}"
-            for a, b in zip(rng.integers(0, 8, N_PART), rng.integers(0, 8, N_PART))
+            for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
         ],
-        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(11, 56, N_PART)]),
-        "p_type": pa.array(np.array(P_TYPES)[rng.integers(0, 6, N_PART)]),
-        "p_size": pa.array(rng.integers(1, 51, N_PART), pa.int32()),
-        "p_retailprice": np.round(rng.uniform(900, 2100, N_PART), 2),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(11, 56, n_part)]),
+        "p_type": pa.array(np.array(P_TYPES)[rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(rng.uniform(900, 2100, n_part), 2),
     }))
 
     # orders: dates 1995-01-01 .. 2001-08-01 (2404 days), midnight us
-    odays = rng.integers(0, 2405, N_ORDERS).astype("int64") * 86_400_000_000
+    odays = rng.integers(0, 2405, n_orders).astype("int64") * 86_400_000_000
     _write(out_dir, "orders", pa.table({
-        "o_orderkey": pa.array(range(N_ORDERS), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, N_CUSTOMER, N_ORDERS), pa.int64()),
-        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, N_ORDERS)]),
-        "o_totalprice": np.round(rng.uniform(1000, 500000, N_ORDERS), 2),
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_customer, n_orders), pa.int64()),
+        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, n_orders)]),
+        "o_totalprice": np.round(rng.uniform(1000, 500000, n_orders), 2),
         "o_orderdate": _ts_us(odays, "1995-01-01T00:00:00"),
-        "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, N_ORDERS)]),
+        "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, n_orders)]),
     }))
 
     # lineitem: 1..7 lines per order, mean 4 -> ~6M rows
-    per_order = rng.integers(1, 8, N_ORDERS)
-    okeys = np.repeat(np.arange(N_ORDERS, dtype="int64"), per_order)
+    per_order = rng.integers(1, 8, n_orders)
+    okeys = np.repeat(np.arange(n_orders, dtype="int64"), per_order)
     n_li = len(okeys)
     lnum = np.concatenate([np.arange(1, c + 1) for c in per_order]).astype("int32")
     sdays = rng.integers(0, 2405, n_li).astype("int64") * 86_400_000_000
     _write(out_dir, "lineitem", pa.table({
         "l_orderkey": pa.array(okeys),
-        "l_partkey": pa.array(rng.integers(0, N_PART, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, N_SUPPLIER, n_li), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supplier, n_li), pa.int64()),
         "l_linenumber": pa.array(lnum),
         "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
         "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
@@ -141,15 +158,15 @@ def main(out_dir: str) -> None:
 
     # events: 30 days of Jan 2024, us precision, 15k distinct users
     # (10x the 1.5k at sf0.1 — user_id cardinality scales with data)
-    eus = rng.integers(0, 30 * 86_400_000_000, N_EVENTS).astype("int64")
+    eus = rng.integers(0, 30 * 86_400_000_000, n_events).astype("int64")
     eus.sort()
     _write(out_dir, "events", pa.table({
-        "event_id": pa.array(range(N_EVENTS), pa.int64()),
+        "event_id": pa.array(range(n_events), pa.int64()),
         "ts": _ts_us(eus, "2024-01-01T00:00:00"),
-        "user_id": pa.array(rng.integers(0, 15_000, N_EVENTS), pa.int64()),
-        "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, N_EVENTS)]),
-        "value": np.round(np.minimum(rng.exponential(50, N_EVENTS), 560.0), 2),
-        "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, N_EVENTS)],
+        "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+        "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, n_events)]),
+        "value": np.round(np.minimum(rng.exponential(50, n_events), 560.0), 2),
+        "props": [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)],
     }))
 
     # documents: random 9..105-word texts over the 31-word vocab, with
@@ -160,7 +177,7 @@ def main(out_dir: str) -> None:
     # exact dups / 256 near pairs.
     vocab = np.array(VOCAB)
     texts: list[str] = []
-    for i in range(N_DOCS):
+    for i in range(n_docs):
         r = rng.random()
         if i > 10 and r < 0.002:
             texts.append(texts[int(rng.integers(0, i))])
@@ -176,22 +193,22 @@ def main(out_dir: str) -> None:
         n = int(rng.integers(9, 106))
         texts.append(" ".join(vocab[rng.integers(0, len(vocab), n)]))
     _write(out_dir, "documents", pa.table({
-        "doc_id": pa.array(range(N_DOCS), pa.int64()),
+        "doc_id": pa.array(range(n_docs), pa.int64()),
         "text": texts,
-        "lang": pa.array(rng.choice(LANGS, N_DOCS, p=LANG_P)),
-        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, N_DOCS)]),
+        "lang": pa.array(rng.choice(LANGS, n_docs, p=LANG_P)),
+        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
     # embeddings: 64-dim unit-norm, weak label clustering (fixture
     # measures ~0.11 cosine to own centroid): x = 0.12*centroid + noise
-    labels = rng.integers(0, 10, N_EMB)
+    labels = rng.integers(0, 10, n_emb)
     cents = rng.standard_normal((10, 64))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    vecs = rng.standard_normal((N_EMB, 64)) + 1.0 * cents[labels]
+    vecs = rng.standard_normal((n_emb, 64)) + 1.0 * cents[labels]
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     _write(out_dir, "embeddings", pa.table({
-        "vec_id": pa.array(range(N_EMB), pa.int64()),
+        "vec_id": pa.array(range(n_emb), pa.int64()),
         "embedding": pa.array(
             [v for v in vecs.astype("float32")], pa.list_(pa.float32())
         ),
@@ -200,6 +217,13 @@ def main(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else
-         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      "benchdata", "sf1"))
+    main(
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchdata",
+            "sf1",
+        ),
+        float(sys.argv[2]) if len(sys.argv) > 2 else 1.0,
+    )
