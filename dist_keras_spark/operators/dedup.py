@@ -827,6 +827,22 @@ def ppjoin_prefix_pairs(
     ranking itself is one token-keyed aggregation broadcast back onto
     the postings.
 
+    Prefix-filter linearity ASSUMES the rarest-shingle df stays O(1)
+    as the corpus grows — true on real text, where the shingle space
+    (vocab^n, Zipf vocab) is effectively unbounded. The r11 two-step
+    sweep measured the assumption's failure mode on the synthetic
+    31-word-vocab corpus: the 4-gram space (31⁴ ≈ 923k) SATURATES at
+    ~50k docs (97% of all possible shingles present at sf1), past
+    which every doc's rarest df grows ∝ N (measured 1.13 → 2.22
+    sf1→sf2) and the prefix join turns structurally quadratic
+    (exp ≈ 3.0 at sf1→sf2, vs 0.76 at the pre-saturation 10× step).
+    The in-suite control ops prove it's the space, not the plan: the
+    50-gram substring/winnowing consumers on the SAME corpus measure
+    exp 0.79 / 0.03 at the same step — their shingle space cannot
+    saturate. Production dial on dense corpora: longer shingles
+    (n ≥ 5 multiplies the space 31×) or the cluster-level paths
+    (minhash_lsh: exp 0.56 at sf1→sf2 on this same corpus).
+
     All-integer threshold: tau_den·c ≥ tau_num·(na+nb−c); returned
     jacc_e6 = (1e6·c) div (na+nb−c).
     """

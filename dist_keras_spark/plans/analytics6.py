@@ -519,7 +519,10 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism, so per-cell membership grows 10× and within-cell
     pairs ~100×; the k ∝ N production twin is REGISTERED as
     semdedup_scaled_cells (r11, below) and measured at exp ≈ 0.54 —
-    this query stays as its fixed-k exact reference. Bounds:
+    this query stays as its fixed-k exact reference. The r11 second
+    scale step (sf1→sf2, "scaling_sf1_sf2") confirms the pinned-k
+    regime: exp ≈ 1.8 (73s → 261s), within-cell pairs ~4× per 2×
+    corpus, exactly the N²/16 the fixed partition predicts. Bounds:
     dot ≤ 127²·64 ≈ 1.03e6, so 100·dot² ≤ 1.1e14 and
     9·na·nb ≤ 9.6e12 — well inside int64."""
     from dist_keras_spark.operators.dedup import spread
@@ -2829,7 +2832,19 @@ def blocking_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_completeness measures within-stratum recall; cross-stratum
     pairs are excluded by construction on BOTH sides (sampling pairs,
     not docs, would bias reduction ratio instead — documented
-    trade-off, Christen 2012)."""
+    trade-off, Christen 2012).
+
+    r11 second scale step (sf1→sf2, "scaling_sf1_sf2"): exp ≈ 2.5,
+    reproduced on a quiet window — the exact-truth postings join hits
+    the synthetic corpus's SATURATED 4-gram space (31⁴ ≈ 923k
+    shingles, 97% present at sf1; see ppjoin_prefix_pairs for the
+    measured mechanism and the 50-gram control ops that stay linear
+    on the same corpus). This measures the truth join exactly as the
+    query's own model predicts — the quadratic object under control —
+    and is why the stratum dial exists: halving the stratum divides
+    the post-saturation term by 4 regardless of corpus shape. On
+    Zipfian real text the space does not saturate and the truth term
+    stays df-bounded."""
     return _blocking_quality_frame(spark, sf_dir, sample_pct=50)
 
 

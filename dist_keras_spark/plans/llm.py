@@ -552,7 +552,14 @@ SELECT query_id, neighbor_id, knn_rank, cosine FROM ranked WHERE knn_rank <= 5
 )
 def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 exact path: top-5 cosine neighbors for every 20th vector.
-    Query side broadcast; corpus scanned once, never shuffled."""
+    Query side broadcast; corpus scanned once, never shuffled.
+
+    Scale regime (two-step sweep, bench_extended_trace): the query set
+    grows with the corpus, so pairwise work is Θ(N²/20) BY
+    CONSTRUCTION — exp 0.82 at sf0.1→sf1 (overhead still dominates),
+    1.31 at sf1→sf2 as the pairwise stage takes over. Carried as the
+    exact-recall oracle the sub-quadratic registered paths
+    (knn_ivf_top5, knn_ivf_pq_adc, knn_lsh_top5) re-rank against."""
     e = _lt(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
     out = knn_bruteforce(e, q, "vec_id", "embedding", k=5)
@@ -745,7 +752,16 @@ def cosine_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     not CSE interpreted HOFs across a filter+project pair, so the old
     filter(cos).select(round(cos)) shape evaluated the fold twice per
     pair. Same result; measured numbers in bench_extended_trace.json
-    "scaling_10x"."""
+    "scaling_10x".
+
+    Scale regime: at θ=0.2 roughly 5–6% of random 64-dim pairs pass
+    (cosine of random unit vectors ≈ N(0, 1/64), 0.2 ≈ 1.6σ), so the
+    OUTPUT itself is Θ(N²/20) — no sublinear algorithm can emit it.
+    Two-step sweep: exp 1.12 at sf0.1→sf1, 1.88 at sf1→sf2 — the
+    quadratic regime arriving on schedule. Carried as the exact
+    pairwise oracle; the production high-threshold form with linear
+    candidates is dedup_embedding_cosine (banded θ=0.9, exp 1.01 at
+    10×), and top-k-per-query needs are the knn family's."""
     from dist_keras_spark.functions.arrays import dot, l2_norm
     from dist_keras_spark.operators.dedup import spread
 
@@ -1098,7 +1114,14 @@ def knn_int8_quantized_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     local fixture scan produces — 124.5s at sf1 vs knn_bruteforce's
     6.5s (which spreads); with it the stage parallelizes like
     bruteforce. At cluster scale the scan is already split and the
-    spread is a no-op-sized shuffle (see dedup.spread)."""
+    spread is a no-op-sized shuffle (see dedup.spread).
+
+    Scale regime: same Θ(N²/20) construction as knn_bruteforce_top5
+    (queries scale with the corpus) — two-step sweep 0.78 at
+    sf0.1→sf1, 1.98 at sf1→sf2 once the interpreted pairwise fold
+    dominates. Exact oracle baseline; the quantization's production
+    role is inside the bounded-candidate paths (pq_adc re-rank,
+    ivf probes), not corpus×query scans."""
     from dist_keras_spark.operators.dedup import spread
 
     e = spread(_lt(spark, sf_dir, "embeddings"), "vec_id")

@@ -122,10 +122,15 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEASURED at 10× (r10 scaling sweep, under co-tenant load):
     exp ≈ 1.29 — mildly super-linear because posting-pair counts per
     shared shingle grow with corpus density while the df valve is a
-    FIXED fraction (N/10); the absolute-cap production twin is
-    REGISTERED as tfidf_cosine_pairs_dfcap (r11, below), measured at
-    exp ≈ 0.82 with the recall trade recorded per SF in
-    bench_extended_trace "tfidf_dfcap_recall"."""
+    FIXED fraction (N/10); the r11 second scale step (sf1→sf2,
+    "scaling_sf1_sf2") measures the blowup arriving in full:
+    exp ≈ 3.1 (26s → 230s) as the N/10 valve admits ever-denser
+    posting lists on this no-Zipf-tail corpus. The absolute-cap
+    production twin is REGISTERED as tfidf_cosine_pairs_dfcap (r11,
+    below), measured at exp ≈ 0.82 at 10× AND ≈ 0.33 on the same
+    sf1→sf2 step — the constant-pairs-per-shingle bound holding
+    exactly where the fractional valve detonates; recall trade
+    recorded per SF in bench_extended_trace "tfidf_dfcap_recall"."""
     docs = _lt(spark, sf_dir, "documents")
     # MULTISET trigram rows on the codegen explode path (positions →
     # slice/array_join as plain row expressions) — exploding the

@@ -501,3 +501,48 @@ def test_colbert_rerank_is_exact_maxsim_over_ivf_candidates(spark, sf_dir):
         assert [r["neighbor_id"] for r in rows] == expect
         for r in rows:
             assert r["maxsim"] == maxsim(qid, r["neighbor_id"])
+
+
+def test_incremental_dedup_dfcap_precision_and_fixture_equality(spark, sf_dir):
+    """The df-capped probe (r11 twin) must (a) equal the uncapped
+    baseline wherever no corpus shingle exceeds the cap — true on the
+    fixtures — and (b) structurally: every emitted near-match count is
+    ≤ the uncapped count (c′ ≤ c can only drop matches, never invent
+    them), with exact_dup identical (the exact layer is uncapped)."""
+    from dist_keras_spark.plans.analytics7 import (
+        _IDB_DFCAP,
+        incremental_dedup_dfcap,
+    )
+
+    base = {
+        r["doc_id"]: r
+        for r in incremental_dedup_new_batch(spark, sf_dir).collect()
+    }
+    capped = {
+        r["doc_id"]: r for r in incremental_dedup_dfcap(spark, sf_dir).collect()
+    }
+    assert set(base) == set(capped)
+    for doc_id, b in base.items():
+        c = capped[doc_id]
+        assert c["exact_dup"] == b["exact_dup"]
+        assert c["n_near_matches"] <= b["n_near_matches"]
+        assert c["keep"] >= b["keep"]  # over-keep only, never over-drop
+
+    # fixture 3-gram corpus df stays below the cap -> exact equality
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    import hashlib
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+
+    corpus = docs[docs["doc_id"].map(bucket) >= 20]
+    from collections import Counter
+
+    df_counter: Counter = Counter()
+    for t in corpus["text"]:
+        w = t.split(" ")
+        df_counter.update({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})
+    assert max(df_counter.values()) <= _IDB_DFCAP
+    for doc_id, b in base.items():
+        assert capped[doc_id]["n_near_matches"] == b["n_near_matches"]
+        assert capped[doc_id]["keep"] == b["keep"]

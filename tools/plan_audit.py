@@ -210,6 +210,7 @@ AUDITED = {
     "simpson_word_diversity": "explode -> (doc,word) map-side-combined agg -> doc agg -> dim-sized source agg; no joins, no windows",
     "embedding_defect_scan": "norms via scan-side aggregate() HOF over the array column (NO explode — one row stays one row); ONE dim-keyed exchange total",
     "packing_fragmentation_rate": "ONE lang-keyed exchange: running-sum window, then the groupBy REUSES the window's hash partitioning (agg adds no exchange)",
+    "incremental_dedup_dfcap": "same asymmetric batch-probes-corpus shape as the baseline, probe join input bounded at df<=64 corpus postings per shingle (one count on the maintained index); pairs/shingle constant past vocab saturation",
 }
 
 
