@@ -1341,7 +1341,10 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n+1)/n. Everything that accumulates is INTEGER (spend quantized
     to cents per order before summing), so Σ i·xᵢ and Σx are exact in
     both engines and only the final division is float — no
-    sum-order divergence. The rank window IS an unpartitioned sort —
+    sum-order divergence. Σ i·xᵢ ≤ n·M breaches int64 past
+    n·M ≈ 9.2e18 (the r11 sf2 sweep hit this on the histogram
+    sibling), so the accumulator is exact DECIMAL(38,0) on the Spark
+    side; DuckDB's sum(BIGINT) already promotes to HUGEINT. The rank window IS an unpartitioned sort —
     over the per-customer aggregate (customer-count rows, not orders),
     which is the smallest frame the statistic can be computed on; a
     true 100 TB deployment would bin spend and integrate the
@@ -1357,14 +1360,26 @@ def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.row_number().over(wi).alias("i"),
     )
+    # Σ i·xᵢ ≤ n·M breaches int64 once n·M > 9.2e18 (the r11 sf2 sweep
+    # crashed the histogram sibling on exactly this bound) — accumulate
+    # in DECIMAL(38,0): per-term i·cents stays long-safe, the SUM is
+    # exact decimal, and decimal→double is correctly rounded from the
+    # same exact integer on both engines (DuckDB sum(BIGINT) already
+    # promotes to HUGEINT, so the oracle needs no change).
     agg = ranked.agg(
-        F.sum(F.col("i").cast("long") * F.col("cents")).alias("s_ix"),
+        F.sum(
+            (F.col("i").cast("long") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("s_ix"),
         F.sum("cents").alias("tot"),
         F.count(F.lit(1)).alias("n"),
     )
+    # n·tot breaches int64 at the same bound — multiply as doubles
+    # (both operands < 2^53 are exactly representable, so the rounded
+    # double product equals the exact-integer-then-cast product).
     return agg.select(
         F.round(
-            2.0 * F.col("s_ix") / (F.col("n") * F.col("tot"))
+            2.0 * F.col("s_ix").cast("double")
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),
@@ -1406,9 +1421,13 @@ def gini_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend HISTOGRAM instead of ranking every customer —
     gini = 1 − Σ_b cnt_b·(cm_b + cm_{b−1}) / (n·M) with integer bin
     counts and integer cumulative mass, so the only float operation is
-    the final division (the trapezoid numerator is bounded by 2·n·M —
-    int64-safe at these SFs; a production run would widen to
-    DECIMAL(38)). The per-customer aggregate shuffles on the key; the
+    the final division. The trapezoid numerator is bounded by 2·n·M,
+    which breaches int64 past n·M ≈ 9.2e18 — the r11 sf2 sweep (3M
+    orders) crashed the long accumulator on exactly that bound, so
+    the numerator now accumulates in exact DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB's automatic sum promotion): same exact integer,
+    same correctly-rounded double, no SF ceiling until DECIMAL(38)
+    itself (~1e38). The per-customer aggregate shuffles on the key; the
     histogram reduces it to ≤1000 rows, and the cumulative window runs
     over that BIN DIMENSION — never the data. Accuracy vs the exact
     rank formula is pinned by a pytest (<0.01 absolute at every SF);
@@ -1440,17 +1459,28 @@ def gini_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = spend.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("m")
     )
+    # The documented rescale path, now exercised: the r11 sf2 sweep
+    # (20× sf0.1) crashed this aggregate with ARITHMETIC_OVERFLOW —
+    # cnt_b·(2·cm_b − mass_b) reaches ~2·n·M ≈ 4.5e19 > int64 once
+    # n·M > 9.2e18 (3M orders). Widen the per-term product to
+    # DECIMAL(38,0) BEFORE multiplying (the term itself overflows, not
+    # just the sum); decimal→double is correctly rounded from the same
+    # exact integer on both engines, and DuckDB's HUGEINT promotion
+    # keeps the oracle side exact unchanged.
     return (
         lorenz.agg(
-            F.sum(F.col("cnt") * (F.col("cm") + (F.col("cm") - F.col("mass")))).alias(
-                "num"
-            ),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * (F.col("cm") + (F.col("cm") - F.col("mass")))
+            ).alias("num"),
             F.count(F.lit(1)).alias("n_bins_used"),
         )
         .crossJoin(F.broadcast(totals))
         .select(
             F.round(
-                1.0 - F.col("num").cast("double") / (F.col("n") * F.col("m").cast("double")),
+                1.0
+                - F.col("num").cast("double")
+                / (F.col("n").cast("double") * F.col("m").cast("double")),
                 6,
             ).alias("gini_hist"),
             F.col("n").cast("long").alias("n_customers"),
