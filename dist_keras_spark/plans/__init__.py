@@ -40,6 +40,7 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics9,
     analytics10,
     analytics11,
+    analytics12,
 )
 
 # Round-11 window (VERDICT r10 #3): generated MECHANICALLY by
