@@ -211,6 +211,8 @@ AUDITED = {
     "embedding_defect_scan": "norms via scan-side aggregate() HOF over the array column (NO explode — one row stays one row); ONE dim-keyed exchange total",
     "packing_fragmentation_rate": "ONE lang-keyed exchange: running-sum window, then the groupBy REUSES the window's hash partitioning (agg adds no exchange)",
     "incremental_dedup_dfcap": "same asymmetric batch-probes-corpus shape as the baseline, probe join input bounded at df<=64 corpus postings per shingle (one count on the maintained index); pairs/shingle constant past vocab saturation",
+    "unigram_surprisal_quality": "vocab dim built by one word-keyed map-side-combined agg, 1-row total crossJoined broadcast, dim BROADCAST back onto the exploded scan (no second word shuffle); doc_id agg then dim-sized source agg — all data-sized sums exact int64 micro-nats",
+    "heldout_bigram_surprisal": "bigram explode is scan-side codegen (sequence+element_at); train model groupBy keys on (w1,w2); eval probe SHUFFLE-joins on the same composite key (model is vocab²-bounded, never driver-sized); ctx/uni/tot dims broadcast; backoff CASE is a row expression",
 }
 
 
