@@ -246,9 +246,17 @@ def embedding_neardup_pairs(
     tables: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    layout_planes: int | None = None,
 ) -> DataFrame:
     """All (id_lo, id_hi, cosine) pairs with exact cosine >= threshold,
     found through BUCKETED candidates — never an all-pairs self-join.
+
+    `layout_planes` (when set, must be >= n_planes) draws table t's
+    planes from rows [t·layout_planes, t·layout_planes + n_planes) of
+    a FIXED (tables × layout_planes) matrix, so a caller that grows
+    n_planes with corpus size (dedup_embedding_scaled_planes) keeps
+    every already-used plane stable while adding bits — and an oracle
+    can embed the full fixed layout as literals once.
 
     Banding scheme (SimHash-style sign-random-projection, same shape as
     the MinHash band kernel in operators/dedup.py): one Arrow kernel
@@ -272,7 +280,20 @@ def embedding_neardup_pairs(
 
     if dim is None:
         dim = _peek_dim(df, vec_col, "embedding_neardup_pairs")
-    planes = _hyperplanes(dim, tables * n_planes, seed)  # (tables*n_planes, dim)
+    if layout_planes is None:
+        planes = _hyperplanes(dim, tables * n_planes, seed)  # (tables*n_planes, dim)
+    else:
+        if layout_planes < n_planes:
+            raise ValueError(
+                f"layout_planes={layout_planes} < n_planes={n_planes}"
+            )
+        full = _hyperplanes(dim, tables * layout_planes, seed)
+        planes = np.concatenate(
+            [
+                full[t * layout_planes : t * layout_planes + n_planes]
+                for t in range(tables)
+            ]
+        )
     weights = 1 << np.arange(n_planes)
 
     @F.pandas_udf(ArrayType(IntegerType()))

@@ -1514,6 +1514,67 @@ def approx_percentile_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_rank20(q: DataFrame) -> DataFrame:
+    """PQ-ADC ranking to depth 20 over the quantized frame `q`
+    (vec_id, v) — the shared retrieval arm of rrf_fusion_top5 and
+    rrf_fusion_scaled_top5: 8×8 subspace split, 16 data-vector
+    codebook, integer asymmetric distances, row_number per query.
+    Returns (p_query, p_neighbor, r_pq ≤ 20)."""
+    subs = q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.slice("v", s * 8 + 1, 8),
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
+    )
+    d2sub = F.aggregate(
+        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cdist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "c", d2sub.alias("d2")
+    )
+    codes = (
+        cdist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"))
+    )
+    qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tq"),
+        F.col("s").alias("qs"),
+        F.col("c").alias("qc"),
+        F.col("d2").alias("t"),
+    )
+    pqw = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    )
+    return (
+        codes.join(
+            F.broadcast(qtab),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qc")),
+        )
+        .filter(F.col("vec_id") != F.col("tq"))
+        .groupBy(
+            F.col("tq").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum("t").alias("adist"))
+        .withColumn("r_pq", pqw)
+        .filter(F.col("r_pq") <= 20)
+        .select(
+            F.col("query_id").alias("p_query"),
+            F.col("neighbor_id").alias("p_neighbor"),
+            "r_pq",
+        )
+    )
+
+
 @query(
     "rrf_fusion_top5",
     oracle="""
@@ -1589,7 +1650,14 @@ def rrf_fusion_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: fusion consumes top-k LISTS (queries × 20 rows
     each), never raw corpora — the joins are candidate-sized. The
     two input rankings reuse this module's scorers; swap either for
-    BM25 to fuse sparse+dense retrieval the same way."""
+    BM25 to fuse sparse+dense retrieval the same way.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 1.80 — the exact
+    integer-L2 arm is a queries×corpus crossJoin, Θ(N²/20) by
+    construction when queries scale with the corpus (the
+    knn_bruteforce regime). Kept as the exact ORACLE baseline; the
+    registered scale-safe path is rrf_fusion_scaled_top5 (scaled IVF
+    arm + the same PQ arm and fusion epilogue)."""
     # spread() first (r10 scaling sweep): the corpus-wide quantize +
     # subspace-distance folds are INTERPRETED HOFs, and the local
     # single-partition scan would serialize them onto one core; at
@@ -1618,59 +1686,13 @@ def rrf_fusion_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PQ ranking to depth 20 (pq_adc_top5 cuts at 5; recompute rank
     # from its scored internals the same way, via the registered
     # query's building blocks)
-    subs = q.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
-                lambda s: F.slice("v", s * 8 + 1, 8),
-            )
-        ).alias("s", "sub"),
-    )
-    cb = subs.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
-    )
-    d2sub = F.aggregate(
-        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cdist = subs.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "c", d2sub.alias("d2")
-    )
-    codes = (
-        cdist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "c")).alias("m"))
-        .select("vec_id", "s", F.col("m.c").alias("code"))
-    )
-    qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("tq"),
-        F.col("s").alias("qs"),
-        F.col("c").alias("qc"),
-        F.col("d2").alias("t"),
-    )
-    pqw = F.row_number().over(
-        W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    )
-    pqr = (
-        codes.join(
-            F.broadcast(qtab),
-            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qc")),
-        )
-        .filter(F.col("vec_id") != F.col("tq"))
-        .groupBy(
-            F.col("tq").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-        )
-        .agg(F.sum("t").alias("adist"))
-        .withColumn("r_pq", pqw)
-        .filter(F.col("r_pq") <= 20)
-        .select(
-            F.col("query_id").alias("p_query"),
-            F.col("neighbor_id").alias("p_neighbor"),
-            "r_pq",
-        )
-    )
+    return _rrf_fuse(exr, _pq_rank20(q))
+
+
+def _rrf_fuse(exr: DataFrame, pqr: DataFrame) -> DataFrame:
+    """RRF fusion epilogue shared by rrf_fusion_top5 and
+    rrf_fusion_scaled_top5: FULL OUTER join of the two depth-20
+    rankings, integer Σ floor(1e9/(60+rank)) scores, top-5 per query."""
     fused = exr.join(
         pqr,
         (F.col("query_id") == F.col("p_query"))
@@ -1698,6 +1720,92 @@ def rrf_fusion_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= 5)
         .select("query_id", "neighbor_id", "fused_rank", "rrf_nano")
     )
+
+
+def _rrf_scaled_oracle_sql() -> str:
+    """Scaled-fusion oracle: the exact brute-force arm replaced by the
+    scaled-cells IVF ranking (llm._knn_ivf_oracle_sql at depth 20,
+    wrapped as a CTE — nested WITH is legal in DuckDB); the PQ arm and
+    the integer RRF epilogue replay rrf_fusion_top5's verbatim."""
+    from dist_keras_spark.plans.llm import _knn_ivf_oracle_sql
+
+    ivf20 = _knn_ivf_oracle_sql(k=20, scaled_cells=True)
+    return f"""
+WITH ivfr AS ({ivf20}),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS v
+  FROM embeddings
+), subs AS (
+  SELECT vec_id, t.s,
+         v[CAST(t.s * 8 + 1 AS BIGINT):CAST(t.s * 8 + 8 AS BIGINT)] AS sub
+  FROM q, unnest(range(0, 8)) t(s)
+), cb AS (
+  SELECT vec_id AS c, s, sub AS cbsub FROM subs WHERE vec_id < 16
+), cdist AS (
+  SELECT subs.vec_id, subs.s, cb.c,
+         CAST(list_sum(list_transform(range(1, 9),
+              i -> (sub[i] - cbsub[i]) * (sub[i] - cbsub[i])))
+              AS BIGINT) AS d2
+  FROM subs JOIN cb ON subs.s = cb.s
+), codes AS (
+  SELECT vec_id, s, c AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, c) AS rn FROM cdist)
+  WHERE rn = 1
+), qtab AS (
+  SELECT vec_id AS query_id, s, c, d2 AS t
+  FROM cdist WHERE vec_id % 20 = 0
+), pqr AS (
+  SELECT qt.query_id, cd.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY qt.query_id
+             ORDER BY sum(qt.t), cd.vec_id) AS r_pq
+  FROM codes cd JOIN qtab qt ON cd.s = qt.s AND cd.code = qt.c
+  WHERE cd.vec_id <> qt.query_id
+  GROUP BY qt.query_id, cd.vec_id
+), fused AS (
+  SELECT COALESCE(e.query_id, p.query_id) AS query_id,
+         COALESCE(e.neighbor_id, p.neighbor_id) AS neighbor_id,
+         CAST(COALESCE(1000000000 // (60 + e.knn_rank), 0)
+              + COALESCE(1000000000 // (60 + p.r_pq), 0) AS BIGINT)
+             AS rrf_nano
+  FROM ivfr e
+  FULL OUTER JOIN (SELECT * FROM pqr WHERE r_pq <= 20) p
+    ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY rrf_nano DESC, neighbor_id) AS fused_rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, fused_rank, rrf_nano
+FROM ranked WHERE fused_rank <= 5
+"""
+
+
+@query("rrf_fusion_scaled_top5", oracle=_rrf_scaled_oracle_sql())
+def rrf_fusion_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of rrf_fusion_top5: the exact integer-L2
+    arm — a queries×corpus crossJoin that is Θ(N²/20) by construction
+    once queries scale with the corpus (measured sf1→sf2 exp 1.80) —
+    is replaced by the scaled-cells IVF ranking (knn_ivf_scaled_top5's
+    machinery at depth 20: cells = max(16, N div 1000), n_probe 8,
+    constant ~8000-vector fan-out per query); the PQ-ADC arm and the
+    exact-integer RRF epilogue are SHARED code (_pq_rank20/_rrf_fuse)
+    with the baseline. This is the production hybrid-retrieval shape:
+    two sub-quadratic retrievers fused by rank, robust to either arm
+    missing a candidate (FULL OUTER). Oracle wraps the scaled IVF SQL
+    as a CTE and replays the PQ + fusion CTEs verbatim."""
+    from dist_keras_spark.operators.similarity import knn_ivf
+
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
+    cells = max(16, emb.count() // 1000)
+    q20 = emb.filter(F.col("vec_id") % 20 == 0)
+    ivfr = knn_ivf(
+        emb, q20, "vec_id", "embedding", k=20, n_cells=cells, n_probe=8, seed=42
+    ).select("query_id", "neighbor_id", F.col("rank").alias("r_ex"))
+    q = emb.select("vec_id", _quant().alias("v"))
+    return _rrf_fuse(ivfr, _pq_rank20(q))
 
 
 @query(

@@ -1328,7 +1328,13 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the CC iteration dominates (one shuffle-join per
     graph-diameter round, ids only); the split is a scan-side md5 on
     its output. Every doc of a cluster lands in the same split by
-    construction (pytest asserts it)."""
+    construction (pytest asserts it).
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.67 — INHERITED
+    from the exact 3-gram candidate join (saturated-shingle-space
+    mechanism, see neardup_cluster_assign); the split arithmetic is a
+    scan-side md5. Kept as the exact ORACLE baseline; the registered
+    scale-safe path is leakage_safe_split_lsh."""
     from dist_keras_spark.operators.dedup import jaccard_pairs, neardup_clusters
 
     d = _lt(spark, sf_dir, "documents")
@@ -1339,6 +1345,57 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = neardup_clusters(verts, pairs, id_col="id").select(
         F.col("id").alias("doc_id"), "cluster_id"
     )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("cluster_id").cast("string"), F.lit(":gsplit"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 8, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _leakage_safe_split_lsh_oracle_sql() -> str:
+    return f"""
+WITH cc AS ({ORACLE["neardup_cluster_lsh"]})
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':gsplit'),
+                             1, 8))::BIGINT % 10 AS b
+      FROM cc)
+"""
+
+
+@query("leakage_safe_split_lsh", oracle=_leakage_safe_split_lsh_oracle_sql())
+def leakage_safe_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of leakage_safe_split_assign: identical
+    md5-prefix 8/1/1 cluster-level split, but the clusters come from
+    neardup_cluster_lsh's MinHash-band components (τ = 0.8, signature
+    buckets — no saturating shingle-keyed join) instead of the exact
+    3-gram postings clustering the baseline measured sf1→sf2 exp 2.67
+    through (inherited saturation mechanism — see
+    neardup_cluster_assign's regime note). Oracle wraps the REGISTERED
+    neardup_cluster_lsh recursive CTE verbatim, pinning cluster
+    structure and split arithmetic with one hash."""
+    from dist_keras_spark.plans.llm import neardup_cluster_lsh
+
+    cc = neardup_cluster_lsh(spark, sf_dir)
     b = (
         F.conv(
             F.substring(

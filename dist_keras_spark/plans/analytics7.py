@@ -905,10 +905,64 @@ def cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one join of documents with the cluster map (both
     keyed on doc_id — co-partitioned), one cluster-keyed window;
     singleton clusters (the overwhelming mass) pass through rank 1
-    untouched. The cap is a WHERE on a rank, so changing K is free."""
+    untouched. The cap is a WHERE on a rank, so changing K is free.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.62 — INHERITED
+    from neardup_cluster_assign's exact 3-gram candidate join (the
+    saturated-shingle-space mechanism); the cap machinery itself is
+    one join + one window. Kept as the exact ORACLE baseline; the
+    registered scale-safe path is cluster_cap_sample_lsh."""
     from dist_keras_spark.plans.llm import neardup_cluster_assign
 
     cc = neardup_cluster_assign(spark, sf_dir)
+    d = _lt(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = d.join(cc, "doc_id").withColumn(
+        "rank_in_cluster",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank_in_cluster") <= 2)
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("rank_in_cluster").cast("long").alias("rank_in_cluster"),
+        )
+    )
+
+
+def _cluster_cap_lsh_oracle_sql() -> str:
+    return f"""
+WITH cc AS ({ORACLE["neardup_cluster_lsh"]}),
+ranked AS (
+    SELECT d.doc_id, cc.cluster_id, d.n_chars,
+           row_number() OVER (PARTITION BY cc.cluster_id
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rank_in_cluster
+    FROM documents d JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(rank_in_cluster AS BIGINT) AS rank_in_cluster
+FROM ranked WHERE rank_in_cluster <= 2
+"""
+
+
+@query("cluster_cap_sample_lsh", oracle=_cluster_cap_lsh_oracle_sql())
+def cluster_cap_sample_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of cluster_cap_sample: the identical
+    keep-≤2-per-cluster epilogue (n_chars DESC quality proxy, doc_id
+    tie-break) over neardup_cluster_lsh's MinHash-band clusters
+    (τ = 0.8) instead of the exact 3-gram postings clustering whose
+    candidate join saturates the fixture shingle space (baseline
+    sf1→sf2 exp 2.62, inherited — see cluster_cap_sample). Oracle
+    wraps the REGISTERED neardup_cluster_lsh recursive-CTE fixpoint,
+    so the cap is pinned to exactly the clustering the driver already
+    hash-checks."""
+    from dist_keras_spark.plans.llm import neardup_cluster_lsh
+
+    cc = neardup_cluster_lsh(spark, sf_dir)
     d = _lt(spark, sf_dir, "documents").select("doc_id", "n_chars")
     ranked = d.join(cc, "doc_id").withColumn(
         "rank_in_cluster",

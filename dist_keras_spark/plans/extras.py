@@ -209,12 +209,144 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     CartesianProduct/NestedLoop appears. The pair (id_lo, id_hi) drops
     the HIGHER id. SHARP oracle: the generated SQL replays the exact
     band scheme (see _embedding_dedup_oracle_sql); recall of the band
-    scheme vs brute force stays pinned by the planted-dup pytest."""
+    scheme vs brute force stays pinned by the planted-dup pytest.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.21 — the pinned
+    k=8 bit count fixes bucket space at 2⁸/table, so past N ≫ 16k
+    vectors in-bucket pairs grow ∝ N² (semdedup_cell_prune's
+    pinned-parameter mechanism). Kept as the fixed-parameter ORACLE
+    baseline; the registered scale-safe path is
+    dedup_embedding_scaled_planes (k grows with N)."""
     from dist_keras_spark.operators.similarity import embedding_neardup_pairs
 
     e = _lt(spark, sf_dir, "embeddings")
     dup_of_earlier = (
         embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.9, dim=64)
+        .select(F.col("id_hi").alias("vec_id"))
+        .distinct()
+    )
+    return e.join(dup_of_earlier, "vec_id", "left_anti").select("vec_id")
+
+
+_SCALED_MAXP = 20  # fixed plane layout: 16 tables × 20 bits embedded once
+_SCALED_OCC = 64  # target vectors per bucket: k = min{k : OCC·2^k ≥ n}
+
+
+def _scaled_plane_count(n: int) -> int:
+    """Smallest k in [8, _SCALED_MAXP] with _SCALED_OCC·2^k ≥ n —
+    bucket space grows ∝ N so expected in-bucket pair work per vector
+    stays CONSTANT. Integer-only (no log boundary risk); clamps at
+    _SCALED_MAXP (= 6.7e7 vectors at OCC 64 — past that, regenerate
+    the fixed layout with a larger MAXP; the mechanism is unchanged)."""
+    for k in range(8, _SCALED_MAXP + 1):
+        if _SCALED_OCC * (1 << k) >= n:
+            return k
+    return _SCALED_MAXP
+
+
+def _embedding_dedup_scaled_oracle_sql(
+    dim: int = 64,
+    tables: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> str:
+    """Scaled-planes replay oracle: embeds the FULL fixed
+    (tables × _SCALED_MAXP) plane layout as literals, derives k from
+    count(*) with the same integer schedule as _scaled_plane_count,
+    and masks each table's code to its first k bits via `p.j < kk.k`
+    — bucket codes, candidates, exact-cosine verify and the
+    drop-higher-id rule replay dedup_embedding_cosine's oracle 1:1."""
+    from dist_keras_spark.operators.similarity import _hyperplanes
+
+    full = _hyperplanes(dim, tables * _SCALED_MAXP, seed)
+    rows = []
+    for t in range(tables):
+        for j in range(_SCALED_MAXP):
+            w = full[t * _SCALED_MAXP + j]
+            lit = "[" + ", ".join(repr(float(x)) for x in w) + "]::DOUBLE[]"
+            rows.append(f"({t}, {j}, {1 << j}, {lit})")
+    values = ",\n  ".join(rows)
+    ks = ", ".join(f"({k})" for k in range(8, _SCALED_MAXP + 1))
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+kk AS (
+    SELECT coalesce(min(k), {_SCALED_MAXP}) AS k
+    FROM (VALUES {ks}) ks(k), cnt
+    WHERE CAST({_SCALED_OCC} AS BIGINT) * (CAST(1 AS BIGINT) << k) >= n),
+planes(tbl, j, pw, w) AS (VALUES
+  {values}),
+sig AS (
+    SELECT c.vec_id, p.tbl,
+           CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                              i -> c.v[i] * p.w[i])) > 0
+                         THEN p.pw ELSE 0 END) AS BIGINT) AS bucket
+    FROM corpus c CROSS JOIN planes p, kk
+    WHERE p.j < kk.k
+    GROUP BY c.vec_id, p.tbl),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_lo, b.vec_id AS id_hi
+    FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id),
+dropped AS (
+    SELECT DISTINCT cand.id_hi AS vec_id
+    FROM cand
+    JOIN corpus a ON a.vec_id = cand.id_lo
+    JOIN corpus b ON b.vec_id = cand.id_hi
+    WHERE list_sum(list_transform(range(1, {dim + 1}), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> a.v[i] * a.v[i])))
+           * sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> b.v[i] * b.v[i]))))
+          >= {threshold})
+SELECT e.vec_id FROM embeddings e
+ANTI JOIN dropped d ON e.vec_id = d.vec_id
+"""
+
+
+@query(
+    "dedup_embedding_scaled_planes",
+    oracle=_embedding_dedup_scaled_oracle_sql(),
+)
+def dedup_embedding_scaled_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of dedup_embedding_cosine: same SimHash-band
+    candidates + exact-cosine-verify dedup, but the per-table bit
+    count GROWS with the corpus — k = min{k ≥ 8 : 64·2^k ≥ N} — so
+    bucket space scales ∝ N and expected in-bucket pairs per vector
+    stay constant. The baseline pins k=8 (2⁸ = 256 buckets/table):
+    past N ≫ 16k vectors every bucket holds N/256 vectors and the
+    candidate join is structurally quadratic — measured exp 2.21 on
+    the sf1→sf2 step (bench_extended_trace "scaling_sf1_sf2"), the
+    same pinned-parameter mechanism as semdedup_cell_prune's k=16.
+
+    Planes come from a FIXED 16×20-bit layout (layout_planes) so
+    already-used planes never move as k grows; the oracle embeds the
+    full layout as literals and derives the same k from count(*) with
+    an integer-only schedule (no log rounding risk). Recall trade:
+    each added bit multiplies a boundary pair's per-table hit rate by
+    p ≈ 1−θ/π; at the fixture's planted-dup similarity (cos ≥ 0.98,
+    p ≈ 0.936) the 16-table miss probability stays ≤ 1e-4 through
+    k=12 — pytest pins survivors EQUAL to the baseline at fixture
+    sizes (k clamps to 8... the k-schedule unit test covers growth).
+
+    100 TB shape: one Arrow kernel pass (16·k dots/vector), ids-only
+    band shuffle, vectors rejoined by id for the verify — identical
+    plan to the baseline, with the quadratic valve replaced by the
+    k-schedule. Ceiling documented in _scaled_plane_count."""
+    from dist_keras_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _lt(spark, sf_dir, "embeddings")
+    n = e.count()
+    k = _scaled_plane_count(n)
+    dup_of_earlier = (
+        embedding_neardup_pairs(
+            e,
+            "vec_id",
+            "embedding",
+            threshold=0.9,
+            n_planes=k,
+            tables=16,
+            dim=64,
+            layout_planes=_SCALED_MAXP,
+        )
         .select(F.col("id_hi").alias("vec_id"))
         .distinct()
     )

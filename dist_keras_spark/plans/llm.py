@@ -163,13 +163,81 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = graph diameter); the oracle computes the identical unique
     fixpoint with a recursive CTE. Integer labels only, so the
     hash-check is exact despite the completely different execution
-    strategies — an ITERATIVE algorithm with a sharp oracle."""
+    strategies — an ITERATIVE algorithm with a sharp oracle.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.36 — the exact
+    3-gram candidate join saturates the synthetic 31-word vocab's
+    31³ ≈ 30k shingle space, after which postings pairs grow ∝ N²
+    (the incremental_dedup_new_batch mechanism, 31× earlier than the
+    4-gram ops). Kept as the exact ORACLE baseline; the registered
+    scale-safe path is neardup_cluster_lsh (MinHash-band candidates,
+    signature space never saturates)."""
     from dist_keras_spark.operators.dedup import jaccard_pairs, neardup_clusters
 
     d = _lt(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
         "id_a", "id_b"
     )
+    verts = d.select(F.col("doc_id").alias("id"))
+    return neardup_clusters(verts, pairs, id_col="id").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
+    "neardup_cluster_lsh",
+    oracle="""
+WITH RECURSIVE pairs AS (
+    WITH """
+    + _SHINGLES_CTE.strip()
+    + """,
+    postings AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM shingle_sets),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c,
+               any_value(a.ns) AS na, any_value(b.ns) AS nb
+        FROM postings a JOIN postings b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b FROM shared WHERE c * 1.0 / (na + nb - c) >= 0.8
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+""",
+)
+def neardup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of neardup_cluster_assign: identical
+    min-label connected-components fixpoint, but candidate pairs come
+    from MinHash-LSH banding (the minhash_lsh_neardup kernel, 16×4
+    bands, verify at exact Jaccard ≥ 0.8) instead of the exact 3-gram
+    postings self-join. The baseline's sf1→sf2 exponent is 2.36
+    because the 31-word fixture vocab saturates the 3-gram space
+    (31³ ≈ 30k shingles) and ANY shingle-keyed candidate join turns
+    structurally quadratic past saturation (the incremental_dedup
+    mechanism, bench_extended_trace "scaling_sf1_sf2"); MinHash band
+    buckets key on signature SLICES, whose space never saturates —
+    the LSH pair step measured exp 0.56 on the same sf1→sf2 step.
+
+    Oracle: the same recursive-CTE fixpoint over EXACT Jaccard ≥ 0.8
+    pairs — sharp because the fixture's true near-dups sit at j ≥ 0.9
+    where the 16×4 band miss probability is (1−0.9⁴)¹⁶ ≈ 4e-8 (the
+    minhash_lsh_neardup precedent, hash-green since r8); pytest
+    additionally pins the clusters to a pure-Python union-find."""
+    from dist_keras_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+
+    d = _lt(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
+    ).select("id_a", "id_b")
     verts = d.select(F.col("doc_id").alias("id"))
     return neardup_clusters(verts, pairs, id_col="id").select(
         F.col("id").alias("doc_id"), "cluster_id"
@@ -642,6 +710,7 @@ def _knn_ivf_oracle_sql(
     dim: int = 64,
     k: int = 5,
     query_mod: int = 20,
+    scaled_cells: bool = False,
 ) -> str:
     """DuckDB SQL that replays knn_ivf end-to-end — the same technique
     as _knn_lsh_oracle_sql, but the quantizer is DATA-derived, so the
@@ -665,6 +734,16 @@ def _knn_ivf_oracle_sql(
     centsim = """(list_sum(list_transform(range(1, 65), i -> c.v[i] * ct.v[i]))
              / (greatest(sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))), 1e-12)
               * greatest(sqrt(list_sum(list_transform(range(1, 65), i -> ct.v[i] * ct.v[i]))), 1e-12)))"""
+    # Scaled quantizer (knn_ivf_scaled_top5): n_cells derived from the
+    # data with the same integer rule as the Spark side — max(16,
+    # N div 1000) — so cells grow ∝ N while n_probe stays fixed and
+    # per-query candidate work (n_probe · N/cells ≈ 8000 vectors)
+    # stays CONSTANT.
+    ncells_sql = (
+        "(SELECT greatest(16, count(*) // 1000) FROM corpus)"
+        if scaled_cells
+        else str(n_cells)
+    )
     return f"""
 WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cent AS (
@@ -673,7 +752,7 @@ cent AS (
            v
     FROM corpus
     QUALIFY row_number() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id) <= {n_cells}),
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id) <= {ncells_sql}),
 assign AS (
     SELECT c.vec_id, ct.cell,
            row_number() OVER (PARTITION BY c.vec_id
@@ -711,6 +790,41 @@ def knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _lt(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
     out = knn_ivf(e, q, "vec_id", "embedding", k=5, n_cells=16, n_probe=8, seed=42)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
+    )
+
+
+@query(
+    "knn_ivf_scaled_top5",
+    oracle=_knn_ivf_oracle_sql(scaled_cells=True),
+)
+def knn_ivf_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of knn_ivf_top5 / knn_ivf_persisted_top5:
+    identical IVF pipeline, but the quantizer GROWS with the corpus —
+    n_cells = max(16, N div 1000) — while n_probe stays 8, so each
+    query scans n_probe · N/cells ≈ 8000 vectors REGARDLESS of N and
+    total work is Θ(queries · 8000) — linear when queries ∝ N. The
+    pinned-16-cell baselines are quadratic by construction once
+    queries scale with the corpus (each query re-ranks n_probe/16 of
+    ALL of N): measured exp 1.95 on the sf1→sf2 step for the
+    persisted form (bench_extended_trace "scaling_sf1_sf2") — the
+    semdedup_cell_prune pinned-parameter mechanism. Recall trade:
+    shrinking the probed FRACTION (8/cells) lowers boundary-neighbor
+    recall on near-orthogonal data; production tunes n_probe ∝
+    log(cells) — here the fixed probe keeps the oracle sharp (the
+    oracle replays the same pipeline with the same data-derived cell
+    count, so the hash check is exact at every N; at fixture sizes
+    the schedule clamps to 16 and output EQUALS knn_ivf_top5,
+    pytest-pinned)."""
+    from dist_keras_spark.operators.similarity import knn_ivf
+
+    e = _lt(spark, sf_dir, "embeddings")
+    cells = max(16, e.count() // 1000)
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn_ivf(
+        e, q, "vec_id", "embedding", k=5, n_cells=cells, n_probe=8, seed=42
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
     )
@@ -1358,7 +1472,15 @@ def knn_ivf_persisted_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning on the cell directories) instead of inside the query. At
     100 TB this is how ANN actually runs — the Arrow assignment pass
     over every vector is paid once at build, and each search reads
-    only its probed cells."""
+    only its probed cells.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 1.95 — with
+    n_cells pinned at 16 and the query set scaling with the corpus
+    (vec_id % 20), each query re-ranks n_probe/16 of ALL N vectors,
+    so total work is Θ(N²/40) by construction. Kept as the
+    fixed-parameter ORACLE baseline; the registered scale-safe path
+    is knn_ivf_scaled_top5 (cells ∝ N, constant ~8000-vector probe
+    fan-out per query)."""
     from dist_keras_spark.operators.similarity import (
         build_ivf_index,
         search_ivf_index,

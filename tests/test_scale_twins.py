@@ -1,0 +1,202 @@
+"""Round-11 scale-safe twins for the three ops the sf1→sf2 sweep
+measured quadratic (neardup_cluster_assign 2.36, dedup_embedding_cosine
+2.21, knn_ivf_persisted_top5 1.95): each twin must (a) equal its exact
+/ pinned-parameter baseline at fixture sizes where the schedule clamps,
+and (b) have its growth schedule and fixed-layout plane machinery
+pinned by direct unit checks — the exponents themselves are measured in
+bench_extended_trace "scaling_sf1_sf2"."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dist_keras_spark.plans.extras import (
+    _SCALED_MAXP,
+    _scaled_plane_count,
+    dedup_embedding_cosine,
+    dedup_embedding_scaled_planes,
+)
+from dist_keras_spark.plans.llm import (
+    knn_ivf_scaled_top5,
+    knn_ivf_top5,
+    neardup_cluster_lsh,
+)
+
+
+def _rows(fn, spark, sf_dir):
+    return [r.asDict() for r in fn(spark, sf_dir).collect()]
+
+
+# ------------------------------------------------------------------ #
+# neardup_cluster_lsh: pure-Python union-find over exact Jaccard ≥ 0.8
+# ------------------------------------------------------------------ #
+
+
+def _py_clusters(docs: pd.DataFrame, tau: float = 0.8) -> dict:
+    shingles = {}
+    for r in docs.itertuples():
+        t = r.text.split(" ")
+        shingles[r.doc_id] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+    post = defaultdict(list)
+    for d, s in shingles.items():
+        for sh in s:
+            post[sh].append(d)
+    cand = set()
+    for ds in post.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cand.add((a, b))
+    parent = {d: d for d in shingles}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cand:
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        if inter / (len(sa) + len(sb) - inter) >= tau:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in shingles}
+
+
+def test_neardup_cluster_lsh_matches_union_find(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    want = _py_clusters(docs)
+    got = {r["doc_id"]: r["cluster_id"] for r in _rows(neardup_cluster_lsh, spark, sf)}
+    assert got == want
+    # the fixture HAS non-trivial clusters at tau=0.8
+    assert any(v != k for k, v in got.items())
+
+
+# ------------------------------------------------------------------ #
+# dedup_embedding_scaled_planes
+# ------------------------------------------------------------------ #
+
+
+def test_scaled_plane_schedule():
+    # clamp region: everything the fixtures can produce stays at k=8
+    assert _scaled_plane_count(1) == 8
+    assert _scaled_plane_count(16384) == 8
+    # growth: one bit per doubling past 64·2^8
+    assert _scaled_plane_count(16385) == 9
+    assert _scaled_plane_count(20000) == 9
+    assert _scaled_plane_count(40000) == 10
+    assert _scaled_plane_count(64 * (1 << 20)) == _SCALED_MAXP
+    # documented ceiling clamps instead of raising
+    assert _scaled_plane_count(10**12) == _SCALED_MAXP
+
+
+def test_layout_planes_prefix_stability():
+    """Growing k under the fixed layout must keep every already-used
+    plane: table t's first 9 planes at k=9 == its 8 planes at k=8 + 1."""
+    import numpy as np
+
+    from dist_keras_spark.operators.similarity import _hyperplanes
+
+    full = _hyperplanes(64, 16 * _SCALED_MAXP, 42)
+
+    def used(k):
+        return [
+            full[t * _SCALED_MAXP : t * _SCALED_MAXP + k] for t in range(16)
+        ]
+
+    u8, u9 = used(8), used(9)
+    for t in range(16):
+        assert np.array_equal(u9[t][:8], u8[t])
+        assert u9[t].shape == (9, 64)
+
+
+def test_scaled_planes_equals_baseline_at_fixture(spark):
+    """At sf0.01 (500 vectors) the schedule clamps to k=8; the twin
+    runs different PLANES (fixed 16×20 layout vs the baseline's 16×8
+    matrix) but must keep the same survivors — planted dups sit at
+    cos ≥ 0.98 where either band scheme's miss probability is ≤ 1e-6,
+    and precision is exact (cosine verify) for both."""
+    sf = "/root/testdata/sf0.01"
+    base = {r["vec_id"] for r in _rows(dedup_embedding_cosine, spark, sf)}
+    twin = {r["vec_id"] for r in _rows(dedup_embedding_scaled_planes, spark, sf)}
+    assert twin == base
+
+
+def test_layout_planes_validation(spark):
+    import pytest
+
+    from dist_keras_spark.operators.similarity import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="layout_planes"):
+        embedding_neardup_pairs(
+            df, dim=4, n_planes=8, layout_planes=4
+        )
+
+
+# ------------------------------------------------------------------ #
+# knn_ivf_scaled_top5
+# ------------------------------------------------------------------ #
+
+
+def test_cluster_cap_lsh_rederives(spark):
+    """The keep-≤2 epilogue over the LSH clusters must equal the pure
+    Python rederivation: same union-find clusters (τ=0.8), ranked by
+    n_chars DESC then doc_id, capped at 2."""
+    from dist_keras_spark.plans.analytics7 import cluster_cap_sample_lsh
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    clusters = _py_clusters(docs)
+    by_cluster = defaultdict(list)
+    nchars = dict(zip(docs.doc_id, docs.n_chars))
+    for d, c in clusters.items():
+        by_cluster[c].append(d)
+    want = {}
+    for c, ds in by_cluster.items():
+        ds.sort(key=lambda d: (-nchars[d], d))
+        for rank, d in enumerate(ds[:2], start=1):
+            want[d] = (c, rank)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["rank_in_cluster"])
+        for r in _rows(cluster_cap_sample_lsh, spark, sf)
+    }
+    assert got == want
+    # the cap BIT on the fixture (some cluster had > 2 members)
+    assert len(got) < len(clusters)
+
+
+def test_leakage_split_lsh_cluster_atomicity(spark):
+    """Every doc of an LSH cluster lands in the same split, and all
+    three splits are populated."""
+    from dist_keras_spark.plans.analytics6 import leakage_safe_split_lsh
+
+    sf = "/root/testdata/sf0.01"
+    rows = _rows(leakage_safe_split_lsh, spark, sf)
+    split_of_cluster = {}
+    for r in rows:
+        prev = split_of_cluster.setdefault(r["cluster_id"], r["split"])
+        assert prev == r["split"]
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_knn_ivf_scaled_equals_pinned_at_fixture(spark):
+    """At fixture sizes max(16, N div 1000) clamps to 16, so the twin
+    must reproduce knn_ivf_top5 row-for-row (same quantizer sample,
+    same probes, same re-rank)."""
+    sf = "/root/testdata/sf0.01"
+    key = lambda r: (r["query_id"], r["knn_rank"])
+    base = {key(r): r["neighbor_id"] for r in _rows(knn_ivf_top5, spark, sf)}
+    twin = {key(r): r["neighbor_id"] for r in _rows(knn_ivf_scaled_top5, spark, sf)}
+    assert twin == base
+    assert len(twin) > 0

@@ -212,6 +212,11 @@ AUDITED = {
     "packing_fragmentation_rate": "ONE lang-keyed exchange: running-sum window, then the groupBy REUSES the window's hash partitioning (agg adds no exchange)",
     "incremental_dedup_dfcap": "same asymmetric batch-probes-corpus shape as the baseline, probe join input bounded at df<=64 corpus postings per shingle (one count on the maintained index); pairs/shingle constant past vocab saturation",
     "unigram_surprisal_quality": "vocab dim built by one word-keyed map-side-combined agg, 1-row total crossJoined broadcast, dim BROADCAST back onto the exploded scan (no second word shuffle); doc_id agg then dim-sized source agg — all data-sized sums exact int64 micro-nats",
+    "neardup_cluster_lsh": "scale-safe cluster twin: MinHash band buckets (signature space never saturates, sf1->sf2 exp 0.56 for the pair step) feed the same min-label propagation; edges localCheckpoint'd once, one id-keyed shuffle-join per round",
+    "dedup_embedding_scaled_planes": "scale-safe dedup twin: k = min{k>=8 : 64*2^k >= N} band bits from a FIXED 16x20 plane layout — bucket space grows with N so in-bucket pairs/vector stay constant; ids-only band shuffle, vectors rejoined by id for the exact-cosine verify",
+    "knn_ivf_scaled_top5": "scale-safe ANN twin: quantizer cells = max(16, N div 1000) with n_probe fixed at 8 — per-query candidate work constant (~8000 vectors); same md5-sampled centroid broadcast + cell-keyed candidate join as the pinned baseline",
+    "cluster_cap_sample_lsh": "scale-safe cap twin: identical doc_id join + cluster-keyed window epilogue over neardup_cluster_lsh's band-bucket clusters — the quadratic exact-postings candidate stage swapped out, nothing else changes",
+    "leakage_safe_split_lsh": "scale-safe split twin: scan-side md5 bucket of the LSH cluster id — the CC stage is neardup_cluster_lsh's (band buckets), split arithmetic identical to the baseline",
     "heldout_bigram_surprisal": "bigram explode is scan-side codegen (sequence+element_at); train model groupBy keys on (w1,w2); eval probe SHUFFLE-joins on the same composite key (model is vocab²-bounded, never driver-sized); ctx/uni/tot dims broadcast; backoff CASE is a row expression",
 }
 
