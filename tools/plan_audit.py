@@ -217,6 +217,7 @@ AUDITED = {
     "knn_ivf_scaled_top5": "scale-safe ANN twin: quantizer cells = max(16, N div 1000) with n_probe fixed at 8 — per-query candidate work constant (~8000 vectors); same md5-sampled centroid broadcast + cell-keyed candidate join as the pinned baseline",
     "cluster_cap_sample_lsh": "scale-safe cap twin: identical doc_id join + cluster-keyed window epilogue over neardup_cluster_lsh's band-bucket clusters — the quadratic exact-postings candidate stage swapped out, nothing else changes",
     "leakage_safe_split_lsh": "scale-safe split twin: scan-side md5 bucket of the LSH cluster id — the CC stage is neardup_cluster_lsh's (band buckets), split arithmetic identical to the baseline",
+    "rrf_fusion_scaled_top5": "scale-safe fusion twin: scaled-IVF ranking at depth 20 replaces the Theta(N^2/20) exact-L2 crossJoin arm; PQ arm + integer RRF epilogue are the baseline's shared helpers; FULL OUTER fuse stays candidate-sized",
     "heldout_bigram_surprisal": "bigram explode is scan-side codegen (sequence+element_at); train model groupBy keys on (w1,w2); eval probe SHUFFLE-joins on the same composite key (model is vocab²-bounded, never driver-sized); ctx/uni/tot dims broadcast; backoff CASE is a row expression",
 }
 
