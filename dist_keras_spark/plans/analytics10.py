@@ -1007,7 +1007,14 @@ def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded_window_key convention (the lorenz_curve_deciles
     exact-baseline tradeoff — at true scale the same mapping reads
     approx_percentile cut points instead of exact ranks, the
-    documented sketch swap)."""
+    documented sketch swap).
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.27 — the
+    single-partition exact rank sorts every customer row on one
+    core. Kept as the exact-baseline shape; the registered
+    scale-safe path is quantile_normalize_distributed (identical
+    output via value-histogram prefix ranks — the single-partition
+    step shrinks to the bounded VALUE DOMAIN, constant in N)."""
     from dist_keras_spark.operators.utils import bounded_window_key
 
     c = _lt(spark, sf_dir, "customer")
@@ -1019,6 +1026,110 @@ def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy(bkc).orderBy("c_acctbal", "c_custkey"))
         .alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy(bkc)).alias("nc"),
+    )
+    bks = bounded_window_key(F.col("s_suppkey"))
+    ref = s.select(
+        F.floor(F.col("s_acctbal") * 100).cast("long").alias("norm_cents"),
+        F.row_number()
+        .over(W.partitionBy(bks).orderBy("s_acctbal", "s_suppkey"))
+        .alias("rrn"),
+        F.count(F.lit(1)).over(W.partitionBy(bks)).alias("ns"),
+    )
+    mapped = cust.join(
+        F.broadcast(ref),
+        F.col("rrn")
+        == 1
+        + F.expr("((rn - 1) * (ns - 1)) div greatest(nc - 1, 1)"),
+    )
+    return mapped.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("norm_cents").cast("long").alias("sum_norm_cents"),
+        F.min("norm_cents").cast("long").alias("min_norm_cents"),
+        F.max("norm_cents").cast("long").alias("max_norm_cents"),
+    )
+
+
+@query(
+    "quantile_normalize_distributed",
+    oracle="""
+WITH cust AS (
+    SELECT c_mktsegment,
+           row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+           count(*) OVER () AS nc
+    FROM customer
+), ref AS (
+    SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS norm_cents,
+           row_number() OVER (ORDER BY s_acctbal, s_suppkey) AS rrn,
+           count(*) OVER () AS ns
+    FROM supplier
+), mapped AS (
+    SELECT c.c_mktsegment, r.norm_cents
+    FROM cust c
+    JOIN ref r
+      ON r.rrn = 1 + ((c.rn - 1) * (r.ns - 1)) // greatest(c.nc - 1, 1)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(norm_cents) AS BIGINT) AS sum_norm_cents,
+       CAST(min(norm_cents) AS BIGINT) AS min_norm_cents,
+       CAST(max(norm_cents) AS BIGINT) AS max_norm_cents
+FROM mapped GROUP BY c_mktsegment
+""",
+)
+def quantile_normalize_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE-SAFE twin of quantile_normalize_acctbal — IDENTICAL
+    output (same oracle SQL: the oracle is the spec, not the plan),
+    different rank computation: the baseline's population-sized
+    single-partition row_number (sf1→sf2 exp 2.27 — one core sorts
+    every row) is replaced by the DISTRIBUTED exact rank
+      rn(row) = (# rows with smaller value) + rank within its value,
+    computed as a value-keyed histogram (groupBy c_acctbal — a
+    data-scaling shuffle with map-side combine), a prefix sum over
+    the DISTINCT-VALUE table (single-partition by construction, but
+    value-DOMAIN-sized: acctbal has ≤ ~1.1M possible cent values, so
+    this window is CONSTANT in N — the reviewed bounded_window_key
+    convention), and a per-value row_number (window keyed on the
+    value — data-scaling). Total: Θ(N) distributed + Θ(domain) on
+    one core, vs the baseline's Θ(N log N) on one core.
+
+    This is the general recipe for exact ranks over bounded-domain
+    columns at 100 TB (counting sort's shuffle form); for unbounded
+    domains the documented sketch swap (approx_percentile cut points)
+    remains the fallback."""
+    from dist_keras_spark.operators.utils import bounded_window_key
+
+    c = _lt(spark, sf_dir, "customer")
+    s = _lt(spark, sf_dir, "supplier")
+    vals = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("cnt"))
+    bkv = bounded_window_key(F.col("c_acctbal"))
+    pref = vals.select(
+        "c_acctbal",
+        (
+            F.sum("cnt")
+            .over(
+                W.partitionBy(bkv)
+                .orderBy("c_acctbal")
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("cnt")
+        ).alias("before"),
+    )
+    tot = vals.agg(F.sum("cnt").cast("long").alias("nc"))
+    cust = (
+        c.select("c_mktsegment", "c_acctbal", "c_custkey")
+        .join(pref, "c_acctbal")
+        .select(
+            "c_mktsegment",
+            (
+                F.col("before")
+                + F.row_number().over(
+                    W.partitionBy("c_acctbal").orderBy("c_custkey")
+                )
+            ).alias("rn"),
+        )
+        .crossJoin(F.broadcast(tot))
     )
     bks = bounded_window_key(F.col("s_suppkey"))
     ref = s.select(
@@ -1114,7 +1225,13 @@ def fellegi_sunter_linkage_score(
     cost Σ_blocks n_b² — the block key is the dial, exactly the
     record-linkage textbook shape), fields project scan-side, and the
     result collapses to a ≤|score-support| histogram (≤ 2⁴ distinct
-    sums). Skewed blocks ride AQE skew-join splitting."""
+    sums). Skewed blocks ride AQE skew-join splitting.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.06 — the 25×50
+    brand/size block space is FIXED, so n_b ∝ N/1250 and Σ n_b² ∝ N²
+    once blocks fill (the pinned-parameter mechanism). Kept as the
+    blocked ORACLE baseline; the registered scale-safe path is
+    fellegi_sunter_sorted_neighborhood (exactly N·w scored pairs)."""
     w = _FS_W
     p = _lt(spark, sf_dir, "part").select(
         "p_partkey",
@@ -1144,6 +1261,118 @@ def fellegi_sunter_linkage_score(
         (F.col("a.p_brand") == F.col("b.p_brand"))
         & (F.col("a.p_size") == F.col("b.p_size"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(score.cast("long").alias("score_milli"))
+    return pairs.groupBy("score_milli").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+_SNM_W = 8  # sorted-neighborhood window width (pairs per record)
+
+
+def _fs_snm_oracle_sql() -> str:
+    w = _FS_W
+    return f"""
+WITH p AS (
+    SELECT p_partkey, p_brand, p_size, p_type,
+           string_split(p_name, ' ')[1] AS adj,
+           string_split(p_name, ' ')[2] AS noun,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bin
+    FROM part
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY noun
+                 ORDER BY adj, price_bin, p_partkey) AS rn
+    FROM p
+), probe AS (
+    SELECT r.*, rn + t.j AS rn_b FROM r, unnest(range(1, {_SNM_W + 1})) t(j)
+), pairs AS (
+    SELECT CASE WHEN a.p_type = b.p_type THEN {w["type"][0]}
+                ELSE {w["type"][1]} END
+         + CASE WHEN a.adj = b.adj THEN {w["adj"][0]}
+                ELSE {w["adj"][1]} END
+         + CASE WHEN a.noun = b.noun THEN {w["noun"][0]}
+                ELSE {w["noun"][1]} END
+         + CASE WHEN a.price_bin = b.price_bin THEN {w["price"][0]}
+                ELSE {w["price"][1]} END AS score
+    FROM probe a JOIN r b ON a.noun = b.noun AND a.rn_b = b.rn
+)
+SELECT CAST(score AS BIGINT) AS score_milli,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY score
+"""
+
+
+@query("fellegi_sunter_sorted_neighborhood", oracle=_fs_snm_oracle_sql())
+def fellegi_sunter_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE-SAFE twin of fellegi_sunter_linkage_score: the same
+    integer Fellegi-Sunter weights over candidates from the SORTED
+    NEIGHBORHOOD METHOD (Hernández & Stolfo 1995, public) instead of
+    a fixed blocking key. Any fixed key makes Σ n_b² ∝ N² once blocks
+    fill (the baseline measured sf1→sf2 exp 2.06 — pinned 25×50
+    brand/size block space); SNM instead sorts within each name-noun
+    partition by (adj, price_bin, p_partkey) and pairs each record
+    with only its next {_SNM_W} neighbors — exactly N·{_SNM_W} scored
+    pairs at ANY corpus size, Θ(N log N) total for the sort. The
+    trade is recall at the window edge (records > {_SNM_W} apart in
+    sort order never pair) — production runs multiple passes with
+    different sort keys; one pass demonstrates the mechanism.
+
+    100 TB shape: one window per noun partition (vocab-bounded key —
+    the pack_docs deliberate-small-key-window precedent; range
+    partition within noun at cluster scale), one equi-join on
+    (noun, rn) against the {_SNM_W}-exploded probes — candidate count
+    is exactly N·{_SNM_W} rows, never data²; histogram collapses to
+    ≤ 2⁴ score values."""
+    w = _FS_W
+    p = _lt(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "p_type",
+        F.split("p_name", " ").getItem(0).alias("adj"),
+        F.split("p_name", " ").getItem(1).alias("noun"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("price_bin"),
+    )
+    r = p.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("noun").orderBy("adj", "price_bin", "p_partkey")
+        ),
+    )
+    probe = r.select(
+        "p_type",
+        "adj",
+        "noun",
+        "price_bin",
+        "rn",
+        F.explode(F.sequence(F.lit(1), F.lit(_SNM_W))).alias("j"),
+    ).select(
+        "p_type",
+        "adj",
+        "noun",
+        "price_bin",
+        (F.col("rn") + F.col("j")).alias("rn_b"),
+    )
+    a, b = probe.alias("a"), r.alias("b")
+    score = (
+        F.when(F.col("a.p_type") == F.col("b.p_type"), w["type"][0])
+        .otherwise(w["type"][1])
+        + F.when(F.col("a.adj") == F.col("b.adj"), w["adj"][0]).otherwise(
+            w["adj"][1]
+        )
+        + F.when(F.col("a.noun") == F.col("b.noun"), w["noun"][0]).otherwise(
+            w["noun"][1]
+        )
+        + F.when(
+            F.col("a.price_bin") == F.col("b.price_bin"), w["price"][0]
+        ).otherwise(w["price"][1])
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.rn_b") == F.col("b.rn")),
     ).select(score.cast("long").alias("score_milli"))
     return pairs.groupBy("score_milli").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")

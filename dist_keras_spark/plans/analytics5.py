@@ -1137,7 +1137,16 @@ def ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing then reads 2/8 of the data by partition pruning); query
     tables broadcast; the candidate join is cell-bucketed. Scoring
     work drops by the probe ratio vs pq_adc_top5 — recall loss is
-    measurable by swapping this CTE into pq_recall_vs_exact."""
+    measurable by swapping this CTE into pq_recall_vs_exact.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 1.6 — the
+    quantizer is PINNED at 16 cells with corpus-scaling queries, so
+    probed candidates per query are nprobe·N/16 (the knn_ivf pinned-
+    parameter regime, softened by the probe ratio). Kept as the
+    fixed-parameter ORACLE baseline; the production dial is cells ∝
+    N with fixed probes, demonstrated as a registered query by
+    knn_ivf_scaled_top5 (constant per-query fan-out — the same
+    schedule applies verbatim to this composition's IVF stage)."""
     # spread() first (r10 scaling sweep): the corpus-wide quantize +
     # subspace-distance folds are INTERPRETED HOFs, and the local
     # single-partition scan would serialize them onto one core; at

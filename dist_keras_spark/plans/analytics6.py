@@ -310,11 +310,26 @@ def ranking_mrr_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed lookups (broadcast at fixture scale, shuffle-hash at
     100 TB); the metric agg groups on query_id — the data-scaling
     key. The oracle WRAPS the registered int8 oracle as a CTE, so the
-    ranking under evaluation is the same bytes the driver checks."""
+    ranking under evaluation is the same bytes the driver checks.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.3 — INHERITED
+    from knn_int8_quantized_top5's brute-force ranking (corpus-scaling
+    queries × full corpus, the knn_bruteforce regime); the metric
+    epilogue is candidate-sized. Kept as the exact ORACLE baseline;
+    the registered scale-safe path is ranking_mrr_ndcg_scaled (same
+    metrics over knn_ivf_scaled_top5's ranking)."""
     from dist_keras_spark.plans.llm import knn_int8_quantized_top5
 
     base = knn_int8_quantized_top5(spark, sf_dir)
     lab = _lt(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return _ranking_metrics(base, lab)
+
+
+def _ranking_metrics(base: DataFrame, lab: DataFrame) -> DataFrame:
+    """Integer MRR/NDCG@5 epilogue shared by ranking_mrr_ndcg_at5 and
+    ranking_mrr_ndcg_scaled: label-match relevance joins + the inlined
+    integer discount weights over a (query_id, neighbor_id, knn_rank)
+    ranking frame."""
     q_lab = lab.select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
     )
@@ -361,6 +376,55 @@ def ranking_mrr_ndcg_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
             idcg.cast("long").alias("idcg_e9"),
         )
     )
+
+
+def _ranking_eval_scaled_oracle_sql() -> str:
+    """Same metric CTE chain as _ranking_eval_oracle_sql over the
+    REGISTERED knn_ivf_scaled_top5 oracle."""
+    idcg = "".join(
+        f" WHEN {r + 1} THEN {_NDCG_CUM[r]}" for r in range(5)
+    )
+    return f"""
+WITH base AS ({ORACLE["knn_ivf_scaled_top5"]}),
+lab AS (SELECT vec_id, label FROM embeddings),
+rel AS (
+    SELECT b.query_id, b.knn_rank,
+           CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+    FROM base b
+    JOIN lab ql ON ql.vec_id = b.query_id
+    JOIN lab nl ON nl.vec_id = b.neighbor_id
+)
+SELECT query_id,
+       CAST(sum(rel) AS BIGINT) AS n_rel,
+       CAST(coalesce(max(CASE WHEN rel = 1
+                               THEN 1000000000 // knn_rank END), 0)
+            AS BIGINT) AS rr_e9,
+       CAST(sum(rel * CASE knn_rank
+                WHEN 1 THEN {_NDCG_W[0]} WHEN 2 THEN {_NDCG_W[1]}
+                WHEN 3 THEN {_NDCG_W[2]} WHEN 4 THEN {_NDCG_W[3]}
+                WHEN 5 THEN {_NDCG_W[4]} END) AS BIGINT) AS dcg_e9,
+       CAST(CASE sum(rel) WHEN 0 THEN 0{idcg} END AS BIGINT) AS idcg_e9
+FROM rel
+GROUP BY query_id
+"""
+
+
+@query("ranking_mrr_ndcg_scaled", oracle=_ranking_eval_scaled_oracle_sql())
+def ranking_mrr_ndcg_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of ranking_mrr_ndcg_at5: the identical
+    integer MRR/NDCG@5 epilogue (_ranking_metrics, shared code)
+    evaluated over knn_ivf_scaled_top5's ranking — the N-proportional-
+    cells IVF whose per-query work is constant — instead of the
+    brute-force int8 ranking (inherited exp 2.3 at the sf1→sf2 step).
+    Evaluating the PRODUCTION retriever is also the operationally
+    right metric: offline eval should score the ranking you ship.
+    Oracle wraps the registered knn_ivf_scaled_top5 CTE, so the
+    ranking under evaluation stays pinned to driver-checked bytes."""
+    from dist_keras_spark.plans.llm import knn_ivf_scaled_top5
+
+    base = knn_ivf_scaled_top5(spark, sf_dir)
+    lab = _lt(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return _ranking_metrics(base, lab)
 
 
 @query(
@@ -1223,7 +1287,12 @@ def hard_negative_mining_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to the int8 kNN (broadcast queries,
     corpus never shuffles, integer scores) plus two id-keyed label
     lookups and a scan-side label filter — mining piggybacks on the
-    retrieval infrastructure, which is the point of the recipe."""
+    retrieval infrastructure, which is the point of the recipe.
+
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.52 — INHERITED
+    from the brute-force int8 ranking (knn_bruteforce regime). Kept
+    as the exact ORACLE baseline; the registered scale-safe path is
+    hard_negative_mining_scaled."""
     from dist_keras_spark.plans.llm import knn_int8_quantized_top5
 
     base = knn_int8_quantized_top5(spark, sf_dir)
@@ -1243,6 +1312,58 @@ def hard_negative_mining_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor_id").alias("negative_id"),
             F.col("knn_rank").cast("long").alias("knn_rank"),
             "dot8",
+            F.col("query_label").cast("long").alias("query_label"),
+            F.col("negative_label").cast("long").alias("negative_label"),
+        )
+    )
+
+
+def _hard_negative_scaled_oracle_sql() -> str:
+    return f"""
+WITH base AS ({ORACLE["knn_ivf_scaled_top5"]}),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT b.query_id, b.neighbor_id AS negative_id,
+       CAST(b.knn_rank AS BIGINT) AS knn_rank, b.cosine,
+       CAST(ql.label AS BIGINT) AS query_label,
+       CAST(nl.label AS BIGINT) AS negative_label
+FROM base b
+JOIN lab ql ON ql.vec_id = b.query_id
+JOIN lab nl ON nl.vec_id = b.neighbor_id
+WHERE ql.label <> nl.label
+"""
+
+
+@query("hard_negative_mining_scaled", oracle=_hard_negative_scaled_oracle_sql())
+def hard_negative_mining_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of hard_negative_mining_top5: the same
+    different-label mining epilogue over knn_ivf_scaled_top5's
+    N-proportional-cells ranking instead of the brute-force int8 pass
+    (which inherits the corpus-scaling-queries × full-corpus regime —
+    baseline sf1→sf2 exp 2.52). Mining from the production ANN index
+    is also what the dense-retrieval recipe actually does: the
+    negatives a contrastive loss sees are the ones the DEPLOYED
+    retriever surfaces. Oracle wraps the registered
+    knn_ivf_scaled_top5 CTE; score column is the IVF ranking's exact
+    cosine (the int8 baseline reports dot8)."""
+    from dist_keras_spark.plans.llm import knn_ivf_scaled_top5
+
+    base = knn_ivf_scaled_top5(spark, sf_dir)
+    lab = _lt(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q_lab = lab.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("query_label")
+    )
+    n_lab = lab.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("negative_label")
+    )
+    return (
+        base.join(F.broadcast(q_lab), base.query_id == q_lab.q_id)
+        .join(F.broadcast(n_lab), F.col("neighbor_id") == n_lab.n_id)
+        .filter(F.col("query_label") != F.col("negative_label"))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+            "cosine",
             F.col("query_label").cast("long").alias("query_label"),
             F.col("negative_label").cast("long").alias("negative_label"),
         )
@@ -2533,14 +2654,17 @@ WITH d AS (
     FROM lineitem
 ), fit AS (
     SELECT CAST(count(*) AS BIGINT) AS n_cal,
-           CAST((count(*) * sum(x * y) - sum(x) * sum(y)) * 1000000
-                // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+           CAST((CAST(count(*) AS HUGEINT) * sum(x * y)
+                 - CAST(sum(x) AS HUGEINT) * sum(y)) * 1000000
+                // (CAST(count(*) AS HUGEINT) * sum(x * x)
+                    - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT)
                AS slope_micro,
            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
     FROM d WHERE fold = 0
 ), fit2 AS (
     SELECT n_cal, slope_micro,
-           CAST((sy * 1000000 - slope_micro * sx) // n_cal AS BIGINT)
+           CAST((CAST(sy AS HUGEINT) * 1000000
+                 - CAST(slope_micro AS HUGEINT) * sx) // n_cal AS BIGINT)
                AS intercept_micro
     FROM fit
 ), resid AS (
@@ -2587,19 +2711,19 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg row. The split is retry-stable md5, so calibration
     and test never leak into each other across reruns.
 
-    INT64 HEADROOM BOUND (ADVICE r8 #2): the slope numerator
-    (count·Σxy − Σx·Σy)·1e6 measures ~−1.6e17 at sf0.1 — ~58×
-    inside int64 — and count·Σxy alone is ~1.2e15; both grow
-    superlinearly with rows, so beyond roughly sf1–10 the Spark side
-    overflows (ANSI error on PySpark 4.1) while DuckDB silently
-    widens BIGINT sums to HUGEINT and stays exact. The uncentered
-    sufficient-stat form is therefore the SMALL-DATA calibration
-    shape only. The rescale path at true scale, as documented for
-    changepoint_mean_shift / semdedup_cell_prune: center x and y
-    first (subtract per-fold integer means, bounding Σxy by
-    n·max|Δx|·max|Δy|), or drop the 1e6 slope scale to 1e3, or
-    compute the moments via Welford-style partial aggregation in
-    double and certify against a sampled integer stratum."""
+    INT64 HEADROOM (ADVICE r8 #2; OVERFLOW FIXED r11): the slope
+    determinant n·Σxy − Σx·Σy grows ∝ n²·σxσy regardless of
+    centering, and the r11 sf1→sf2 sweep proved the int64 form
+    overflows in practice (ANSI ARITHMETIC_OVERFLOW at 12M rows,
+    n_cal ≈ 6e6 — Spark errored while DuckDB silently widened to
+    HUGEINT and diverged-by-not-failing). The determinant and
+    intercept arithmetic is therefore 128-bit on BOTH engines —
+    Spark DECIMAL(38,0) ↔ DuckDB HUGEINT, identical truncating
+    integral division — with per-row residuals and the coverage agg
+    staying int64 (bounded by magnitude, not n²). New bound:
+    n²·max|xy|·1e6 < 1e38 ⟹ n ≲ 3e12 calibration rows — past the
+    100 TB design point. Σxy itself stays int64-safe to ~3e12 rows
+    (n·2.75e6 < 9.2e18)."""
     from dist_keras_spark.operators.utils import bounded_window_key
 
     l = _lt(spark, sf_dir, "lineitem")
@@ -2626,17 +2750,21 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = cal.agg(
         F.count(F.lit(1)).alias("n_cal"),
         F.expr(
-            "(count(*) * sum(x * y) - sum(x) * sum(y)) * 1000000 "
-            "div (count(*) * sum(x * x) - sum(x) * sum(x))"
+            "CAST((CAST(count(*) AS DECIMAL(38,0)) * sum(x * y)"
+            " - CAST(sum(x) AS DECIMAL(38,0)) * sum(y)) * 1000000"
+            " div (CAST(count(*) AS DECIMAL(38,0)) * sum(x * x)"
+            " - CAST(sum(x) AS DECIMAL(38,0)) * sum(x)) AS BIGINT)"
         ).alias("slope_micro"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
     ).select(
         "n_cal",
         "slope_micro",
-        F.expr("(sy * 1000000 - slope_micro * sx) div n_cal").alias(
-            "intercept_micro"
-        ),
+        F.expr(
+            "CAST((CAST(sy AS DECIMAL(38,0)) * 1000000"
+            " - CAST(slope_micro AS DECIMAL(38,0)) * sx) div n_cal"
+            " AS BIGINT)"
+        ).alias("intercept_micro"),
     )
     resid = d.crossJoin(F.broadcast(fit)).select(
         "fold",

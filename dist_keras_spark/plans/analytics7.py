@@ -606,6 +606,16 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the truncated side is the same machinery over a prefix slice.
     Overlap counting is integer; recall_e6 = overlap·1e6/5.
 
+    Two-step regime note (sf1→sf2 sweep, r11): exp 2.12 — BOTH arms
+    are exact brute-force rankings over corpus-scaling queries, which
+    is the DEFINITION of this audit (recall is measured against the
+    exact top-5; a sublinear ground truth would beg the question) —
+    the same exact-oracle-by-design status as colbert_maxsim_top3.
+    The production dial is a FIXED query panel (recall estimates
+    converge with panel size, independent of corpus size), making the
+    audit Θ(panel·N); the corpus-scaling panel here is what makes the
+    oracle cover every query the driver hashes.
+
     100 TB shape: both rankings broadcast the query side and scan the
     corpus once each (the truncated scan reads 4× fewer bytes — at
     scale it reads a separate 16-dim projection column and the

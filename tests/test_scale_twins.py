@@ -190,6 +190,165 @@ def test_leakage_split_lsh_cluster_atomicity(spark):
     assert {r["split"] for r in rows} == {"train", "val", "test"}
 
 
+def test_fellegi_snm_rederives(spark):
+    """Sorted-neighborhood ER: pure-Python rederivation of the score
+    histogram — sort within noun by (adj, price_bin, partkey), pair
+    each record with its next w neighbors, sum the FS weights."""
+    import math
+
+    from dist_keras_spark.plans.analytics10 import (
+        _FS_W,
+        _SNM_W,
+        fellegi_sunter_sorted_neighborhood,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    part = pd.read_parquet(f"{sf}/part.parquet")
+    rows = []
+    for r in part.itertuples():
+        name = r.p_name.split(" ")
+        rows.append(
+            (
+                r.p_partkey,
+                r.p_type,
+                name[0],
+                name[1],
+                int(math.floor(r.p_retailprice / 100)),
+            )
+        )
+    by_noun = defaultdict(list)
+    for pk, typ, adj, noun, pb in rows:
+        by_noun[noun].append((adj, pb, pk, typ))
+    want: dict = defaultdict(int)
+    for noun, rs in by_noun.items():
+        rs.sort()
+        for i, a in enumerate(rs):
+            for j in range(1, _SNM_W + 1):
+                if i + j >= len(rs):
+                    break
+                b = rs[i + j]
+                s = (
+                    (_FS_W["type"][0] if a[3] == b[3] else _FS_W["type"][1])
+                    + (_FS_W["adj"][0] if a[0] == b[0] else _FS_W["adj"][1])
+                    + _FS_W["noun"][0]  # same noun by construction
+                    + (_FS_W["price"][0] if a[1] == b[1] else _FS_W["price"][1])
+                )
+                want[s] += 1
+    got = {
+        r["score_milli"]: r["n_pairs"]
+        for r in _rows(fellegi_sunter_sorted_neighborhood, spark, sf)
+    }
+    assert got == dict(want)
+    # linear-by-construction pair count: exactly sum over groups of
+    # sum_j max(0, n-j)
+    n_pairs = sum(got.values())
+    expect = sum(
+        sum(max(0, len(rs) - j) for j in range(1, _SNM_W + 1))
+        for rs in by_noun.values()
+    )
+    assert n_pairs == expect
+
+
+def test_ranking_scaled_equals_pinned_ranking_metrics(spark):
+    """At fixture sizes the scaled IVF clamps to the pinned 16-cell
+    quantizer, so the scaled metric rows must equal the shared metric
+    epilogue applied to knn_ivf_top5 — and obey rr/dcg invariants."""
+    from dist_keras_spark.plans.analytics6 import (
+        _ranking_metrics,
+        ranking_mrr_ndcg_scaled,
+    )
+    from dist_keras_spark.plans.llm import knn_ivf_top5
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["query_id"]: r for r in _rows(ranking_mrr_ndcg_scaled, spark, sf)}
+    base = knn_ivf_top5(spark, sf)
+    lab = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", "label")
+    )
+    want = {
+        r["query_id"]: r.asDict()
+        for r in _ranking_metrics(base, lab).collect()
+    }
+    assert got == want
+    for r in got.values():
+        assert r["dcg_e9"] <= r["idcg_e9"]
+        assert r["rr_e9"] == 0 or 200_000_000 <= r["rr_e9"] <= 1_000_000_000
+
+
+def test_hard_negative_scaled_labels_differ(spark):
+    from dist_keras_spark.plans.analytics6 import hard_negative_mining_scaled
+
+    sf = "/root/testdata/sf0.01"
+    rows = _rows(hard_negative_mining_scaled, spark, sf)
+    assert len(rows) > 0
+    assert all(r["query_label"] != r["negative_label"] for r in rows)
+    assert all(1 <= r["knn_rank"] <= 5 for r in rows)
+
+
+def test_quantile_normalize_distributed_identical_output(spark):
+    """The distributed-rank twin must reproduce the baseline
+    ROW-FOR-ROW at every fixture — same oracle, same output; only the
+    rank computation differs (value-histogram prefix vs global sort)."""
+    from dist_keras_spark.plans.analytics10 import (
+        quantile_normalize_acctbal,
+        quantile_normalize_distributed,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        base = {
+            r["c_mktsegment"]: r
+            for r in _rows(quantile_normalize_acctbal, spark, sf)
+        }
+        twin = {
+            r["c_mktsegment"]: r
+            for r in _rows(quantile_normalize_distributed, spark, sf)
+        }
+        assert twin == base and len(twin) > 0
+
+
+def test_conformal_128bit_determinant_no_overflow(spark):
+    """The r11 sweep crashed the int64 determinant at 12M rows
+    (ARITHMETIC_OVERFLOW). The 128-bit form must survive inputs where
+    n·Σxy exceeds int64: amplify y so count·sum(x·y) > 9.2e18 on a
+    small frame and assert the slope still computes exactly."""
+    import pandas as pd
+
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "l_quantity": [float(1 + i % 50) for i in range(n)],
+            "l_extendedprice": [
+                1e11 + 2.0e11 * (1 + i % 50) for i in range(n)
+            ],
+            "l_orderkey": list(range(n)),
+            "l_linenumber": [1] * n,
+        }
+    )
+    sdf = spark.createDataFrame(df)
+    # replicate the fit stage's widened arithmetic on the raw frame
+    d = sdf.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice / 100) AS BIGINT) AS y",
+    )
+    fit = d.selectExpr(
+        "CAST((CAST(count(*) AS DECIMAL(38,0)) * sum(x * y)"
+        " - CAST(sum(x) AS DECIMAL(38,0)) * sum(y)) * 1000000"
+        " div (CAST(count(*) AS DECIMAL(38,0)) * sum(x * x)"
+        " - CAST(sum(x) AS DECIMAL(38,0)) * sum(x)) AS BIGINT)"
+        " AS slope_micro"
+    )
+    row = fit.collect()[0]
+    xs = [1 + i % 50 for i in range(n)]
+    ys = [int((1e11 + 2.0e11 * (1 + i % 50)) // 100) for i in range(n)]
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num = n * sxy - sum(xs) * sum(ys)
+    den = n * sum(a * a for a in xs) - sum(xs) ** 2
+    assert n * sxy > 2**63  # the un-widened int64 form would overflow
+    assert num > 0
+    assert row["slope_micro"] == (num * 1_000_000) // den
+
+
 def test_knn_ivf_scaled_equals_pinned_at_fixture(spark):
     """At fixture sizes max(16, N div 1000) clamps to 16, so the twin
     must reproduce knn_ivf_top5 row-for-row (same quantizer sample,

@@ -218,6 +218,10 @@ AUDITED = {
     "cluster_cap_sample_lsh": "scale-safe cap twin: identical doc_id join + cluster-keyed window epilogue over neardup_cluster_lsh's band-bucket clusters — the quadratic exact-postings candidate stage swapped out, nothing else changes",
     "leakage_safe_split_lsh": "scale-safe split twin: scan-side md5 bucket of the LSH cluster id — the CC stage is neardup_cluster_lsh's (band buckets), split arithmetic identical to the baseline",
     "rrf_fusion_scaled_top5": "scale-safe fusion twin: scaled-IVF ranking at depth 20 replaces the Theta(N^2/20) exact-L2 crossJoin arm; PQ arm + integer RRF epilogue are the baseline's shared helpers; FULL OUTER fuse stays candidate-sized",
+    "fellegi_sunter_sorted_neighborhood": "scale-safe ER twin: sorted-neighborhood candidates — noun-partitioned window rank, w-exploded probes equi-joined on (noun, rn) — exactly N*w scored pairs at any N vs the pinned-block baseline's Sum n_b^2",
+    "ranking_mrr_ndcg_scaled": "scale-safe eval twin: the shared integer MRR/NDCG epilogue over knn_ivf_scaled_top5's ranking (constant per-query fan-out) instead of the brute-force int8 pass",
+    "hard_negative_mining_scaled": "scale-safe mining twin: different-label filter + label lookups over the scaled-IVF ranking — mining from the production ANN index, candidate-sized epilogue",
+    "quantile_normalize_distributed": "scale-safe rank twin, IDENTICAL output to the baseline: value-histogram prefix ranks — one value-keyed shuffle + a DOMAIN-sized (constant in N) single-partition prefix window + per-value row_number; the population-sized one-core sort is gone",
     "heldout_bigram_surprisal": "bigram explode is scan-side codegen (sequence+element_at); train model groupBy keys on (w1,w2); eval probe SHUFFLE-joins on the same composite key (model is vocab²-bounded, never driver-sized); ctx/uni/tot dims broadcast; backoff CASE is a row expression",
 }
 
