@@ -1091,8 +1091,19 @@ def quantile_normalize_distributed(
     value-DOMAIN-sized: acctbal has ≤ ~1.1M possible cent values, so
     this window is CONSTANT in N — the reviewed bounded_window_key
     convention), and a per-value row_number (window keyed on the
-    value — data-scaling). Total: Θ(N) distributed + Θ(domain) on
-    one core, vs the baseline's Θ(N log N) on one core.
+    value — data-scaling). Total: Θ(N) distributed + Θ(min(N, domain))
+    on one core, vs the baseline's Θ(N log N) on one core — the
+    single-partition work CAPS at the 1.1M-value domain while the
+    baseline's grows forever.
+
+    Measured regime (sf1→sf2 sweep, r11): exp 1.5 at 150k→300k
+    customers with 2.8× better absolute time than the baseline
+    (16.1s vs 45.2s) — BELOW domain saturation distinct ≈ N (140k →
+    263k measured), so the prefix window still grows with N there;
+    the cap bites past ~1.1M customers (sf ≈ 11), after which the
+    one-core term is constant. This is the honest crossover of the
+    counting-sort recipe: same asymptotic class as the baseline
+    until the domain saturates, strictly better after.
 
     This is the general recipe for exact ranks over bounded-domain
     columns at 100 TB (counting sort's shuffle form); for unbounded
