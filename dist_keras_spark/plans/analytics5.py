@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dist_keras_spark.functions.arrays import (
+    cosine_similarity as _cosine_similarity,
+)
 from dist_keras_spark.operators.dedup import substring_dup_pairs
 from dist_keras_spark.plans.registry import query
 from dist_keras_spark.operators.dedup import spread as _spread
@@ -1052,6 +1055,62 @@ def poisson_bootstrap_replicas(
     )
 
 
+def _pq_codes_qtab(q: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """PQ coding stage shared by ivf_pq_top5, _pq_rank20 and
+    ivf_pq_scaled_top5 over the quantized frame `q` (vec_id, v):
+    8×8 subspace split, 16-data-vector codebook (vec_id < 16),
+    integer subspace squared distances, argmins tie-broken toward the
+    lower code id. Returns (codes, qtab):
+
+      codes = (code_vec, code_s, code) — each corpus vector's nearest
+              codebook entry per subspace (the compressed index: 8
+              small ints per vector, built in ONE corpus×16 broadcast
+              join — linear in N);
+      qtab  = (tq, qs, qc, t) — the ADC lookup table for the vec_id%20
+              query panel (t = integer query↔code subspace distance;
+              queries × 8 × 16 rows — linear in the panel).
+
+    All integer arithmetic, so every consumer's oracle replays it
+    exactly (the ivf_pq_top5 / rrf_fusion oracles' subs/cb/cdist/
+    codes/qtab CTEs are this function in SQL)."""
+    subs = q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.slice("v", s * 8 + 1, 8),
+            )
+        ).alias("s", "sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
+    )
+    d2sub = F.aggregate(
+        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cdist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "c", d2sub.alias("d2")
+    )
+    codes = (
+        cdist.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "c")).alias("m"))
+        .select(
+            F.col("vec_id").alias("code_vec"),
+            F.col("s").alias("code_s"),
+            F.col("m.c").alias("code"),
+        )
+    )
+    qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tq"),
+        F.col("s").alias("qs"),
+        F.col("c").alias("qc"),
+        F.col("d2").alias("t"),
+    )
+    return codes, qtab
+
+
 @query(
     "ivf_pq_top5",
     oracle="""
@@ -1143,51 +1202,17 @@ def ivf_pq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer is PINNED at 16 cells with corpus-scaling queries, so
     probed candidates per query are nprobe·N/16 (the knn_ivf pinned-
     parameter regime, softened by the probe ratio). Kept as the
-    fixed-parameter ORACLE baseline; the production dial is cells ∝
-    N with fixed probes, demonstrated as a registered query by
-    knn_ivf_scaled_top5 (constant per-query fan-out — the same
-    schedule applies verbatim to this composition's IVF stage)."""
+    fixed-parameter ORACLE baseline; its registered SCALE-SAFE twin
+    is ivf_pq_scaled_top5 (r12) — the same PQ-ADC scoring under
+    knn_ivf_scaled_top5's cells ∝ N schedule, constant ~8000-candidate
+    per-query fan-out."""
     # spread() first (r10 scaling sweep): the corpus-wide quantize +
     # subspace-distance folds are INTERPRETED HOFs, and the local
     # single-partition scan would serialize them onto one core; at
     # cluster scale this is a no-op-sized shuffle (dedup.spread).
     emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.select("vec_id", _quant().alias("v"))
-    subs = q.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
-                lambda s: F.slice("v", s * 8 + 1, 8),
-            )
-        ).alias("s", "sub"),
-    )
-    cb = subs.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
-    )
-    d2sub = F.aggregate(
-        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cdist = subs.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "c", d2sub.alias("d2")
-    )
-    codes = (
-        cdist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "c")).alias("m"))
-        .select(
-            F.col("vec_id").alias("code_vec"),
-            F.col("s").alias("code_s"),
-            F.col("m.c").alias("code"),
-        )
-    )
-    qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("tq"),
-        F.col("s").alias("qs"),
-        F.col("c").alias("qc"),
-        F.col("d2").alias("t"),
-    )
+    codes, qtab = _pq_codes_qtab(q)
     coarse = q.filter(
         (F.col("vec_id") >= 16) & (F.col("vec_id") < 24)
     ).select(F.col("vec_id").alias("j"), F.col("v").alias("cv"))
@@ -1529,49 +1554,19 @@ def _pq_rank20(q: DataFrame) -> DataFrame:
     rrf_fusion_scaled_top5: 8×8 subspace split, 16 data-vector
     codebook, integer asymmetric distances, row_number per query.
     Returns (p_query, p_neighbor, r_pq ≤ 20)."""
-    subs = q.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
-                lambda s: F.slice("v", s * 8 + 1, 8),
-            )
-        ).alias("s", "sub"),
-    )
-    cb = subs.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("c"), "s", F.col("sub").alias("cbsub")
-    )
-    d2sub = F.aggregate(
-        F.zip_with("sub", "cbsub", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cdist = subs.join(F.broadcast(cb), "s").select(
-        "vec_id", "s", "c", d2sub.alias("d2")
-    )
-    codes = (
-        cdist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "c")).alias("m"))
-        .select("vec_id", "s", F.col("m.c").alias("code"))
-    )
-    qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("tq"),
-        F.col("s").alias("qs"),
-        F.col("c").alias("qc"),
-        F.col("d2").alias("t"),
-    )
+    codes, qtab = _pq_codes_qtab(q)
     pqw = F.row_number().over(
         W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     )
     return (
         codes.join(
             F.broadcast(qtab),
-            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qc")),
+            (F.col("code_s") == F.col("qs")) & (F.col("code") == F.col("qc")),
         )
-        .filter(F.col("vec_id") != F.col("tq"))
+        .filter(F.col("code_vec") != F.col("tq"))
         .groupBy(
             F.col("tq").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
+            F.col("code_vec").alias("neighbor_id"),
         )
         .agg(F.sum("t").alias("adist"))
         .withColumn("r_pq", pqw)
@@ -1731,17 +1726,91 @@ def _rrf_fuse(exr: DataFrame, pqr: DataFrame) -> DataFrame:
     )
 
 
-def _rrf_scaled_oracle_sql() -> str:
-    """Scaled-fusion oracle: the exact brute-force arm replaced by the
-    scaled-cells IVF ranking (llm._knn_ivf_oracle_sql at depth 20,
-    wrapped as a CTE — nested WITH is legal in DuckDB); the PQ arm and
-    the integer RRF epilogue replay rrf_fusion_top5's verbatim."""
-    from dist_keras_spark.plans.llm import _knn_ivf_oracle_sql
+def _scaled_ivf_candidates(
+    emb: DataFrame, n_probe: int = 8, seed: int = 42
+) -> DataFrame:
+    """The scaled-cells IVF candidate stage shared by
+    ivf_pq_scaled_top5 and rrf_fusion_scaled_top5 — knn_ivf_scaled's
+    quantizer schedule (cells = max(16, N div 1000), n_probe fixed)
+    exposed as a CANDIDATE frame so two scorers (exact cosine, PQ-ADC)
+    can share one cell-assignment pass: the corpus keeps its top cell,
+    the vec_id%20 query panel probes its n_probe nearest, and the
+    probe join emits (query_id, qvec, neighbor_id, cvec) pairs —
+    n_probe · N/cells ≈ 8000 corpus vectors per query at any N.
 
-    ivf20 = _knn_ivf_oracle_sql(k=20, scaled_cells=True)
-    return f"""
-WITH ivfr AS ({ivf20}),
-q AS (
+    Centroids are the md5-ordered sample knn_ivf uses (engine-portable
+    — the oracle replays the identical ordering); assignment runs in
+    the same Arrow cosine kernel (_cell_assign_udf), so candidates are
+    bit-identical to knn_ivf's at equal parameters. Driver ceiling
+    (documented, inherited from knn_ivf_scaled_top5): the centroid
+    sample is a driver collect of ~N/1000 × dim doubles — ~0.5 MB/M
+    rows; production caps cells (hierarchical coarse quantizers) past
+    ~1e5 cells. The query side is broadcast at fixture scale; at
+    100 TB swap the hint for a shuffle-hash join keyed on cell —
+    candidates, not the corpus, are what moves either way."""
+    import numpy as np
+
+    from dist_keras_spark.operators.similarity import (
+        _cell_assign_udf,
+        sample_centroids,
+    )
+
+    cells = max(16, emb.count() // 1000)
+    cents = sample_centroids(emb, "vec_id", "embedding", cells, seed)
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1).alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.explode(_cell_assign_udf(cents, n_probe)("embedding")).alias("cell"),
+    )
+    return (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+    )
+
+
+def _pq_adc_rank(
+    pairs: DataFrame, codes: DataFrame, qtab: DataFrame, depth: int
+) -> DataFrame:
+    """ADC ranking of an EXPLICIT candidate pair set (query_id,
+    neighbor_id) — the cell-pruned PQ arm: unlike _pq_rank20 (which
+    code-joins the FULL corpus against the query table, Θ(N·queries)
+    matched rows), the scoring join here is candidate-sized, so the
+    cost follows whatever pruning produced the pairs. Returns
+    (query_id, neighbor_id, adist, r_pq ≤ depth); ranks tie-broken by
+    neighbor id on exact integer distances."""
+    pqw = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    )
+    return (
+        pairs.join(codes, F.col("neighbor_id") == F.col("code_vec"))
+        .join(
+            F.broadcast(qtab),
+            (F.col("query_id") == F.col("tq"))
+            & (F.col("qs") == F.col("code_s"))
+            & (F.col("qc") == F.col("code")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("t").alias("adist"))
+        .withColumn("r_pq", pqw)
+        .filter(F.col("r_pq") <= depth)
+    )
+
+
+# The PQ coding stage (_pq_codes_qtab) as DuckDB CTEs — embedded by the
+# ivf_pq_scaled_top5 / rrf_fusion_scaled_top5 oracles; same text as the
+# inline CTEs of the ivf_pq_top5 / rrf_fusion_top5 oracles modulo the
+# root CTE name (qi — `q` would shadow nothing but reads ambiguously
+# next to the nested IVF SQL).
+_PQ_SQL_CTES = """qi AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 10.0) AS BIGINT)) AS v
@@ -1749,7 +1818,7 @@ q AS (
 ), subs AS (
   SELECT vec_id, t.s,
          v[CAST(t.s * 8 + 1 AS BIGINT):CAST(t.s * 8 + 8 AS BIGINT)] AS sub
-  FROM q, unnest(range(0, 8)) t(s)
+  FROM qi, unnest(range(0, 8)) t(s)
 ), cb AS (
   SELECT vec_id AS c, s, sub AS cbsub FROM subs WHERE vec_id < 16
 ), cdist AS (
@@ -1766,63 +1835,165 @@ q AS (
 ), qtab AS (
   SELECT vec_id AS query_id, s, c, d2 AS t
   FROM cdist WHERE vec_id % 20 = 0
+)"""
+
+
+def _ivf_pq_scaled_oracle_sql() -> str:
+    """Scaled IVF-PQ oracle: the scaled-cells IVF candidate SQL
+    (llm._knn_ivf_oracle_sql with an unbounded k, so `allc` is the
+    full probed candidate set) wrapped as a CTE, ADC-scored by the
+    PQ CTEs (_PQ_SQL_CTES) — the same nested-WITH technique as
+    _rrf_scaled_oracle_sql."""
+    from dist_keras_spark.plans.llm import _knn_ivf_oracle_sql
+
+    allc = _knn_ivf_oracle_sql(k=1 << 30, scaled_cells=True)
+    return f"""
+WITH allc AS ({allc}),
+{_PQ_SQL_CTES},
+scored AS (
+  SELECT a.query_id, a.neighbor_id, CAST(sum(qt.t) AS BIGINT) AS adist
+  FROM allc a
+  JOIN codes cd ON cd.vec_id = a.neighbor_id
+  JOIN qtab qt ON qt.query_id = a.query_id
+              AND qt.s = cd.s AND qt.c = cd.code
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist, neighbor_id) AS ivfpq_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ivfpq_rank, adist
+FROM ranked WHERE ivfpq_rank <= 5
+"""
+
+
+@query("ivf_pq_scaled_top5", oracle=_ivf_pq_scaled_oracle_sql())
+def ivf_pq_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of ivf_pq_top5 (VERDICT r11 #1): the same
+    IVF-PQ composition — coarse cells prune, PQ-ADC scores — but the
+    coarse quantizer GROWS with the corpus on knn_ivf_scaled_top5's
+    schedule (cells = max(16, N div 1000), n_probe = 8), so ADC scores
+    n_probe · N/cells ≈ 8000 candidates per query REGARDLESS of N,
+    where the baseline's 8 pinned centroids make candidates ∝ N
+    (measured sf1→sf2 exp 1.6). Total work is Θ(queries · 8000) plus
+    the linear coding stage — the FAISS IVFPQ shape with a
+    production-sized nlist.
+
+    Pipeline: one shared cell-assignment pass (_scaled_ivf_candidates,
+    Arrow cosine kernel over md5-sampled centroids) → candidate pairs
+    → integer PQ-ADC (_pq_codes_qtab: 16-data-vector codebook, 8×8
+    subspaces) ranked by (adist, neighbor_id). The oracle replays the
+    ENTIRE composition — sampling, probing, coding, ADC — as nested
+    DuckDB CTEs, so pruning and scoring are both pinned; the only
+    accepted residual is the cosine near-tie assignment note on
+    _knn_ivf_oracle_sql. At fixture sizes the schedule clamps to 16
+    cells, where pairs are knn_ivf_scaled's candidates PQ-scored
+    (pytest-pinned subset/adist invariants, tests/test_scale_twins.py)."""
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
+    cand = _scaled_ivf_candidates(emb)
+    q = emb.select("vec_id", _quant().alias("v"))
+    codes, qtab = _pq_codes_qtab(q)
+    ranked = _pq_adc_rank(
+        cand.select("query_id", "neighbor_id"), codes, qtab, depth=5
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        F.col("r_pq").alias("ivfpq_rank"),
+        "adist",
+    )
+
+
+def _rrf_scaled_oracle_sql() -> str:
+    """Scaled-fusion oracle (re-pointed, VERDICT r11 #1): BOTH arms now
+    derive from the shared scaled-cells candidate set — `allc` is
+    llm._knn_ivf_oracle_sql with unbounded k (nested WITH), the exact
+    arm is its knn_rank ≤ 20 slice, and the PQ arm ADC-scores the SAME
+    candidates via the _PQ_SQL_CTES coding stage. The integer RRF
+    epilogue replays rrf_fusion_top5's verbatim."""
+    from dist_keras_spark.plans.llm import _knn_ivf_oracle_sql
+
+    allc = _knn_ivf_oracle_sql(k=1 << 30, scaled_cells=True)
+    return f"""
+WITH allc AS ({allc}),
+{_PQ_SQL_CTES},
+pqs AS (
+  SELECT a.query_id, a.neighbor_id, CAST(sum(qt.t) AS BIGINT) AS adist
+  FROM allc a
+  JOIN codes cd ON cd.vec_id = a.neighbor_id
+  JOIN qtab qt ON qt.query_id = a.query_id
+              AND qt.s = cd.s AND qt.c = cd.code
+  GROUP BY 1, 2
 ), pqr AS (
-  SELECT qt.query_id, cd.vec_id AS neighbor_id,
-         row_number() OVER (PARTITION BY qt.query_id
-             ORDER BY sum(qt.t), cd.vec_id) AS r_pq
-  FROM codes cd JOIN qtab qt ON cd.s = qt.s AND cd.code = qt.c
-  WHERE cd.vec_id <> qt.query_id
-  GROUP BY qt.query_id, cd.vec_id
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, neighbor_id) AS r_pq
+  FROM pqs
 ), fused AS (
   SELECT COALESCE(e.query_id, p.query_id) AS query_id,
          COALESCE(e.neighbor_id, p.neighbor_id) AS neighbor_id,
          CAST(COALESCE(1000000000 // (60 + e.knn_rank), 0)
               + COALESCE(1000000000 // (60 + p.r_pq), 0) AS BIGINT)
              AS rrf_nano
-  FROM ivfr e
+  FROM (SELECT * FROM allc WHERE knn_rank <= 20) e
   FULL OUTER JOIN (SELECT * FROM pqr WHERE r_pq <= 20) p
     ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
-), ranked AS (
+), rranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
       ORDER BY rrf_nano DESC, neighbor_id) AS fused_rank
   FROM fused
 )
 SELECT query_id, neighbor_id, fused_rank, rrf_nano
-FROM ranked WHERE fused_rank <= 5
+FROM rranked WHERE fused_rank <= 5
 """
 
 
 @query("rrf_fusion_scaled_top5", oracle=_rrf_scaled_oracle_sql())
 def rrf_fusion_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE-SAFE twin of rrf_fusion_top5: the exact integer-L2
-    arm — a queries×corpus crossJoin that is Θ(N²/20) by construction
-    once queries scale with the corpus (measured sf1→sf2 exp 1.80) —
-    is replaced by the scaled-cells IVF ranking (knn_ivf_scaled_top5's
-    machinery at depth 20: cells = max(16, N div 1000), n_probe 8,
-    constant ~8000-vector fan-out per query); the PQ-ADC arm and the
-    exact-integer RRF epilogue are SHARED code (_pq_rank20/_rrf_fuse)
-    with the baseline. This is the production hybrid-retrieval shape:
-    two sub-quadratic retrievers fused by rank, robust to either arm
-    missing a candidate (FULL OUTER). Oracle wraps the scaled IVF SQL
-    as a CTE and replays the PQ + fusion CTEs verbatim.
+    """The SCALE-SAFE twin of rrf_fusion_top5, re-pointed in r12
+    (VERDICT r11 #1): BOTH arms now rank the SAME scaled-cells
+    candidate set from one shared assignment pass
+    (_scaled_ivf_candidates: cells = max(16, N div 1000), n_probe 8,
+    constant ~8000-vector fan-out per query) — the exact arm re-ranks
+    candidates by 6dp-rounded cosine (knn_ivf's scoring), the PQ arm
+    ADC-scores the same pairs (_pq_adc_rank over _pq_codes_qtab, the
+    ivf_pq_scaled_top5 machinery at depth 20). The r11 form fused the
+    scaled-IVF arm with the FLAT-corpus PQ arm (_pq_rank20), whose
+    code-sharing join is Θ(N·queries) on its own — the residual the
+    r11 sweep measured as exp 1.16 and mis-attributed to a then-
+    unregistered scale path. With both arms candidate-bounded, total
+    work is Θ(queries · 8000) + the linear coding stage.
 
-    Measured sf1→sf2 exp 1.16 (interleaved re-measure; the first
-    contended sweep read 1.34) vs the baseline's 1.80: the IVF arm is
-    linear (1.03 standalone); the residual is the PQ-ADC arm, whose
-    code-sharing candidate pairs grow super-linearly on their own —
-    that arm's registered scale path is ivf_pq_top5 (ADC only within
-    probed cells); swapping it in here would double up the IVF stage,
-    so this twin keeps the flat-ADC arm and documents the dial."""
-    from dist_keras_spark.operators.similarity import knn_ivf
-
+    This is the production hybrid-retrieval shape: two sub-quadratic
+    retrievers over one pruned candidate pool, fused by the exact
+    integer RRF epilogue (_rrf_fuse, FULL OUTER — a doc ranked by only
+    one arm still scores; with a shared pool that happens when it
+    makes one arm's top-20 but not the other's). Oracle replays the
+    whole composition as nested CTEs; the exact-arm residual risk is
+    _knn_ivf_oracle_sql's documented cosine near-tie note."""
     emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
-    cells = max(16, emb.count() // 1000)
-    q20 = emb.filter(F.col("vec_id") % 20 == 0)
-    ivfr = knn_ivf(
-        emb, q20, "vec_id", "embedding", k=20, n_cells=cells, n_probe=8, seed=42
-    ).select("query_id", "neighbor_id", F.col("rank").alias("r_ex"))
+    cand = _scaled_ivf_candidates(emb)
+    scored = cand.withColumn(
+        "cosine", F.round(_cosine_similarity("qvec", "cvec"), 6)
+    )
+    exw = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exr = (
+        scored.withColumn("r_ex", F.row_number().over(exw))
+        .filter(F.col("r_ex") <= 20)
+        .select("query_id", "neighbor_id", "r_ex")
+    )
     q = emb.select("vec_id", _quant().alias("v"))
-    return _rrf_fuse(ivfr, _pq_rank20(q))
+    codes, qtab = _pq_codes_qtab(q)
+    pqr = _pq_adc_rank(
+        cand.select("query_id", "neighbor_id"), codes, qtab, depth=20
+    ).select(
+        F.col("query_id").alias("p_query"),
+        F.col("neighbor_id").alias("p_neighbor"),
+        "r_pq",
+    )
+    return _rrf_fuse(exr, pqr)
 
 
 @query(

@@ -359,3 +359,86 @@ def test_knn_ivf_scaled_equals_pinned_at_fixture(spark):
     twin = {key(r): r["neighbor_id"] for r in _rows(knn_ivf_scaled_top5, spark, sf)}
     assert twin == base
     assert len(twin) > 0
+
+
+# ------------------------------------------------------------------ #
+# ivf_pq_scaled_top5 / re-pointed rrf_fusion_scaled_top5 (r12)
+# ------------------------------------------------------------------ #
+
+
+def test_ivf_pq_scaled_candidates_and_adc(spark):
+    """The r12 PQ-family twin: (a) every output pair must be a
+    candidate of the clamped IVF schedule (16 cells, probe 8 — the
+    exact knn_ivf candidate set at fixture N), and (b) its adist must
+    equal the FULL-corpus ADC distance for that pair — cell pruning
+    may drop candidates but must never change a surviving pair's
+    integer score."""
+    from dist_keras_spark.operators.similarity import knn_ivf
+    from dist_keras_spark.plans.analytics5 import (
+        _pq_codes_qtab,
+        _quant,
+        ivf_pq_scaled_top5,
+    )
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        (r["query_id"], r["neighbor_id"]): (r["ivfpq_rank"], r["adist"])
+        for r in _rows(ivf_pq_scaled_top5, spark, sf)
+    }
+    assert out and all(1 <= v[0] <= 5 for v in out.values())
+    emb = load_table(spark, sf, "embeddings")
+    allc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(
+            emb,
+            emb.filter(F.col("vec_id") % 20 == 0),
+            k=10**9,
+            n_cells=16,
+            n_probe=8,
+            seed=42,
+        ).collect()
+    }
+    assert set(out) <= allc
+    codes, qtab = _pq_codes_qtab(emb.select("vec_id", _quant().alias("v")))
+    full = {
+        (r["tq"], r["code_vec"]): r["adist"]
+        for r in (
+            codes.join(
+                qtab,
+                (F.col("code_s") == F.col("qs"))
+                & (F.col("code") == F.col("qc")),
+            )
+            .filter(F.col("code_vec") != F.col("tq"))
+            .groupBy("tq", "code_vec")
+            .agg(F.sum("t").alias("adist"))
+            .collect()
+        )
+    }
+    for pair, (_, adist) in out.items():
+        assert full[pair] == adist
+
+
+def test_rrf_scaled_fusion_arithmetic(spark):
+    """Re-pointed rrf_fusion_scaled_top5: every fused score must
+    decompose as one or two exact-integer reciprocal contributions
+    with arm ranks ≤ 20, and per query the fused ranks must be a dense
+    1..n prefix ordered by (rrf_nano desc, neighbor_id)."""
+    from dist_keras_spark.plans.analytics5 import rrf_fusion_scaled_top5
+
+    sf = "/root/testdata/sf0.001"
+    rows = _rows(rrf_fusion_scaled_top5, spark, sf)
+    assert rows
+    single = {1_000_000_000 // (60 + a) for a in range(1, 21)}
+    valid = single | {
+        a + b for a in single for b in single
+    }
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r["rrf_nano"] in valid
+        by_q[r["query_id"]].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda x: x["fused_rank"])
+        assert [x["fused_rank"] for x in rs] == list(range(1, len(rs) + 1))
+        nanos = [x["rrf_nano"] for x in rs]
+        assert nanos == sorted(nanos, reverse=True)
