@@ -103,10 +103,15 @@ def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     is also the grain CCNet filters at.)
 
     100 TB shape: one groupBy word (map-side combined, Zipf keys are
-    combiner-friendly), vocab dim broadcast back to the exploded scan,
-    one groupBy doc_id, one dim-sized groupBy source. The only
-    non-broadcast shuffles key on word / doc_id — both data-scaling.
-    n_total rides a 1-row broadcast crossJoin, never a window."""
+    combiner-friendly), vocab dim joined back to the exploded scan
+    with NO forced broadcast hint (ADVICE r11: a web-scale unigram
+    vocab is not reliably driver-sized — AQE broadcasts when it
+    measures small and shuffle-hash-joins on `tok` otherwise, the
+    same reason heldout_bigram_surprisal shuffle-joins its (w1,w2)
+    model), one groupBy doc_id, one dim-sized groupBy source. The
+    only non-broadcast shuffles key on word / doc_id — both
+    data-scaling. n_total rides a 1-row broadcast crossJoin, never a
+    window."""
     toks = _lt(spark, sf_dir, "documents").select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
     )

@@ -1344,7 +1344,14 @@ def hard_negative_mining_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives a contrastive loss sees are the ones the DEPLOYED
     retriever surfaces. Oracle wraps the registered
     knn_ivf_scaled_top5 CTE; score column is the IVF ranking's exact
-    cosine (the int8 baseline reports dot8)."""
+    cosine (the int8 baseline reports dot8).
+
+    The label joins carry NO broadcast hint (ADVICE r11): the labels
+    frame is N rows — forcing a broadcast would put a corpus-sized
+    table on every executor in a query labeled scale-safe. At fixture
+    scale AQE broadcasts it anyway (it measures small); at 100 TB the
+    join shuffle-hashes on the id key, which is candidate-sized on
+    the ranking side."""
     from dist_keras_spark.plans.llm import knn_ivf_scaled_top5
 
     base = knn_ivf_scaled_top5(spark, sf_dir)
@@ -1356,8 +1363,8 @@ def hard_negative_mining_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("n_id"), F.col("label").alias("negative_label")
     )
     return (
-        base.join(F.broadcast(q_lab), base.query_id == q_lab.q_id)
-        .join(F.broadcast(n_lab), F.col("neighbor_id") == n_lab.n_id)
+        base.join(q_lab, base.query_id == q_lab.q_id)
+        .join(n_lab, F.col("neighbor_id") == n_lab.n_id)
         .filter(F.col("query_label") != F.col("negative_label"))
         .select(
             "query_id",
@@ -1513,7 +1520,10 @@ def leakage_safe_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     through (inherited saturation mechanism — see
     neardup_cluster_assign's regime note). Oracle wraps the REGISTERED
     neardup_cluster_lsh recursive CTE verbatim, pinning cluster
-    structure and split arithmetic with one hash."""
+    structure and split arithmetic with one hash. Inherits
+    neardup_cluster_lsh's corpus-sized max_bucket (the band-bucket
+    drop valve is inert in the registered form — see its
+    accepted-risk notes)."""
     from dist_keras_spark.plans.llm import neardup_cluster_lsh
 
     cc = neardup_cluster_lsh(spark, sf_dir)

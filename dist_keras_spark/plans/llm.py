@@ -231,12 +231,34 @@ def neardup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — sharp because the fixture's true near-dups sit at j ≥ 0.9
     where the 16×4 band miss probability is (1−0.9⁴)¹⁶ ≈ 4e-8 (the
     minhash_lsh_neardup precedent, hash-green since r8); pytest
-    additionally pins the clusters to a pure-Python union-find."""
+    additionally pins the clusters to a pure-Python union-find.
+    Accepted-risk notes (ADVICE r11):
+    - the oracle includes pairs at exactly j = 0.8, where the band
+      miss probability is (1−0.8⁴)¹⁶ ≈ 2e-4 per pair — a latent
+      divergence if a fixture/SF ever produces boundary-band pairs
+      (the micro-nat-rounding class of note; raise bands if a corpus
+      concentrates mass at the threshold);
+    - minhash_lsh_pairs's max_bucket valve silently DROPS band
+      buckets above the cap, which the exact oracle does not model —
+      so the REGISTERED form sizes it to the corpus (max_bucket = N:
+      a bucket can never exceed N members, making the valve
+      structurally inert here, at the cost of re-exposing degenerate-
+      bucket skew; production picks a finite cap and accepts the
+      candidate loss). cluster_cap_sample_lsh / leakage_safe_split_lsh
+      inherit this setting by calling this query."""
     from dist_keras_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
 
     d = _lt(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, k=64, bands=16, threshold=0.8
+        d,
+        "doc_id",
+        "text",
+        n=3,
+        k=64,
+        bands=16,
+        threshold=0.8,
+        # corpus-sized ⇒ effectively unbounded (see docstring note)
+        max_bucket=d.count(),
     ).select("id_a", "id_b")
     verts = d.select(F.col("doc_id").alias("id"))
     return neardup_clusters(verts, pairs, id_col="id").select(
@@ -816,7 +838,19 @@ def knn_ivf_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the same pipeline with the same data-derived cell
     count, so the hash check is exact at every N; at fixture sizes
     the schedule clamps to 16 and output EQUALS knn_ivf_top5,
-    pytest-pinned)."""
+    pytest-pinned).
+
+    Driver ceiling (ADVICE r11): the centroid table is still a
+    driver-side collect shipped into the Arrow assignment kernel, so
+    it grows ∝ N/1000 × dim doubles — ~0.5 MB per million corpus rows.
+    The 'constant per-query fan-out' claim is therefore bounded by
+    driver/broadcast memory at roughly 1e8–1e9 corpus rows (~0.05–0.5
+    GB of centroids); past that, production caps cells at a documented
+    maximum and goes hierarchical (a coarse-over-coarse quantizer, the
+    FAISS IVF_HNSW shape) — the same clamp discipline as
+    _scaled_plane_count's MAXP. rrf_fusion_scaled_top5 /
+    ivf_pq_scaled_top5 and the two analytics6 twins inherit this
+    ceiling."""
     from dist_keras_spark.operators.similarity import knn_ivf
 
     e = _lt(spark, sf_dir, "embeddings")
