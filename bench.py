@@ -208,27 +208,75 @@ def _anchor_path() -> str:
     )
 
 
-def _load_anchor(sf_dir: str, n_queries: int) -> float | None:
-    """Best-ever clean suite total for THIS (sf, query-count) shape, or
-    None when the committed anchor doesn't apply (different SF — e.g.
-    the sf0.001 completion-gate test — or a changed query list, where
-    a historical total would gate apples against oranges)."""
+def _load_anchor_full(sf_dir: str, n_queries: int) -> dict | None:
+    """The committed anchor record for THIS shape, or None when it
+    doesn't apply (different SF — e.g. the sf0.001 completion-gate
+    test — or a changed query list, where a historical total would
+    gate apples against oranges).
+
+    Shape integrity (r12): the r10 anchor recorded n_queries=22 over a
+    trace that actually held 21 queries (pre-ppjoin), which made the
+    gate ~12% too tight and the residual drift un-attributable. When
+    the anchor carries per-query times, their KEY SET must equal
+    BENCH_QUERIES exactly — a count alone cannot catch a swap or a
+    mislabeled total."""
     try:
         with open(_anchor_path()) as fh:
             a = json.load(fh)
-        if a.get("sf_dir") == sf_dir and a.get("n_queries") == n_queries:
-            return float(a["clean_total_sec"])
+        if a.get("sf_dir") != sf_dir or a.get("n_queries") != n_queries:
+            return None
+        q = a.get("queries")
+        if q is not None and set(q) != set(BENCH_QUERIES):
+            return None
+        float(a["clean_total_sec"])
+        return a
     except (OSError, ValueError, KeyError):
-        pass
-    return None
+        return None
+
+
+def _load_anchor(sf_dir: str, n_queries: int) -> float | None:
+    """Best-ever clean suite total for this shape (gate input)."""
+    a = _load_anchor_full(sf_dir, n_queries)
+    return float(a["clean_total_sec"]) if a is not None else None
+
+
+# A clean pass more than 10% over the anchor is still clean (the gate
+# bound is 1.3×) but warrants attribution: the emitted artifact names
+# the top-3 drifting queries so suite-level drift is never a bare
+# number again (VERDICT r11 #4).
+DRIFT_ATTRIB_RATIO = 1.1
+
+
+def _drift_top(
+    timings: dict[str, float], anchor_queries: dict[str, float], k: int = 3
+) -> dict[str, dict[str, float]]:
+    """Top-k queries by absolute excess over their anchor time."""
+    deltas = sorted(
+        ((t - anchor_queries.get(q, 0.0), q) for q, t in timings.items()),
+        reverse=True,
+    )
+    return {
+        q: {
+            "anchor_sec": anchor_queries.get(q),
+            "now_sec": timings[q],
+            "delta_sec": round(d, 3),
+        }
+        for d, q in deltas[:k]
+    }
 
 
 def _maybe_advance_anchor(
-    sf_dir: str, n_queries: int, total: float, clean: bool
+    sf_dir: str,
+    n_queries: int,
+    total: float,
+    clean: bool,
+    timings: dict[str, float] | None = None,
 ) -> None:
     """A clean run faster than the recorded anchor becomes the new
     anchor (same shape only). Monotone-decreasing, so a contended
-    session can never loosen the gate."""
+    session can never loosen the gate. The advancing run's per-query
+    times are persisted alongside the total so later drift is
+    attributable query-by-query (VERDICT r11 #4)."""
     if not clean:
         return
     current = _load_anchor(sf_dir, n_queries)
@@ -239,16 +287,15 @@ def _maybe_advance_anchor(
     # only create one when no anchor file exists at all.
     if current is None and os.path.exists(_anchor_path()):
         return
+    record = {
+        "sf_dir": sf_dir,
+        "n_queries": n_queries,
+        "clean_total_sec": round(total, 3),
+    }
+    if timings:
+        record["queries"] = {q: round(t, 3) for q, t in timings.items()}
     with open(_anchor_path(), "w") as fh:
-        json.dump(
-            {
-                "sf_dir": sf_dir,
-                "n_queries": n_queries,
-                "clean_total_sec": round(total, 3),
-            },
-            fh,
-            indent=1,
-        )
+        json.dump(record, fh, indent=1)
         fh.write("\n")
 
 
@@ -300,8 +347,23 @@ def main() -> None:
         if time.perf_counter() - t_start > MAX_WALL_SEC:
             break
     best, clean = _select_pass(passes, anchor)
-    _maybe_advance_anchor(SF_DIR, len(BENCH_QUERIES), best["total"], clean)
+    _maybe_advance_anchor(
+        SF_DIR, len(BENCH_QUERIES), best["total"], clean, best["timings"]
+    )
     timings, trace, cpu_mix = best["timings"], best["trace"], best["cpu_mix"]
+    # Per-query drift attribution (VERDICT r11 #4): a clean pass more
+    # than DRIFT_ATTRIB_RATIO over the anchor names its top-3 movers in
+    # the artifact instead of leaving a bare suite-level gap.
+    drift_top3 = None
+    anchor_full = _load_anchor_full(SF_DIR, len(BENCH_QUERIES))
+    if (
+        clean
+        and anchor is not None
+        and best["total"] > anchor * DRIFT_ATTRIB_RATIO
+        and anchor_full is not None
+        and anchor_full.get("queries")
+    ):
+        drift_top3 = _drift_top(timings, anchor_full["queries"])
     # Every individual run (incl. the two warm-ups) goes to a trace file
     # so environment-induced outliers (cold JVM, co-tenant load, GC) are
     # diagnosable after the fact — the driver only records the one-line
@@ -325,6 +387,7 @@ def main() -> None:
                 **cpu_mix,
                 "clean": clean,
                 "anchor_sec": anchor,
+                "drift_top3": drift_top3,
                 "passes": [
                     {"total": p["total"], **p["cpu_mix"]} for p in passes
                 ],
@@ -348,6 +411,7 @@ def main() -> None:
                 **cpu_mix,
                 "clean": clean,
                 "anchor_sec": anchor,
+                "drift_top3": drift_top3,
                 "passes_run": len(passes),
             }
         )

@@ -611,10 +611,12 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the DEFINITION of this audit (recall is measured against the
     exact top-5; a sublinear ground truth would beg the question) —
     the same exact-oracle-by-design status as colbert_maxsim_top3.
-    The production dial is a FIXED query panel (recall estimates
-    converge with panel size, independent of corpus size), making the
-    audit Θ(panel·N); the corpus-scaling panel here is what makes the
-    oracle cover every query the driver hashes.
+    The registered SCALE-SAFE twin is mrl_truncation_recall_scaled
+    (r12): both arms over the scaled-cells IVF candidate set —
+    constant per-query fan-out with the corpus-scaling panel intact —
+    auditing truncation against the SERVED index's ranking; the other
+    production dial (a FIXED query panel — recall estimates converge
+    with panel size) keeps this exact form at Θ(panel·N).
 
     100 TB shape: both rankings broadcast the query side and scan the
     corpus once each (the truncated scan reads 4× fewer bytes — at
@@ -635,6 +637,116 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     overlap = full.join(
         trunc,
+        (F.col("query_id") == F.col("t_query_id"))
+        & (F.col("neighbor_id") == F.col("t_neighbor_id")),
+        "left",
+    )
+    return overlap.groupBy("query_id").agg(
+        F.count("t_neighbor_id").alias("n_overlap_at5"),
+        (200000 * F.count("t_neighbor_id")).alias("recall_e6"),
+    )
+
+
+def _mrl_scaled_oracle_sql() -> str:
+    """Scaled MRL audit oracle: both arms over the scaled-cells IVF
+    candidate set (llm._knn_ivf_oracle_sql with unbounded k as the
+    `allc` CTE) — the full-dim arm is its knn_rank ≤ 5 slice, the
+    truncated arm re-ranks the SAME candidates by first-16-dims
+    cosine."""
+    from dist_keras_spark.plans.llm import _knn_ivf_oracle_sql
+
+    allc = _knn_ivf_oracle_sql(k=1 << 30, scaled_cells=True)
+    return f"""
+WITH allc AS ({allc}),
+c16 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+tscored AS (
+    SELECT a.query_id, a.neighbor_id,
+           round(
+             list_sum(list_transform(range(1, 17), i -> b.v[i] * q.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 17), i -> b.v[i] * b.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 17), i -> q.v[i] * q.v[i])))),
+             6) AS cosine
+    FROM allc a
+    JOIN c16 b ON b.vec_id = a.neighbor_id
+    JOIN c16 q ON q.vec_id = a.query_id
+),
+tranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS r FROM tscored),
+trunc5 AS (SELECT query_id, neighbor_id FROM tranked WHERE r <= 5),
+full5 AS (SELECT query_id, neighbor_id FROM allc WHERE knn_rank <= 5)
+SELECT f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap_at5,
+       CAST(200000 * count(t.neighbor_id) AS BIGINT) AS recall_e6
+FROM full5 f
+LEFT JOIN trunc5 t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@query("mrl_truncation_recall_scaled", oracle=_mrl_scaled_oracle_sql())
+def mrl_truncation_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of mrl_truncation_recall (VERDICT r11 #3a):
+    the same Matryoshka truncation audit — does the first-16-dims
+    ranking reproduce the full-64-dim top-5? — but BOTH arms rank the
+    scaled-cells IVF candidate set (_scaled_ivf_candidates: cells =
+    max(16, N div 1000), n_probe 8) instead of brute-force scanning
+    the corpus per query. Per-query cost is the constant ~8000-vector
+    fan-out, so the audit is Θ(queries · 8000) with the query panel
+    still ∝ N — the audit itself now scales with the corpus it
+    certifies, where the baseline is Θ(panel · N) = Θ(N²/20) by
+    construction (measured sf1→sf2 exp 2.12).
+
+    What changes semantically — and why it's the PRODUCTION question:
+    recall is measured against the full-dim ranking OF THE SERVED
+    INDEX's candidates (the deployed IVF), not against the exact
+    corpus-wide top-5 — i.e. "if I truncate my production index's
+    vectors to 16 dims, do I still serve the same top-5?" The exact
+    ground-truth audit stays available as the declared oracle-role
+    baseline (its regime note, colbert_maxsim precedent). Both arms
+    share ONE cell-assignment pass; the truncated arm re-ranks the
+    identical candidate pairs by prefix-slice cosine, so the
+    comparison isolates truncation — candidate drift contributes
+    exactly zero. Oracle replays candidates + both rankings as nested
+    CTEs; integer overlap counting, recall_e6 = overlap·2e5."""
+    from dist_keras_spark.functions.arrays import cosine_similarity
+    from dist_keras_spark.operators.dedup import spread
+    from dist_keras_spark.plans.analytics5 import _scaled_ivf_candidates
+
+    emb = spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
+    cand = _scaled_ivf_candidates(emb)
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("qvec", "cvec"), 6).alias("cos64"),
+        F.round(
+            cosine_similarity(
+                F.slice("qvec", 1, 16), F.slice("cvec", 1, 16)
+            ),
+            6,
+        ).alias("cos16"),
+    )
+    w64 = W.partitionBy("query_id").orderBy(
+        F.col("cos64").desc(), F.col("neighbor_id")
+    )
+    w16 = W.partitionBy("query_id").orderBy(
+        F.col("cos16").desc(), F.col("neighbor_id")
+    )
+    full5 = (
+        scored.withColumn("r", F.row_number().over(w64))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    trunc5 = (
+        scored.withColumn("r", F.row_number().over(w16))
+        .filter(F.col("r") <= 5)
+        .select(
+            F.col("query_id").alias("t_query_id"),
+            F.col("neighbor_id").alias("t_neighbor_id"),
+        )
+    )
+    overlap = full5.join(
+        trunc5,
         (F.col("query_id") == F.col("t_query_id"))
         & (F.col("neighbor_id") == F.col("t_neighbor_id")),
         "left",

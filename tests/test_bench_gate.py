@@ -156,3 +156,72 @@ def test_committed_anchor_matches_bench_query_list():
         "quiet window (run bench.py, commit the new anchor)"
     )
     assert payload["clean_total_sec"] > 0
+
+
+# ---------------------------------------------------------------------------
+# r12: per-query anchor schema + drift attribution (VERDICT r11 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_shape_integrity_rejects_key_mismatch(tmp_path, monkeypatch):
+    """The r10 bug being pinned: an anchor whose n_queries SAYS 22 but
+    whose underlying per-query list is a different set must be treated
+    as inapplicable, not silently gate apples against oranges."""
+    b = _bench()
+    anchor_file = tmp_path / "anchor.json"
+    monkeypatch.setenv("SPARK_GRAFT_ANCHOR", str(anchor_file))
+    bad = {
+        "sf_dir": "/x/sf0.1",
+        "n_queries": len(b.BENCH_QUERIES),
+        "clean_total_sec": 10.0,
+        "queries": {"not_a_bench_query": 10.0},
+    }
+    anchor_file.write_text(json.dumps(bad))
+    assert b._load_anchor("/x/sf0.1", len(b.BENCH_QUERIES)) is None
+    # a totals-only anchor (legacy schema) still applies
+    anchor_file.write_text(
+        json.dumps(
+            {
+                "sf_dir": "/x/sf0.1",
+                "n_queries": len(b.BENCH_QUERIES),
+                "clean_total_sec": 10.0,
+            }
+        )
+    )
+    assert b._load_anchor("/x/sf0.1", len(b.BENCH_QUERIES)) == 10.0
+
+
+def test_drift_attribution_names_top_movers():
+    b = _bench()
+    anchor_q = {"a": 1.0, "b": 2.0, "c": 0.5}
+    now = {"a": 1.05, "b": 3.4, "c": 0.9}
+    top = b._drift_top(now, anchor_q, k=2)
+    assert list(top) == ["b", "c"]
+    assert top["b"]["delta_sec"] == 1.4
+    assert top["b"]["anchor_sec"] == 2.0 and top["b"]["now_sec"] == 3.4
+
+
+def test_advance_persists_per_query_times(tmp_path, monkeypatch):
+    b = _bench()
+    anchor_file = tmp_path / "anchor.json"
+    monkeypatch.setenv("SPARK_GRAFT_ANCHOR", str(anchor_file))
+    t = {q: 0.5 for q in b.BENCH_QUERIES}
+    b._maybe_advance_anchor(
+        "/x/sf0.1", len(b.BENCH_QUERIES), sum(t.values()), clean=True, timings=t
+    )
+    rec = json.loads(anchor_file.read_text())
+    assert set(rec["queries"]) == set(b.BENCH_QUERIES)
+    assert b._load_anchor("/x/sf0.1", len(b.BENCH_QUERIES)) == sum(t.values())
+
+
+def test_committed_anchor_carries_per_query_times():
+    b = _bench()
+    payload = json.loads((REPO / "bench_anchor.json").read_text())
+    assert set(payload["queries"]) == set(b.BENCH_QUERIES), (
+        "BENCH_QUERIES changed: re-baseline bench_anchor.json on a "
+        "quiet window (run bench.py, commit the new anchor)"
+    )
+    assert (
+        abs(sum(payload["queries"].values()) - payload["clean_total_sec"])
+        < 0.01
+    )

@@ -442,3 +442,73 @@ def test_rrf_scaled_fusion_arithmetic(spark):
         assert [x["fused_rank"] for x in rs] == list(range(1, len(rs) + 1))
         nanos = [x["rrf_nano"] for x in rs]
         assert nanos == sorted(nanos, reverse=True)
+
+
+# ------------------------------------------------------------------ #
+# r12 holdout twins: ppjoin_dfcap / mrl scaled panel / blocking √N
+# ------------------------------------------------------------------ #
+
+
+def test_ppjoin_dfcap_structural_precision(spark):
+    """The df cap may only DROP pairs, never alter or add one: capped
+    output ⊆ lossless baseline with identical exact c/na/nb/jacc_e6 —
+    and at fixture scale recall is total (measured 25/25 at sf0.01,
+    256/256 at sf0.1, 197/197 at sf1)."""
+    from dist_keras_spark.plans.analytics6 import (
+        ppjoin_dfcap_pairs,
+        ppjoin_prefix_filter_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    key = lambda r: (r["id_a"], r["id_b"])
+    val = lambda r: (r["c"], r["na"], r["nb"], r["jacc_e6"])
+    base = {key(r): val(r) for r in _rows(ppjoin_prefix_filter_pairs, spark, sf)}
+    cap = {key(r): val(r) for r in _rows(ppjoin_dfcap_pairs, spark, sf)}
+    assert set(cap) <= set(base)
+    for k, v in cap.items():
+        assert base[k] == v
+    assert cap == base and len(cap) > 0
+
+
+def test_blocking_rootn_equals_sampled_at_fixture(spark):
+    """pct = clamp(1..50, ceil(100·40/√N)) clamps to 50 for every
+    fixture N ≤ 5000, where the √N twin must equal the fixed-50% form
+    cell-for-cell."""
+    from dist_keras_spark.plans.analytics6 import (
+        blocking_quality_rootn,
+        blocking_quality_sampled,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    base = _rows(blocking_quality_sampled, spark, sf)
+    twin = _rows(blocking_quality_rootn, spark, sf)
+    assert twin == base and len(twin) == 1
+
+
+def test_blocking_rootn_schedule():
+    """The integer-pct schedule: clamped at fixtures, √N past them."""
+    import math
+
+    pct = lambda n: min(50, max(1, math.ceil((100 * 40) / math.sqrt(n))))
+    assert pct(500) == 50
+    assert pct(5000) == 50
+    assert pct(50000) == 18
+    assert pct(100000) == 13
+    assert pct(4000 ** 2) == 1  # floor of the clamp
+
+
+def test_mrl_scaled_audit_invariants(spark):
+    """Scaled MRL audit: one row per served query, overlap ∈ [0, 5],
+    recall_e6 = overlap·2e5, and the query panel is exactly the
+    vec_id % 20 == 0 set that gets IVF candidates."""
+    from dist_keras_spark.plans.analytics7 import mrl_truncation_recall_scaled
+    from dist_keras_spark.plans.llm import knn_ivf_scaled_top5
+
+    sf = "/root/testdata/sf0.001"
+    rows = _rows(mrl_truncation_recall_scaled, spark, sf)
+    assert rows
+    served = {r["query_id"] for r in _rows(knn_ivf_scaled_top5, spark, sf)}
+    assert {r["query_id"] for r in rows} == served
+    for r in rows:
+        assert 0 <= r["n_overlap_at5"] <= 5
+        assert r["recall_e6"] == 200000 * r["n_overlap_at5"]

@@ -183,6 +183,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # Unmatched name filters fail LOUDLY (VERDICT r11 #6): a typo'd
+    # query name used to verify zero queries and exit 0 — a green gate
+    # that checked nothing.
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"UNKNOWN QUERY FILTER(S): {unknown}")
+        print("  (no such names in the registry — nothing was verified)")
+        return 2
+
     failures: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
