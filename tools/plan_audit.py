@@ -217,7 +217,11 @@ AUDITED = {
     "knn_ivf_scaled_top5": "scale-safe ANN twin: quantizer cells = max(16, N div 1000) with n_probe fixed at 8 — per-query candidate work constant (~8000 vectors); same md5-sampled centroid broadcast + cell-keyed candidate join as the pinned baseline",
     "cluster_cap_sample_lsh": "scale-safe cap twin: identical doc_id join + cluster-keyed window epilogue over neardup_cluster_lsh's band-bucket clusters — the quadratic exact-postings candidate stage swapped out, nothing else changes",
     "leakage_safe_split_lsh": "scale-safe split twin: scan-side md5 bucket of the LSH cluster id — the CC stage is neardup_cluster_lsh's (band buckets), split arithmetic identical to the baseline",
-    "rrf_fusion_scaled_top5": "scale-safe fusion twin: scaled-IVF ranking at depth 20 replaces the Theta(N^2/20) exact-L2 crossJoin arm; PQ arm + integer RRF epilogue are the baseline's shared helpers; FULL OUTER fuse stays candidate-sized",
+    "rrf_fusion_scaled_top5": "scale-safe fusion twin (r12 re-point): ONE shared scaled-cells assignment pass feeds BOTH arms — exact-cosine re-rank and PQ-ADC — over the same pruned candidate pool (constant ~8000/query); integer RRF epilogue; FULL OUTER fuse stays candidate-sized",
+    "ivf_pq_scaled_top5": "scale-safe IVF-PQ twin: coarse cells = max(16, N div 1000) with fixed probe 8 (constant per-query candidate fan-out); PQ codes/ADC table built in linear corpus x 16 broadcast joins; ADC scoring join candidate-sized",
+    "ppjoin_dfcap_pairs": "df<=64 cap on the prefix CANDIDATE index only (posting pairs per shingle constant); verify join still counts over FULL postings, so precision is structural; recall measured total at all 4 SFs",
+    "mrl_truncation_recall_scaled": "both audit arms rank the SAME scaled-IVF candidate pool (one assignment pass) — full-dim vs first-16-dims cosine windows; overlap agg per query; no corpus crossJoin anywhere",
+    "blocking_quality_rootn": "sqrt(N)-stratum certification: pct = clamp(1..50, ceil(100*40/sqrt(N))) evaluated once from the table count; candidate + exact-truth pair terms Theta(K^2*N); same banded/inverted-index shapes as the 50% form",
     "fellegi_sunter_sorted_neighborhood": "scale-safe ER twin: sorted-neighborhood candidates — noun-partitioned window rank, w-exploded probes equi-joined on (noun, rn) — exactly N*w scored pairs at any N vs the pinned-block baseline's Sum n_b^2",
     "ranking_mrr_ndcg_scaled": "scale-safe eval twin: the shared integer MRR/NDCG epilogue over knn_ivf_scaled_top5's ranking (constant per-query fan-out) instead of the brute-force int8 pass",
     "hard_negative_mining_scaled": "scale-safe mining twin: different-label filter + label lookups over the scaled-IVF ranking — mining from the production ANN index, candidate-sized epilogue",
