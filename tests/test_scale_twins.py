@@ -512,3 +512,21 @@ def test_mrl_scaled_audit_invariants(spark):
     for r in rows:
         assert 0 <= r["n_overlap_at5"] <= 5
         assert r["recall_e6"] == 200000 * r["n_overlap_at5"]
+
+
+def test_jaccard_lsh_tau06_equals_exact_at_fixture(spark):
+    """The threshold-tuned LSH rung must reproduce the exact τ = 0.6
+    answer with identical integer c/na/nb/jacc_e6 at fixture scale
+    (32×2 banding sized so the worst boundary pair is found; measured
+    full recall at sf1/sf2 too — see docstring)."""
+    from dist_keras_spark.plans.analytics6 import (
+        jaccard_lsh_pairs_tau06,
+        ppjoin_prefix_filter_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    key = lambda r: (r["id_a"], r["id_b"])
+    val = lambda r: (r["c"], r["na"], r["nb"], r["jacc_e6"])
+    exact = {key(r): val(r) for r in _rows(ppjoin_prefix_filter_pairs, spark, sf)}
+    lsh = {key(r): val(r) for r in _rows(jaccard_lsh_pairs_tau06, spark, sf)}
+    assert lsh == exact and len(lsh) > 0
