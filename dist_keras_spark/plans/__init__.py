@@ -43,70 +43,71 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics12,
 )
 
-# Round-11 window (VERDICT r10 #3): generated MECHANICALLY by
+# Round-12 window (VERDICT r11 #2): generated MECHANICALLY by
 # `python tools/verify_local.py --window-plan` (output committed below
-# verbatim) — never-checked first (the 9 r10 analytics10 additions the
-# r10 judge already ran hash-green at sf0.01, plus this round's 4
-# additions: 3 scale-safe twins + spearman_rank_strata) + the 37
-# oldest re-checks (last driver signal r2/r4). Never-checked debt
+# verbatim) — never-checked first (the 18 r11 post-window additions
+# the r11 judge already ran 19/19 hash-green at sf0.01, plus this
+# round's 6 additions: ivf_pq_scaled_top5, rrf_fusion_scaled_top5
+# re-point, ppjoin_dfcap_pairs, jaccard_lsh_pairs_tau06,
+# mrl_truncation_recall_scaled, blocking_quality_rootn) + the 26
+# oldest re-checks (last driver signal r4/r5). Never-checked debt
 # returns to ZERO in this window, per the steady-state rule in
-# .claude/skills/verify/SKILL.md (additions per round ≤ window slack
-# after never-checked-first ordering; this round added 4 ≤ the
-# 41-slot cap VERDICT r10 #3 set). Every name in this window was
-# verified hash-green at sf0.01 this session (tools/verify_local.py).
+# .claude/skills/verify/SKILL.md (this round added 6 ≤ the 31-slot
+# cap VERDICT r11 #2 set). Every name in this window was verified
+# hash-green at sf0.01 this session (tools/verify_local.py).
 # oracle=None queries are never promoted (driver errors on them).
-# window plan: 13 never-checked, 37 re-checks (oldest round first), 364 oracle-backed total
+# window plan: 24 never-checked, 26 re-checks (oldest round first), 388 oracle-backed total
 registry.promote(
-    "tfidf_cosine_pairs_dfcap",  # never checked
-    "semdedup_scaled_cells",  # never checked
-    "colbert_rerank_top3",  # never checked
-    "spearman_rank_corr",  # never checked
-    "cusum_drift_detect",  # never checked
-    "autocorr_ljung_box",  # never checked
-    "chao1_vocab_richness",  # never checked
-    "chapman_capture_recapture",  # never checked
-    "rbo_ranking_overlap",  # never checked
-    "quantile_normalize_acctbal",  # never checked
-    "fellegi_sunter_linkage_score",  # never checked
-    "embedding_mmd_drift",  # never checked
-    "spearman_rank_strata",  # never checked
-    "tpch_q15_top_supplier",  # last r2
-    "tpch_q21_waiting_supplier",  # last r2
-    "sql_scalar_subquery",  # last r2
-    "pricing_summary",  # last r2
-    "tpch_q4_order_priority",  # last r2
-    "tpch_q16_supplier_cnt",  # last r2
-    "tpch_q14_promo_revenue",  # last r2
-    "tpch_q13_customer_distribution",  # last r2
-    "win_rank_orders",  # last r2
-    "win_running_sum",  # last r2
-    "win_ntile",  # last r2
-    "win_distribution_funcs",  # last r2
-    "scalar_string_funcs",  # last r2
-    "scalar_date_funcs",  # last r2
-    "scalar_conditional",  # last r2
-    "scalar_array_funcs",  # last r2
-    "scalar_hash_funcs",  # last r2
-    "multimodal_blob_features",  # last r2
-    "tpch_q5_local_supplier",  # last r4
-    "scalar_math_funcs",  # last r4
-    "multimodal_resize",  # last r4
-    "tpch_q7_nation_volume",  # last r4
-    "tpch_q17_small_quantity",  # last r4
-    "tpch_q19_disjunctive",  # last r4
-    "tpch_q22_global_sales",  # last r4
-    "tpch_q8_market_share",  # last r4
-    "tpch_q12_shipmode_priority",  # last r4
-    "tpch_q9_product_profit",  # last r4
-    "agg_basic_stats",  # last r4
-    "agg_count_distinct",  # last r4
-    "agg_rollup",  # last r4
-    "agg_cube",  # last r4
-    "agg_collect_set",  # last r4
-    "agg_median_percentile",  # last r4
-    "agg_variance_corr",  # last r4
-    "agg_pivot",  # last r4
-    "agg_weighted_avg",  # last r4
+    "dedup_embedding_scaled_planes",  # never checked
+    "neardup_cluster_lsh",  # never checked
+    "knn_ivf_scaled_top5",  # never checked
+    "ivf_pq_scaled_top5",  # never checked
+    "rrf_fusion_scaled_top5",  # never checked
+    "ranking_mrr_ndcg_scaled",  # never checked
+    "jaccard_lsh_pairs_tau06",  # never checked
+    "ppjoin_dfcap_pairs",  # never checked
+    "hard_negative_mining_scaled",  # never checked
+    "leakage_safe_split_lsh",  # never checked
+    "blocking_quality_rootn",  # never checked
+    "mrl_truncation_recall_scaled",  # never checked
+    "cluster_cap_sample_lsh",  # never checked
+    "incremental_dedup_dfcap",  # never checked
+    "quantile_normalize_distributed",  # never checked
+    "fellegi_sunter_sorted_neighborhood",  # never checked
+    "chunk_dedup_16word",  # never checked
+    "dup_chunk_cluster_mass",  # never checked
+    "cross_source_dup_chunks",  # never checked
+    "simpson_word_diversity",  # never checked
+    "embedding_defect_scan",  # never checked
+    "packing_fragmentation_rate",  # never checked
+    "unigram_surprisal_quality",  # never checked
+    "heldout_bigram_surprisal",  # never checked
+    "agg_accuracy_evaluator",  # last r4
+    "dedup_embedding_cosine",  # last r4
+    "csv_roundtrip",  # last r4
+    "json_roundtrip",  # last r4
+    "inmemory_dim_join",  # last r4
+    "parquet_sink_roundtrip",  # last r4
+    "random_shuffle_multiset",  # last r4
+    "cached_scan_reuse",  # last r4
+    "udtf_token_explode",  # last r4
+    "barrier_allreduce_dims",  # last r4
+    "salted_join_skew",  # last r4
+    "salted_count_hotkey",  # last r4
+    "feature_reshape",  # last r4
+    "knn_lsh_top5",  # last r4
+    "join_asof",  # last r5
+    "join_asof_tolerance",  # last r5
+    "join_range_binned",  # last r5
+    "win_lag_lead",  # last r5
+    "win_range_frame",  # last r5
+    "win_first_last",  # last r5
+    "scalar_json_map",  # last r5
+    "streaming_tumbling_live",  # last r5
+    "streaming_interval_join_live",  # last r5
+    "multimodal_fake_decode",  # last r5
+    "streaming_foreachbatch_sink",  # last r5
+    "streaming_dedup_live",  # last r5
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

@@ -845,7 +845,10 @@ def colbert_maxsim_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     MEASURED at 10× (r10 scaling sweep): exp ≈ 1.49, the highest in
     the catalog — queries AND corpus both scale, so exact MaxSim is
-    inherently quadratic with a 16-fold constant. This is the exact
+    inherently quadratic with a 16-fold constant; the sf1→sf2 second
+    step (r12, manual single-op protocol) measures exp 1.94 — the
+    asymptote arriving exactly as the construction predicts
+    (52.7s → 202.3s; pair count ×4 at a ×2 step). This is the exact
     BASELINE by design; the production shape is retrieve-then-rerank
     (Khattab & Zaharia §3.3): single-vector ANN candidates first
     (knn_ivf / mrl_truncation machinery), MaxSim only over the ≤k
