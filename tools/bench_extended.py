@@ -200,6 +200,13 @@ EXTENDED = [
     "tfidf_cosine_pairs_dfcap",
     "semdedup_scaled_cells",
     "colbert_rerank_top3",
+    # r12 scale-safe twins (PQ family + ppjoin rungs + audits)
+    "ivf_pq_scaled_top5",
+    "rrf_fusion_scaled_top5",
+    "ppjoin_dfcap_pairs",
+    "jaccard_lsh_pairs_tau06",
+    "mrl_truncation_recall_scaled",
+    "blocking_quality_rootn",
 ]
 
 
