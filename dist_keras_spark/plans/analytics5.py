@@ -1745,9 +1745,12 @@ def _scaled_ivf_candidates(
     (documented, inherited from knn_ivf_scaled_top5): the centroid
     sample is a driver collect of ~N/1000 × dim doubles — ~0.5 MB/M
     rows; production caps cells (hierarchical coarse quantizers) past
-    ~1e5 cells. The query side is broadcast at fixture scale; at
-    100 TB swap the hint for a shuffle-hash join keyed on cell —
-    candidates, not the corpus, are what moves either way."""
+    ~1e5 cells. The probe join carries NO broadcast hint (the
+    hard_negative_mining_scaled / unigram_surprisal ADVICE class: the
+    exploded query panel is ∝ N·n_probe rows, not driver-sized) —
+    AQE broadcasts it while it measures small and shuffle-hash-joins
+    on cell past that; candidates, not the corpus, are what moves
+    either way."""
     import numpy as np
 
     from dist_keras_spark.operators.similarity import (
@@ -1771,7 +1774,7 @@ def _scaled_ivf_candidates(
         F.explode(_cell_assign_udf(cents, n_probe)("embedding")).alias("cell"),
     )
     return (
-        c.join(F.broadcast(q), "cell")
+        c.join(q, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qvec", "neighbor_id", "cvec")
     )
