@@ -55,6 +55,18 @@ TOUR = [
     ("hard_negative_mining_top5", "ANN-mined different-label hard negatives for contrastive training"),
     ("ranking_mrr_ndcg_at5", "integer MRR/NDCG@5 of the ANN ranking vs label relevance"),
     ("bootstrap_ci_mean", "…and the 90% percentile CI composed from the bootstrap replicas"),
+    # rounds 11-12: the scale-safe production forms of every stop the
+    # two-step scaling sweep measured quadratic — same answers (or the
+    # served-index variant), sub-quadratic machinery
+    ("neardup_cluster_lsh", "near-dup CLUSTERS from MinHash-band candidates — saturation-immune"),
+    ("leakage_safe_split_lsh", "…and the cluster-keyed split over those LSH clusters"),
+    ("knn_ivf_scaled_top5", "IVF with cells ∝ N, fixed probe — constant per-query fan-out"),
+    ("ivf_pq_scaled_top5", "IVF-PQ under the same schedule — the FAISS-shape compressed index"),
+    ("rrf_fusion_scaled_top5", "hybrid fusion: exact + PQ arms over ONE pruned candidate pool"),
+    ("jaccard_lsh_pairs_tau06", "exact τ=0.6 similarity join from threshold-tuned LSH candidates"),
+    ("mrl_truncation_recall_scaled", "Matryoshka truncation audited against the SERVED index"),
+    ("blocking_quality_rootn", "blocking certification on a √N stratum — fixed-precision, linear cost"),
+    ("unigram_surprisal_quality", "CCNet-style LM surprisal quality score, micro-nat integers"),
 ]
 
 
