@@ -1531,6 +1531,47 @@ def knn_ivf_persisted_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_ivf_persisted_scaled_top5",
+    oracle=_knn_ivf_oracle_sql(scaled_cells=True),
+)
+def knn_ivf_persisted_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition at 100 TB (r12): BUILD-ONCE storage
+    pruning AND the N-proportional quantizer in one registered query —
+    the corpus materialized parquet partitioned by a cells =
+    max(16, N div 1000) quantizer (knn_ivf_scaled_top5's schedule),
+    searched from disk with fixed n_probe = 8. Each search reads only
+    its probed cell DIRECTORIES (partition pruning pays the
+    n_probe·N/cells ≈ 8000-vector cost cut at the storage layer), and
+    because cells grow with the corpus, that per-query read stays
+    CONSTANT as the index grows — the pinned-16-cell persisted
+    baseline re-reads n_probe/16 of everything (sf1→sf2 exp 1.95).
+
+    Same md5 centroid sample, same Arrow assignment, same re-rank as
+    the inline scaled form, so output EQUALS knn_ivf_scaled_top5
+    row-for-row (pytest-pinned) and the same generated oracle applies.
+    The scratch path encodes the cell count (build_ivf_index's
+    path-encodes-params contract), so fixture-size and scaled builds
+    never collide. Inherits the documented centroid driver ceiling
+    (knn_ivf_scaled_top5 note)."""
+    from dist_keras_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from dist_keras_spark.sources.sinks import scratch_path
+
+    e = _lt(spark, sf_dir, "embeddings")
+    cells = max(16, e.count() // 1000)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = scratch_path(spark, f"ivf_index_scaled_{tag}_c{cells}")
+    build_ivf_index(e, path, "vec_id", "embedding", n_cells=cells, seed=42)
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    out = search_ivf_index(spark, path, q, "vec_id", "embedding", k=5, n_probe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
+    )
+
+
 def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
     """DuckDB SQL replaying TWO exact Lloyd iterations (see
     kmeans_lloyd_two_iters). All distance comparisons happen on

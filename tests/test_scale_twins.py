@@ -530,3 +530,19 @@ def test_jaccard_lsh_tau06_equals_exact_at_fixture(spark):
     exact = {key(r): val(r) for r in _rows(ppjoin_prefix_filter_pairs, spark, sf)}
     lsh = {key(r): val(r) for r in _rows(jaccard_lsh_pairs_tau06, spark, sf)}
     assert lsh == exact and len(lsh) > 0
+
+
+def test_knn_ivf_persisted_scaled_equals_inline(spark):
+    """The persisted scaled index (build-once + partition pruning)
+    must reproduce the inline scaled form row-for-row — same sample,
+    same assignment kernel, same re-rank, different cost location."""
+    from dist_keras_spark.plans.llm import knn_ivf_persisted_scaled_top5
+
+    sf = "/root/testdata/sf0.01"
+    key = lambda r: (r["query_id"], r["knn_rank"])
+    inline = {key(r): r["neighbor_id"] for r in _rows(knn_ivf_scaled_top5, spark, sf)}
+    persisted = {
+        key(r): r["neighbor_id"]
+        for r in _rows(knn_ivf_persisted_scaled_top5, spark, sf)
+    }
+    assert persisted == inline and len(persisted) > 0

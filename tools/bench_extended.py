@@ -207,6 +207,7 @@ EXTENDED = [
     "jaccard_lsh_pairs_tau06",
     "mrl_truncation_recall_scaled",
     "blocking_quality_rootn",
+    "knn_ivf_persisted_scaled_top5",
 ]
 
 
