@@ -726,7 +726,15 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exhaustive over codes — at real scale the SAME codes join
     composes with the IVF cell pruning (knn_ivf_persisted_top5) for
     the classic IVF-PQ index; 4-bit codes cut the corpus to
-    64 bits/vector, which is the whole point."""
+    64 bits/vector, which is the whole point.
+
+    Two-step regime note (sf1→sf2 sweep, r12): exp 1.89 — the
+    exhaustive code-sharing join is Θ(N·queries) with a corpus-
+    scaling panel, quadratic by construction (the knn_bruteforce
+    regime in the compressed domain). Declared flat-ADC ORACLE
+    baseline; the registered scale-safe composition is
+    ivf_pq_scaled_top5 (ADC only within probed scaled cells, exp
+    0.80), persisted form knn_ivf_persisted_scaled_top5."""
     # spread() first (r10 scaling sweep): the corpus-wide quantize +
     # subspace-distance folds are INTERPRETED HOFs, and the local
     # single-partition scan would serialize them onto one core; at
@@ -861,7 +869,15 @@ def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline you run on a SAMPLE of queries to certify the index
     (here every 20th vector); the PQ side reuses the codes/table
     joins of pq_adc_top5. Self-measurement composes: swap the PQ CTE
-    for the IVF-PQ one to certify cell-pruning loss too."""
+    for the IVF-PQ one to certify cell-pruning loss too.
+
+    Two-step regime note (sf1→sf2 sweep, r12): exp 1.95 — the exact
+    arm is a queries×corpus crossJoin and the panel scales with the
+    corpus, so the audit is Θ(N²/20) BY DEFINITION (recall against
+    the exact top-5; the mrl_truncation_recall / colbert_maxsim
+    status). Declared exact-audit baseline; the registered scale-safe
+    audit of the same index family is pq_recall_vs_served (both arms
+    over the shared scaled-cells candidate pool, r12)."""
     pq5 = pq_adc_top5(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
@@ -1997,6 +2013,81 @@ def rrf_fusion_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_pq",
     )
     return _rrf_fuse(exr, pqr)
+
+
+def _pq_recall_served_oracle_sql() -> str:
+    """Served-index PQ recall oracle: the two REGISTERED scaled
+    rankings wrapped as CTEs (the house wrap-the-registered-oracle
+    pattern), overlap-counted per query."""
+    from dist_keras_spark.plans.registry import ORACLE
+
+    return f"""
+WITH ex5 AS ({ORACLE["knn_ivf_scaled_top5"]}),
+pq5 AS ({ORACLE["ivf_pq_scaled_top5"]})
+SELECT e.query_id,
+       CAST(count(p.neighbor_id) AS BIGINT) AS n_common,
+       CAST(floor(count(p.neighbor_id) / 5.0 * 1000000.0) AS BIGINT)
+           AS recall_micro
+FROM ex5 e LEFT JOIN pq5 p
+  ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@query("pq_recall_vs_served", oracle=_pq_recall_served_oracle_sql())
+def pq_recall_vs_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of pq_recall_vs_exact (r12): recall@5 of
+    the PQ-ADC ranking against the exact-cosine ranking OF THE SERVED
+    INDEX's candidates — both arms over one shared scaled-cells
+    candidate pass (_scaled_ivf_candidates), so the audit isolates
+    COMPRESSION loss (the two arms see identical candidates; cell-
+    pruning loss contributes exactly zero) at constant ~8000-vector
+    per-query cost, Θ(queries · 8000) total with the corpus-scaling
+    panel intact. The baseline audits against the corpus-wide exact
+    top-5 and is Θ(N²/20) by definition (measured exp 1.95); this is
+    the question a deployed IVF-PQ actually answers — "what did PQ
+    compression cost me on the index I serve?" — the
+    mrl_truncation_recall_scaled pattern applied to the PQ family.
+
+    The exact arm reproduces knn_ivf_scaled_top5's pairs and the PQ
+    arm ivf_pq_scaled_top5's (same helpers, same ordering), so the
+    oracle wraps those two REGISTERED SQL rankings verbatim — recall
+    here is pinned to exactly the rankings the driver already
+    hash-checks. Integer overlap counting; recall_micro =
+    floor(overlap/5 · 1e6)."""
+    emb = _spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
+    cand = _scaled_ivf_candidates(emb)
+    scored = cand.withColumn(
+        "cosine", F.round(_cosine_similarity("qvec", "cvec"), 6)
+    )
+    exw = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    ex5 = (
+        scored.withColumn("r", F.row_number().over(exw))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.select("vec_id", _quant().alias("v"))
+    codes, qtab = _pq_codes_qtab(q)
+    pq5 = _pq_adc_rank(
+        cand.select("query_id", "neighbor_id"), codes, qtab, depth=5
+    ).select(
+        F.col("query_id").alias("pq_query"),
+        F.col("neighbor_id").alias("pq_neighbor"),
+    )
+    joined = ex5.join(
+        pq5,
+        (F.col("query_id") == F.col("pq_query"))
+        & (F.col("neighbor_id") == F.col("pq_neighbor")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("pq_neighbor").alias("n_common"),
+        F.floor(F.count("pq_neighbor") / F.lit(5.0) * F.lit(1000000.0))
+        .cast("long")
+        .alias("recall_micro"),
+    )
 
 
 @query(

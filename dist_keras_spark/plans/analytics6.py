@@ -2379,7 +2379,18 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen gram rows (_portable_minhash_sig — the r9 rewrite off the
     interpreted transform() chain); the exact side reuses the
     inverted-index join. The production path stays the Arrow kernel
-    (k=64, banded); this query is its portable accuracy audit."""
+    (k=64, banded); this query is its portable accuracy audit.
+
+    Two-step regime note (sf1→sf2 sweep, r12): exp 2.49 — the exact
+    side is the 3-gram inverted-index join, which saturates the
+    synthetic 31-word vocab's 31³ ≈ 30k shingle space (the
+    neardup_cluster_assign mechanism, measured 2.36 on the same join;
+    see ppjoin_prefix_pairs for the space-vs-plan controls). Declared
+    exact-audit baseline; the production dial for estimator
+    certification is the √N stratum (blocking_quality_rootn's
+    schedule applies verbatim: the audit needs PAIRS to measure error
+    on, and a √N document stratum keeps the pair sample growing while
+    the exact join stays Θ(K²N))."""
     from dist_keras_spark.operators.dedup import jaccard_pairs
 
     d = _lt(spark, sf_dir, "documents")

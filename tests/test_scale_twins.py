@@ -546,3 +546,19 @@ def test_knn_ivf_persisted_scaled_equals_inline(spark):
         for r in _rows(knn_ivf_persisted_scaled_top5, spark, sf)
     }
     assert persisted == inline and len(persisted) > 0
+
+
+def test_pq_recall_vs_served_invariants(spark):
+    """Served-index PQ recall: one row per served query, overlap ∈
+    [0,5], recall_micro = floor(overlap/5·1e6), and the panel equals
+    the scaled-IVF ranking's query set."""
+    from dist_keras_spark.plans.analytics5 import pq_recall_vs_served
+
+    sf = "/root/testdata/sf0.001"
+    rows = _rows(pq_recall_vs_served, spark, sf)
+    assert rows
+    served = {r["query_id"] for r in _rows(knn_ivf_scaled_top5, spark, sf)}
+    assert {r["query_id"] for r in rows} == served
+    for r in rows:
+        assert 0 <= r["n_common"] <= 5
+        assert r["recall_micro"] == (r["n_common"] * 1_000_000) // 5

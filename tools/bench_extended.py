@@ -208,6 +208,7 @@ EXTENDED = [
     "mrl_truncation_recall_scaled",
     "blocking_quality_rootn",
     "knn_ivf_persisted_scaled_top5",
+    "pq_recall_vs_served",
 ]
 
 

@@ -222,6 +222,7 @@ AUDITED = {
     "ppjoin_dfcap_pairs": "df<=64 cap on the prefix CANDIDATE index only (posting pairs per shingle constant); verify join still counts over FULL postings, so precision is structural; recall measured total at all 4 SFs",
     "mrl_truncation_recall_scaled": "both audit arms rank the SAME scaled-IVF candidate pool (one assignment pass) — full-dim vs first-16-dims cosine windows; overlap agg per query; no corpus crossJoin anywhere",
     "knn_ivf_persisted_scaled_top5": "build-once index partitioned by the cells-proportional-to-N quantizer; search reads ONLY probed cell directories (partition pruning at the storage layer); constant per-query read at any N",
+    "pq_recall_vs_served": "compression-loss audit over ONE shared scaled-cells candidate pass - both arms candidate-bounded; overlap agg per query; no corpus crossJoin",
     "jaccard_lsh_pairs_tau06": "threshold-tuned banding (32 bands x 2 rows of k=64) - band keys are signature slices, immune to shingle-space saturation; candidates bucket-joined then exact-verified on full sets; one corpus scan feeds both signature and verify sides",
     "blocking_quality_rootn": "sqrt(N)-stratum certification: pct = clamp(1..50, ceil(100*40/sqrt(N))) evaluated once from the table count; candidate + exact-truth pair terms Theta(K^2*N); same banded/inverted-index shapes as the 50% form",
     "fellegi_sunter_sorted_neighborhood": "scale-safe ER twin: sorted-neighborhood candidates — noun-partitioned window rank, w-exploded probes equi-joined on (noun, rn) — exactly N*w scored pairs at any N vs the pinned-block baseline's Sum n_b^2",
