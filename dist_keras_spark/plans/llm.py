@@ -716,7 +716,18 @@ def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact re-rank within buckets. Hash-verified against a generated
     DuckDB oracle that replays the same seeded hyperplanes as SQL
     literals (see _knn_lsh_oracle_sql) — the approximate candidate
-    structure itself is deterministic, so the check is exact."""
+    structure itself is deterministic, so the check is exact.
+
+    Two-step regime note (sf1→sf2 sweep, r12): exp 1.12 — under the
+    1.3 flag, but the mechanism is the pinned-parameter one: 4 planes
+    ⇒ 16 buckets/table, so in-bucket candidate pairs grow ∝ N²/16
+    once N ≫ buckets (the dedup_embedding_cosine 8-bit mechanism,
+    arriving later because re-rank is per-query top-k, not all
+    pairs). The registered growing-parameter dials are
+    dedup_embedding_scaled_planes (band bits k = Θ(log N) from a
+    fixed layout) and the IVF route (knn_ivf_scaled_top5, cells ∝ N);
+    the same plane schedule applies verbatim here if this index is
+    kept past ~1M vectors."""
     e = _lt(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
     out = knn_lsh(e, q, "vec_id", "embedding", k=5, n_planes=4, tables=8, seed=42, dim=64)
