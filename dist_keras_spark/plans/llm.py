@@ -736,6 +736,169 @@ def knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP_PLANES_SEED = 7
+_MP_N_PLANES = 8
+_MP_FLIPS = 3
+
+
+def _mp_planes():
+    from dist_keras_spark.operators.similarity import _hyperplanes
+
+    return _hyperplanes(64, _MP_N_PLANES, _MP_PLANES_SEED)
+
+
+def _knn_lsh_multiprobe_oracle_sql(k: int = 5) -> str:
+    """Generated oracle replaying multi-probe LSH end-to-end: the same
+    seeded hyperplanes as SQL literals (the _knn_lsh_oracle_sql
+    technique), sign-bit bucket, margin ranking by (|projection|, bit),
+    the 3 lowest-margin single-bit flips as extra probes, candidate
+    join, exact cosine re-rank."""
+    rows = []
+    for j, w in enumerate(_mp_planes()):
+        lit = "[" + ", ".join(repr(float(x)) for x in w) + "]::DOUBLE[]"
+        rows.append(f"({j}, {lit})")
+    values = ",\n  ".join(rows)
+    cos = """round(
+             list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6)"""
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(j, w) AS (VALUES
+  {values}),
+proj AS (
+    SELECT c.vec_id, p.j,
+           list_sum(list_transform(range(1, 65), i -> c.v[i] * p.w[i])) AS pr
+    FROM corpus c CROSS JOIN planes p),
+sig AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN pr > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+    FROM proj GROUP BY vec_id),
+marg AS (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY abs(pr), j) AS rk
+    FROM proj),
+probes AS (
+    SELECT vec_id, bucket AS pb FROM sig WHERE vec_id % 20 = 0
+    UNION ALL
+    SELECT m.vec_id, CAST(xor(s.bucket, (1 << m.j)) AS INT) AS pb
+    FROM marg m JOIN sig s USING (vec_id)
+    WHERE m.rk <= {_MP_FLIPS} AND m.vec_id % 20 = 0),
+cand AS (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM probes p JOIN sig c ON c.bucket = p.pb
+    WHERE c.vec_id <> p.vec_id),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+    FROM cand
+    JOIN corpus a ON a.vec_id = cand.query_id
+    JOIN corpus b ON b.vec_id = cand.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS knn_rank
+           FROM scored)
+SELECT query_id, neighbor_id, knn_rank, cosine FROM ranked WHERE knn_rank <= {k}
+"""
+
+
+@query("knn_lsh_multiprobe_top5", oracle=_knn_lsh_multiprobe_oracle_sql())
+def knn_lsh_multiprobe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 third LSH form: MULTI-PROBE query-directed probing (Lv et
+    al. 2007, public knowledge) — ONE hash table of 8 sign-bit planes
+    (256 buckets), and each query probes its own bucket PLUS the 3
+    buckets reached by flipping its lowest-|margin| sign bits (the
+    bits most likely to be wrong for a boundary vector). The classic
+    memory dial: multi-probe trades extra probes for fewer tables —
+    knn_lsh_top5 stores 8 tables × 4 planes to get its recall; this
+    form stores ONE table and recovers boundary recall at query time,
+    an 8× index-memory cut.
+
+    Determinism/oracle: planes are seeded literals replayed in SQL;
+    bucket bits, margin ranking (|projection| asc, bit asc) and the
+    single-bit XOR flips are exact integer/float arithmetic both
+    engines compute identically (the accepted near-tie note of
+    _knn_lsh_oracle_sql applies to sign and margin-order ties —
+    measure-zero on continuous data). Probe buckets are distinct by
+    construction (distinct flipped bits), so the candidate union is
+    duplicate-free without a DISTINCT.
+
+    100 TB shape: projections/bucket are scan-side literal-plane
+    folds (no UDF, no shuffle); the probe join is a bucket equi-join
+    with 4 probe rows per query; re-rank windows on query_id. The
+    pinned 8-bit bucket space shares knn_lsh_top5's regime ceiling
+    (in-bucket mass ∝ N²/256 eventually) — the growing-parameter
+    dials named there apply verbatim; multi-probe is orthogonal to
+    (and composes with) both."""
+    from dist_keras_spark.functions.arrays import cosine_similarity
+    from dist_keras_spark.operators.dedup import spread
+
+    planes = _mp_planes()
+    e = spread(_lt(spark, sf_dir, "embeddings"), "vec_id")
+    projs = []
+    for plane in planes:
+        projs.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    bucket = F.lit(0)
+    for j in range(_MP_N_PLANES):
+        bucket = bucket + F.when(projs[j] > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    margs = F.array(
+        *[
+            F.struct(F.abs(projs[j]).alias("m"), F.lit(j).alias("j"))
+            for j in range(_MP_N_PLANES)
+        ]
+    )
+    base = e.select(
+        "vec_id",
+        "embedding",
+        bucket.cast("int").alias("bucket"),
+        margs.alias("margs"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "bucket",
+    )
+    q = (
+        base.filter(F.col("vec_id") % 20 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.explode(
+                F.expr(
+                    "concat(array(bucket), "
+                    f"transform(slice(sort_array(margs), 1, {_MP_FLIPS}), "
+                    "s -> cast(bucket ^ shiftleft(1, s.j) as int)))"
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_similarity("qvec", "cvec"), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= 5)
+        .select("query_id", "neighbor_id", "knn_rank", "cosine")
+    )
+
+
 def _knn_ivf_oracle_sql(
     n_cells: int = 16,
     n_probe: int = 8,

@@ -562,3 +562,49 @@ def test_pq_recall_vs_served_invariants(spark):
     for r in rows:
         assert 0 <= r["n_common"] <= 5
         assert r["recall_micro"] == (r["n_common"] * 1_000_000) // 5
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe candidates are a strict superset of own-bucket
+    candidates (probe set = own bucket + 3 flips), so per query the
+    result count and the best cosine can only improve vs probing the
+    own bucket alone."""
+    from pyspark.sql import functions as F2
+    from dist_keras_spark.functions.arrays import cosine_similarity
+    from dist_keras_spark.operators.similarity import lsh_bucket_expr
+    from dist_keras_spark.plans.llm import _mp_planes, knn_lsh_multiprobe_top5
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    mp = {}
+    for r in _rows(knn_lsh_multiprobe_top5, spark, sf):
+        best, n = mp.get(r["query_id"], (-2.0, 0))
+        mp[r["query_id"]] = (max(best, r["cosine"]), n + 1)
+    emb = load_table(spark, sf, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_expr("embedding", _mp_planes()).alias("bucket"),
+    )
+    q = b.filter(F2.col("vec_id") % 20 == 0).select(
+        F2.col("vec_id").alias("query_id"),
+        F2.col("embedding").alias("qvec"),
+        "bucket",
+    )
+    own = (
+        b.join(q, "bucket")
+        .filter(F2.col("query_id") != F2.col("vec_id"))
+        .select(
+            "query_id",
+            F2.round(cosine_similarity("qvec", "embedding"), 6).alias("cos"),
+        )
+        .groupBy("query_id")
+        .agg(F2.max("cos").alias("best"), F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    )
+    assert mp, "multiprobe returned nothing"
+    for r in own:
+        assert r["query_id"] in mp  # own bucket non-empty ⇒ mp non-empty
+        best_mp, n_mp = mp[r["query_id"]]
+        assert best_mp >= r["best"]
+        assert n_mp >= min(5, r["n"])

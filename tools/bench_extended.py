@@ -209,6 +209,7 @@ EXTENDED = [
     "blocking_quality_rootn",
     "knn_ivf_persisted_scaled_top5",
     "pq_recall_vs_served",
+    "knn_lsh_multiprobe_top5",
 ]
 
 
