@@ -67,6 +67,8 @@ TOUR = [
     ("mrl_truncation_recall_scaled", "Matryoshka truncation audited against the SERVED index"),
     ("blocking_quality_rootn", "blocking certification on a √N stratum — fixed-precision, linear cost"),
     ("unigram_surprisal_quality", "CCNet-style LM surprisal quality score, micro-nat integers"),
+    ("knn_lsh_multiprobe_top5", "multi-probe LSH: one table, margin-directed extra probes"),
+    ("pq_recall_vs_served", "what PQ compression costs on the index actually served"),
 ]
 
 
