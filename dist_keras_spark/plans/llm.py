@@ -826,7 +826,9 @@ def knn_lsh_multiprobe_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds (no UDF, no shuffle); the probe join is a bucket equi-join
     with 4 probe rows per query; re-rank windows on query_id. The
     pinned 8-bit bucket space shares knn_lsh_top5's regime ceiling
-    (in-bucket mass ∝ N²/256 eventually) — the growing-parameter
+    (in-bucket mass ∝ N²/256 eventually) — measured 10× exp 0.08
+    (overhead-dominated) and sf1→sf2 exp 1.19 (the ceiling arriving,
+    still under the 1.3 flag at 100k vectors); the growing-parameter
     dials named there apply verbatim; multi-probe is orthogonal to
     (and composes with) both."""
     from dist_keras_spark.functions.arrays import cosine_similarity
