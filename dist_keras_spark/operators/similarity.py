@@ -561,13 +561,22 @@ def search_ivf_index(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe: int = 4,
+    delta_paths: tuple[str, ...] = (),
 ) -> DataFrame:
     """Search a `build_ivf_index` layout: queries are assigned their
     `n_probe` nearest cells with the PERSISTED centroids (model-sized
     driver read — no resample, so build and search stay consistent),
     then joined against the cell-partitioned corpus and exactly
     re-ranked within probed cells. The broadcast query side keeps the
-    index in place; only probed partitions are read."""
+    index in place; only probed partitions are read.
+
+    `delta_paths` (r12): additional cell-partitioned segments written
+    AFTER the base build (new vectors assigned with the SAME persisted
+    centroids — see ivf_search_base_delta_top5) are unioned into the
+    search. This is the LSM-ish freshness pattern: appends land as
+    delta segments without touching the base or re-clustering; probed
+    cells prune across every segment identically because they share
+    the quantizer."""
     cents_rows = sorted(
         spark.read.parquet(f"{path}/_centroids").collect(),
         key=lambda r: r["cell"],
@@ -578,7 +587,12 @@ def search_ivf_index(
     cents = cents_raw / np.maximum(
         np.linalg.norm(cents_raw, axis=1, keepdims=True), 1e-12
     )
+    # each segment is its own partitioned root — load separately and
+    # union (multi-root partition discovery is ambiguous by design);
+    # pruning on `cell` still reaches every segment's scan
     index = spark.read.parquet(path)
+    for dp in delta_paths:
+        index = index.unionByName(spark.read.parquet(dp))
     c = index.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),

@@ -1748,6 +1748,212 @@ def knn_ivf_persisted_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# md5-bucket split of embeddings into base (< _IVF_BASE_PCT) and delta
+# — the house hash_split convention spelled digit-by-digit for DuckDB
+# (the _IDB_BUCKET technique, keyed on vec_id).
+_IVF_BASE_PCT = 80
+_IVF_VEC_BUCKET = (
+    "((strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)),1,1))-1)*4096"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)),2,1))-1)*256"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)),3,1))-1)*16"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)),4,1))-1)) % 100"
+)
+
+
+def _ivf_incr_oracle_sql(
+    kind: str, seed: int = 42, n_probe: int = 8, k: int = 5
+) -> str:
+    """Base+delta IVF oracle: centroids are md5-order-sampled from the
+    BASE stratum only (cells = max(16, base_count div 1000)); EVERY
+    vector — base and delta — is assigned against those frozen
+    centroids. kind='search' emits the top-k ranking over the union;
+    kind='drift' emits per-cell base/delta occupancy."""
+    cos = """round(
+             list_sum(list_transform(range(1, 65),
+                 i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))), 6)"""
+    centsim = """(list_sum(list_transform(range(1, 65), i -> c.v[i] * ct.v[i]))
+             / (greatest(sqrt(list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))), 1e-12)
+              * greatest(sqrt(list_sum(list_transform(range(1, 65), i -> ct.v[i] * ct.v[i]))), 1e-12)))"""
+    head = f"""
+WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                       ({_IVF_VEC_BUCKET} < {_IVF_BASE_PCT}) AS is_base
+                FROM embeddings),
+cent AS (
+    SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id) - 1 AS cell,
+           v
+    FROM corpus WHERE is_base
+    QUALIFY row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id)
+            <= (SELECT greatest(16, count(*) // 1000) FROM corpus WHERE is_base)),
+assign AS (
+    SELECT c.vec_id, c.is_base, ct.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {centsim} DESC, ct.cell) AS pr
+    FROM corpus c CROSS JOIN cent ct)"""
+    if kind == "drift":
+        return (
+            head
+            + """
+SELECT CAST(cell AS INT) AS cell,
+       CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_delta,
+       CAST(1000000 * sum(CASE WHEN is_base THEN 0 ELSE 1 END)
+            // count(*) AS BIGINT) AS delta_share_micro
+FROM assign WHERE pr = 1
+GROUP BY cell
+"""
+        )
+    assert kind == "search"
+    return (
+        head
+        + f""",
+corpus_cell AS (SELECT vec_id, cell FROM assign WHERE pr = 1),
+query_cell  AS (SELECT vec_id, cell FROM assign
+                WHERE pr <= {n_probe} AND vec_id % 20 = 0),
+cand AS (
+    SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id
+    FROM query_cell q JOIN corpus_cell cc USING (cell)
+    WHERE cc.vec_id <> q.vec_id),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+    FROM cand
+    JOIN corpus a ON a.vec_id = cand.query_id
+    JOIN corpus b ON b.vec_id = cand.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS knn_rank
+           FROM scored)
+SELECT query_id, neighbor_id, knn_rank, cosine FROM ranked WHERE knn_rank <= {k}
+"""
+    )
+
+
+@query("ivf_search_base_delta_top5", oracle=_ivf_incr_oracle_sql("search"))
+def ivf_search_base_delta_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX FRESHNESS, the ingestion half (r12): an IVF index built
+    ONCE from the base corpus (md5-bucket < 80% of vectors, cells =
+    max(16, base div 1000)), then a late-arriving 20% DELTA batch
+    assigned with the FROZEN persisted centroids and written as a
+    SEPARATE cell-partitioned delta segment — no rebuild, no
+    re-cluster, base untouched. Search probes its n_probe = 8 cells
+    across BOTH segments (they share the quantizer, so partition
+    pruning works identically on each) — the LSM-ish pattern a
+    production ANN corpus actually runs between periodic re-clusters:
+    appends are cheap (one assignment pass over the delta only), reads
+    stay pruned, and ivf_centroid_occupancy_drift (below) is the
+    metric that schedules the re-cluster.
+
+    Idempotency: the delta segment is written with mode=overwrite to
+    its own path (re-runs replace, never accrete — the reason this is
+    base+delta, not append-in-place); the base build short-circuits on
+    its _centroids sidecar (build_ivf_index). The oracle replays the
+    md5 80/20 split, base-only centroid sampling, frozen-centroid
+    assignment of EVERY vector, probing, and exact re-rank; the
+    query panel (vec_id % 20) spans base and delta, so the check also
+    pins that delta vectors are both FINDABLE and SERVING as queries.
+    Accepted residual: the cosine near-tie assignment note of
+    _knn_ivf_oracle_sql."""
+    import numpy as np
+
+    from dist_keras_spark.operators.quality import hash_split
+    from dist_keras_spark.operators.similarity import (
+        _cell_assign_udf,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from dist_keras_spark.sources.sinks import scratch_path
+
+    e = _lt(spark, sf_dir, "embeddings")
+    bucket = hash_split(e, "vec_id", 100)
+    base = e.filter(bucket < _IVF_BASE_PCT)
+    delta = e.filter(bucket >= _IVF_BASE_PCT)
+    cells = max(16, base.count() // 1000)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base_path = scratch_path(spark, f"ivf_base_{tag}_c{cells}")
+    cents_raw = build_ivf_index(
+        base, base_path, "vec_id", "embedding", n_cells=cells, seed=42
+    )
+    cents = cents_raw / np.maximum(
+        np.linalg.norm(cents_raw, axis=1, keepdims=True), 1e-12
+    )
+    delta_path = scratch_path(spark, f"ivf_delta_{tag}_c{cells}")
+    delta.select(
+        "vec_id",
+        "embedding",
+        F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1).alias("cell"),
+    ).write.mode("overwrite").partitionBy("cell").parquet(delta_path)
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    out = search_ivf_index(
+        spark,
+        base_path,
+        q,
+        "vec_id",
+        "embedding",
+        k=5,
+        n_probe=8,
+        delta_paths=(delta_path,),
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
+    )
+
+
+@query("ivf_centroid_occupancy_drift", oracle=_ivf_incr_oracle_sql("drift"))
+def ivf_centroid_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX FRESHNESS, the monitoring half (r12): per-cell occupancy
+    of the frozen base-trained quantizer, split base vs delta — the
+    signal that schedules a re-cluster. If the delta batch is drawn
+    from the same distribution, every cell's delta_share_micro sits
+    near the global delta fraction (~200000 here — the fixture's null
+    result, asserted loosely in pytest); a DRIFTED corpus concentrates
+    delta mass in few cells (share → 1e6 in the hot cells), which is
+    exactly when frozen centroids start costing recall and the
+    build-once index should re-train. Integer shares via exact div;
+    one cell-keyed aggregate over the assignment pass — the same scan
+    the delta ingestion already pays, so monitoring is free at ingest
+    time.
+
+    100 TB shape: assignment is the Arrow kernel scan (no shuffle);
+    the only exchange is the ≤cells-sized partial agg. Oracle replays
+    split, sampling, and frozen assignment for every vector."""
+    import numpy as np
+
+    from dist_keras_spark.operators.quality import hash_split
+    from dist_keras_spark.operators.similarity import (
+        _cell_assign_udf,
+        sample_centroids,
+    )
+
+    e = _lt(spark, sf_dir, "embeddings")
+    bucket = hash_split(e, "vec_id", 100)
+    base = e.filter(bucket < _IVF_BASE_PCT)
+    cells = max(16, base.count() // 1000)
+    cents = sample_centroids(base, "vec_id", "embedding", cells, 42)
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    assigned = e.select(
+        (bucket < _IVF_BASE_PCT).alias("is_base"),
+        F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    return assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_delta"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN is_base THEN 0 ELSE 1 END)"
+            " div count(1) AS BIGINT)"
+        ).alias("delta_share_micro"),
+    )
+
+
 def _kmeans_oracle_sql(k: int = 8, dim: int = 64) -> str:
     """DuckDB SQL replaying TWO exact Lloyd iterations (see
     kmeans_lloyd_two_iters). All distance comparisons happen on

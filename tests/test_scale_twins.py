@@ -608,3 +608,41 @@ def test_multiprobe_dominates_single_probe(spark):
         best_mp, n_mp = mp[r["query_id"]]
         assert best_mp >= r["best"]
         assert n_mp >= min(5, r["n"])
+
+
+def test_ivf_base_delta_freshness(spark):
+    """The base+delta index must make the late 20% both FINDABLE and
+    SERVING: delta vectors appear among neighbors AND among queries of
+    the search output; the drift audit accounts for every vector and
+    reads the fixture's null result (per-cell delta share near the
+    global ~20%)."""
+    from pyspark.sql import functions as F2
+    from dist_keras_spark.operators.quality import hash_split
+    from dist_keras_spark.plans.llm import (
+        _IVF_BASE_PCT,
+        ivf_centroid_occupancy_drift,
+        ivf_search_base_delta_top5,
+    )
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    n = e.count()
+    delta_ids = {
+        r["vec_id"]
+        for r in e.filter(
+            hash_split(e, "vec_id", 100) >= _IVF_BASE_PCT
+        ).collect()
+    }
+    assert delta_ids
+    out = _rows(ivf_search_base_delta_top5, spark, sf)
+    assert any(r["neighbor_id"] in delta_ids for r in out)
+    assert any(r["query_id"] in delta_ids for r in out)
+    drift = _rows(ivf_centroid_occupancy_drift, spark, sf)
+    assert sum(r["n_base"] + r["n_delta"] for r in drift) == n
+    total_delta = sum(r["n_delta"] for r in drift)
+    assert abs(total_delta / n - (1 - _IVF_BASE_PCT / 100)) < 0.07
+    for r in drift:
+        assert 0 <= r["delta_share_micro"] <= 1_000_000
+        expected = (1_000_000 * r["n_delta"]) // (r["n_base"] + r["n_delta"])
+        assert r["delta_share_micro"] == expected

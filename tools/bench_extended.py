@@ -210,6 +210,8 @@ EXTENDED = [
     "knn_ivf_persisted_scaled_top5",
     "pq_recall_vs_served",
     "knn_lsh_multiprobe_top5",
+    "ivf_search_base_delta_top5",
+    "ivf_centroid_occupancy_drift",
 ]
 
 
