@@ -69,6 +69,8 @@ TOUR = [
     ("unigram_surprisal_quality", "CCNet-style LM surprisal quality score, micro-nat integers"),
     ("knn_lsh_multiprobe_top5", "multi-probe LSH: one table, margin-directed extra probes"),
     ("pq_recall_vs_served", "what PQ compression costs on the index actually served"),
+    ("ivf_search_base_delta_top5", "fresh data as a delta segment — search both, rebuild neither"),
+    ("ivf_centroid_occupancy_drift", "…and the occupancy drift metric that schedules the re-cluster"),
 ]
 
 
