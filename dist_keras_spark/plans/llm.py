@@ -1917,7 +1917,11 @@ def ivf_centroid_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: assignment is the Arrow kernel scan (no shuffle);
     the only exchange is the ≤cells-sized partial agg. Oracle replays
-    split, sampling, and frozen assignment for every vector."""
+    split, sampling, and frozen assignment for every vector. The
+    REFRESH leg this metric triggers is already a registered exact
+    operator: kmeans_lloyd_two_iters (integer-rational Lloyd steps) —
+    monitor (this op) → ingest (ivf_search_base_delta_top5) →
+    re-cluster (Lloyd) closes the index-freshness loop."""
     import numpy as np
 
     from dist_keras_spark.operators.quality import hash_split
