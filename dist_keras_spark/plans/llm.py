@@ -1806,6 +1806,48 @@ FROM assign WHERE pr = 1
 GROUP BY cell
 """
         )
+    if kind == "refresh":
+        # one exact Lloyd step over the frozen assignment, in the
+        # integer-millis rational-centroid domain of _kmeans_oracle_sql
+        d_expr = (
+            "CAST(list_sum(list_transform(range(1, 65), "
+            "i -> (v.vq[i] * c.n - c.s[i]) * (v.vq[i] * c.n - c.s[i]))) "
+            "AS DOUBLE) / (c.n * c.n)"
+        )
+        return (
+            head
+            + f""",
+before AS (SELECT vec_id, cell FROM assign WHERE pr = 1),
+qv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+    FROM embeddings),
+newc AS (
+    SELECT cell AS cid, list(sm ORDER BY i) AS s, CAST(min(n) AS BIGINT) AS n
+    FROM (
+        SELECT b.cell, t.i,
+               CAST(sum(qv.vq[t.i]) AS BIGINT) AS sm,
+               count(*) AS n
+        FROM before b JOIN qv USING (vec_id),
+             (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY b.cell, t.i)
+    GROUP BY cell
+), after AS (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d_expr}, c.cid) AS rn
+        FROM qv v CROSS JOIN newc c)
+    WHERE rn = 1
+)
+SELECT CAST(b.cell AS INT) AS cell_before,
+       CAST(a.cid AS INT) AS cell_after,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM before b JOIN after a USING (vec_id)
+GROUP BY b.cell, a.cid
+"""
+        )
     assert kind == "search"
     return (
         head
@@ -1955,6 +1997,102 @@ def ivf_centroid_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 * sum(CASE WHEN is_base THEN 0 ELSE 1 END)"
             " div count(1) AS BIGINT)"
         ).alias("delta_share_micro"),
+    )
+
+
+@query("ivf_refresh_migration", oracle=_ivf_incr_oracle_sql("refresh"))
+def ivf_refresh_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX FRESHNESS, the refresh leg (r12) — closing the loop the
+    drift metric opens: ONE exact Lloyd step over the frozen
+    base-trained assignment, emitting the CELL MIGRATION MATRIX
+    (cell_before, cell_after, n_vecs) — how many vectors each
+    re-trained centroid pulls from where. The diagonal is the stable
+    mass; off-diagonal rows are exactly the vectors the frozen
+    quantizer was mis-serving (the recall the drift metric predicted
+    was at risk). In production this matrix prices the re-cluster:
+    repartition cost ∝ off-diagonal mass, and a near-diagonal matrix
+    says DON'T rebuild yet.
+
+    Hash-exactness: the frozen assignment replays the cosine kernel
+    (accepted near-tie note); the Lloyd step runs in
+    kmeans_lloyd_two_iters' integer-millis rational-centroid domain —
+    centroids stay (Σ-vector, count), distance·n² is pure int64
+    converted to DOUBLE once for the argmin, ties to the lower cell —
+    so the refreshed assignment is engine-exact (same int64 valve:
+    n < ~6e6 members/cell before the fold needs DECIMAL(38,0)).
+    Empty frozen cells simply have no refreshed centroid (Lloyd drops
+    them) — identical on both engines.
+
+    100 TB shape: one posexplode partial-agg builds the new centroids
+    (mergeable (cid, dim) sums — never collect_list of vectors); the
+    re-assignment is a corpus × broadcast-centroids scan; the matrix
+    is a ≤cells² aggregate. monitor (ivf_centroid_occupancy_drift) →
+    ingest (ivf_search_base_delta_top5) → refresh (THIS) is the whole
+    freshness loop, each leg a registered hash-checked query."""
+    import numpy as np
+
+    from dist_keras_spark.operators.quality import hash_split
+    from dist_keras_spark.operators.similarity import (
+        _cell_assign_udf,
+        sample_centroids,
+    )
+
+    e = _lt(spark, sf_dir, "embeddings")
+    bucket = hash_split(e, "vec_id", 100)
+    base = e.filter(bucket < _IVF_BASE_PCT)
+    cells = max(16, base.count() // 1000)
+    cents = sample_centroids(base, "vec_id", "embedding", cells, 42)
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    before = e.select(
+        "vec_id",
+        F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("vq"),
+    )
+    per_dim = (
+        before.join(q, "vec_id")
+        .select("cell", F.posexplode("vq").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+    )
+    newc = per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sm"))),
+            lambda st: st["sm"],
+        ).alias("s"),
+        F.min("n").alias("n"),
+    ).select(F.col("cell").alias("cid"), "s", "n")
+    j = q.crossJoin(F.broadcast(newc))
+    dist2 = F.aggregate(
+        F.zip_with(
+            "vq",
+            "s",
+            lambda v, sc: (v * F.col("n") - sc) * (v * F.col("n") - sc),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double") / (F.col("n") * F.col("n"))
+    w = W.partitionBy("vec_id").orderBy(dist2, "cid")
+    after = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").cast("int").alias("cid"))
+    )
+    return (
+        before.join(after, "vec_id")
+        .groupBy(
+            F.col("cell").alias("cell_before"),
+            F.col("cid").alias("cell_after"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
 
 

@@ -71,6 +71,7 @@ TOUR = [
     ("pq_recall_vs_served", "what PQ compression costs on the index actually served"),
     ("ivf_search_base_delta_top5", "fresh data as a delta segment — search both, rebuild neither"),
     ("ivf_centroid_occupancy_drift", "…and the occupancy drift metric that schedules the re-cluster"),
+    ("ivf_refresh_migration", "…and the Lloyd-step migration matrix that prices it"),
 ]
 
 

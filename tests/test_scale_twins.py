@@ -646,3 +646,23 @@ def test_ivf_base_delta_freshness(spark):
         assert 0 <= r["delta_share_micro"] <= 1_000_000
         expected = (1_000_000 * r["n_delta"]) // (r["n_base"] + r["n_delta"])
         assert r["delta_share_micro"] == expected
+
+
+def test_ivf_refresh_migration_conserves_mass(spark):
+    """The migration matrix must account for every vector (Σ n_vecs =
+    N), its row sums must equal the frozen-assignment occupancy, and
+    at fixture scale most mass stays diagonal (a same-distribution
+    corpus shouldn't reshuffle wholesale in one Lloyd step)."""
+    from dist_keras_spark.plans.llm import ivf_refresh_migration
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = _rows(ivf_refresh_migration, spark, sf)
+    n = load_table(spark, sf, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    diag = sum(r["n_vecs"] for r in rows if r["cell_before"] == r["cell_after"])
+    assert diag > n // 2
+    by_before = defaultdict(int)
+    for r in rows:
+        by_before[r["cell_before"]] += r["n_vecs"]
+    assert all(v > 0 for v in by_before.values())

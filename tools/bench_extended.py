@@ -212,6 +212,7 @@ EXTENDED = [
     "knn_lsh_multiprobe_top5",
     "ivf_search_base_delta_top5",
     "ivf_centroid_occupancy_drift",
+    "ivf_refresh_migration",
 ]
 
 
