@@ -2028,7 +2028,24 @@ def ivf_refresh_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-assignment is a corpus × broadcast-centroids scan; the matrix
     is a ≤cells² aggregate. monitor (ivf_centroid_occupancy_drift) →
     ingest (ivf_search_base_delta_top5) → refresh (THIS) is the whole
-    freshness loop, each leg a registered hash-checked query."""
+    freshness loop, each leg a registered hash-checked query.
+
+    Two-step regime note (sf1→sf2 sweep, r12, measured at
+    registration): exp 1.9 — COUNTED mechanism: cells = max(16,
+    base div 1000) goes 16 → 32 across the step while N doubles, so
+    the re-assignment's interpreted integer folds do N·cells = 4×
+    the work (exp 2 predicted, 1.9 measured). A FULL refresh with
+    cells ∝ N is Θ(N²/1000) by construction. Production dials, in
+    preference order: (a) refresh ONLY the cells the drift metric
+    flags — re-assignment then costs Θ(drifted-mass · cells), and a
+    near-diagonal corpus pays almost nothing (the reason the matrix
+    exists is to show most mass IS diagonal); (b) vectorize the
+    argmin via the expansion n²|v|² − 2n·(v·s) + |s|² in an Arrow
+    int64 matmul kernel (exact while n²|v|² < 2⁵³ ⇒ cell size
+    ≲ 1e5 at milli-quantization — int_argmax_cell_udf's technique on
+    rational centroids). Kept exact-interpreted as the registered
+    ORACLE form: a refresh is an OFFLINE maintenance job run at drift
+    events, not a per-query path."""
     import numpy as np
 
     from dist_keras_spark.operators.quality import hash_split
