@@ -52,11 +52,11 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
 # mrl_truncation_recall_scaled, blocking_quality_rootn; two more,
 # knn_ivf_persisted_scaled_top5, pq_recall_vs_served,
 # knn_lsh_multiprobe_top5 and the index-freshness trio
-# (base+delta search, occupancy drift, Lloyd refresh migration),
-# register post-window for r13) + the 26
+# (base+delta search, occupancy drift, Lloyd refresh migration +
+# its budgeted scale-safe twin), register post-window for r13) + the 26
 # oldest re-checks (last driver signal r4/r5). Never-checked debt
 # returns to ZERO in this window, per the steady-state rule in
-# .claude/skills/verify/SKILL.md (this round added 12 ≤ the 31-slot
+# .claude/skills/verify/SKILL.md (this round added 13 ≤ the 31-slot
 # cap VERDICT r11 #2 set). Every name in this window was verified
 # hash-green at sf0.01 this session (tools/verify_local.py).
 # oracle=None queries are never promoted (driver errors on them).

@@ -1806,6 +1806,55 @@ FROM assign WHERE pr = 1
 GROUP BY cell
 """
         )
+    if kind == "refresh_budgeted":
+        d_expr = (
+            "CAST(list_sum(list_transform(range(1, 65), "
+            "i -> (v.vq[i] * c.n - c.s[i]) * (v.vq[i] * c.n - c.s[i]))) "
+            "AS DOUBLE) / (c.n * c.n)"
+        )
+        return (
+            head
+            + f""",
+before_all AS (SELECT vec_id, is_base, cell FROM assign WHERE pr = 1),
+hot AS (
+    SELECT cell FROM (
+        SELECT cell,
+               sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS n_delta
+        FROM before_all GROUP BY cell)
+    ORDER BY n_delta DESC, cell LIMIT 4),
+before AS (
+    SELECT b.vec_id, b.cell FROM before_all b JOIN hot USING (cell)),
+qv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+    FROM embeddings),
+newc AS (
+    SELECT cell AS cid, list(sm ORDER BY i) AS s, CAST(min(n) AS BIGINT) AS n
+    FROM (
+        SELECT b.cell, t.i,
+               CAST(sum(qv.vq[t.i]) AS BIGINT) AS sm,
+               count(*) AS n
+        FROM before b JOIN qv USING (vec_id),
+             (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY b.cell, t.i)
+    GROUP BY cell
+), after AS (
+    SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d_expr}, c.cid) AS rn
+        FROM (SELECT qv.* FROM qv JOIN before USING (vec_id)) v
+        CROSS JOIN newc c)
+    WHERE rn = 1
+)
+SELECT CAST(b.cell AS INT) AS cell_before,
+       CAST(a.cid AS INT) AS cell_after,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM before b JOIN after a USING (vec_id)
+GROUP BY b.cell, a.cid
+"""
+        )
     if kind == "refresh":
         # one exact Lloyd step over the frozen assignment, in the
         # integer-millis rational-centroid domain of _kmeans_oracle_sql
@@ -2088,6 +2137,113 @@ def ivf_refresh_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("n"),
     ).select(F.col("cell").alias("cid"), "s", "n")
     j = q.crossJoin(F.broadcast(newc))
+    dist2 = F.aggregate(
+        F.zip_with(
+            "vq",
+            "s",
+            lambda v, sc: (v * F.col("n") - sc) * (v * F.col("n") - sc),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double") / (F.col("n") * F.col("n"))
+    w = W.partitionBy("vec_id").orderBy(dist2, "cid")
+    after = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").cast("int").alias("cid"))
+    )
+    return (
+        before.join(after, "vec_id")
+        .groupBy(
+            F.col("cell").alias("cell_before"),
+            F.col("cid").alias("cell_after"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+@query(
+    "ivf_refresh_budgeted",
+    oracle=_ivf_incr_oracle_sql("refresh_budgeted"),
+)
+def ivf_refresh_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of ivf_refresh_migration (r12): refresh a
+    BUDGET of B = 4 cells per maintenance pass — the ones that
+    ingested the most delta mass (n_delta desc, cell asc; the signal
+    ivf_centroid_occupancy_drift computes) — with one exact Lloyd step
+    re-balancing those cells' vectors among the region's refreshed
+    centroids. Local moves only: mass cannot leave the region in one
+    pass; successive passes sweep other regions — exactly how sharded
+    re-clustering runs in production (re-cluster a shard at a time,
+    bounded blast radius, index serves throughout).
+
+    Scale shape: region mass is B · N/cells ≈ 4000 vectors at ANY N
+    under the cells ∝ N schedule, and the region argmin compares
+    against B = 4 centroids, so the Lloyd step is CONSTANT work per
+    pass; the only N-scaling stages are the frozen-assignment scan
+    and the cell-count aggregate (both linear, both already paid by
+    the drift monitor). The full-refresh baseline is Θ(N²/1000) by
+    construction (measured exp 1.9, counted N·cells mechanism — see
+    its regime note). Same integer-millis rational-centroid exactness,
+    same migration-matrix output schema, hot-cell selection replayed
+    by the oracle (counts are exact integers; ties to the lower
+    cell)."""
+    import numpy as np
+
+    from dist_keras_spark.operators.quality import hash_split
+    from dist_keras_spark.operators.similarity import (
+        _cell_assign_udf,
+        sample_centroids,
+    )
+
+    e = _lt(spark, sf_dir, "embeddings")
+    bucket = hash_split(e, "vec_id", 100)
+    base = e.filter(bucket < _IVF_BASE_PCT)
+    cells = max(16, base.count() // 1000)
+    cents = sample_centroids(base, "vec_id", "embedding", cells, 42)
+    cents = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    before_all = e.select(
+        "vec_id",
+        (bucket < _IVF_BASE_PCT).alias("is_base"),
+        F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    hot = (
+        before_all.groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("n_delta")
+        )
+        .orderBy(F.desc("n_delta"), F.asc("cell"))
+        .limit(4)
+        .select("cell")
+    )
+    before = before_all.join(F.broadcast(hot), "cell").select(
+        "vec_id", "cell"
+    )
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("vq"),
+    )
+    region = q.join(before.select("vec_id"), "vec_id")
+    per_dim = (
+        before.join(q, "vec_id")
+        .select("cell", F.posexplode("vq").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n"))
+    )
+    newc = per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sm"))),
+            lambda st: st["sm"],
+        ).alias("s"),
+        F.min("n").alias("n"),
+    ).select(F.col("cell").alias("cid"), "s", "n")
+    j = region.crossJoin(F.broadcast(newc))
     dist2 = F.aggregate(
         F.zip_with(
             "vq",

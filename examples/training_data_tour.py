@@ -72,6 +72,7 @@ TOUR = [
     ("ivf_search_base_delta_top5", "fresh data as a delta segment — search both, rebuild neither"),
     ("ivf_centroid_occupancy_drift", "…and the occupancy drift metric that schedules the re-cluster"),
     ("ivf_refresh_migration", "…and the Lloyd-step migration matrix that prices it"),
+    ("ivf_refresh_budgeted", "…refreshing a 4-cell budget per pass — bounded blast radius"),
 ]
 
 

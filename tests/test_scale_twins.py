@@ -666,3 +666,30 @@ def test_ivf_refresh_migration_conserves_mass(spark):
     for r in rows:
         by_before[r["cell_before"]] += r["n_vecs"]
     assert all(v > 0 for v in by_before.values())
+
+
+def test_ivf_refresh_budgeted_is_local(spark):
+    """Budgeted refresh: moves are LOCAL to the 4 hottest-ingest cells
+    — every cell_before AND cell_after is one of at most 4 distinct
+    cells, region mass is conserved, and the region's rows agree with
+    the full-refresh matrix's row sums for those cells."""
+    from dist_keras_spark.plans.llm import (
+        ivf_refresh_budgeted,
+        ivf_refresh_migration,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = _rows(ivf_refresh_budgeted, spark, sf)
+    assert rows
+    befores = {r["cell_before"] for r in rows}
+    afters = {r["cell_after"] for r in rows}
+    assert len(befores) <= 4 and afters <= befores
+    full = _rows(ivf_refresh_migration, spark, sf)
+    full_by_before = defaultdict(int)
+    for r in full:
+        full_by_before[r["cell_before"]] += r["n_vecs"]
+    budget_by_before = defaultdict(int)
+    for r in rows:
+        budget_by_before[r["cell_before"]] += r["n_vecs"]
+    for c, n in budget_by_before.items():
+        assert full_by_before[c] == n  # same frozen occupancy per cell

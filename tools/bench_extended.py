@@ -213,6 +213,7 @@ EXTENDED = [
     "ivf_search_base_delta_top5",
     "ivf_centroid_occupancy_drift",
     "ivf_refresh_migration",
+    "ivf_refresh_budgeted",
 ]
 
 

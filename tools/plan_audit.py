@@ -44,6 +44,7 @@ AUDITED = {
     "ivf_search_base_delta_top5": "base index + frozen-centroid delta segment, unioned at read; probe join prunes cells across BOTH segments; one assignment pass over the delta only at ingest",
     "ivf_centroid_occupancy_drift": "scan-side frozen assignment; single <=cells-sized partial agg - the re-cluster trigger metric costs one exchange",
     "ivf_refresh_migration": "one Lloyd step in the integer-millis rational domain: posexplode (cid,dim) partial sums build centroids (mergeable state), corpus x broadcast re-assign, <=cells^2 matrix agg",
+    "ivf_refresh_budgeted": "B=4 hottest-ingest cells re-balanced locally: region mass B*N/cells is CONSTANT under the cells-proportional schedule; argmin against B centroids; selection is one cells-sized agg",
     "knn_lsh_multiprobe_top5": "one-table multi-probe: literal-plane sign folds scan-side; 4 distinct probe buckets per query via lowest-margin bit flips (no DISTINCT needed); bucket equi-join + per-query re-rank window",
     "knn_lsh_top5": "banded candidates via equi-join; exact re-rank window; corpus never cross-joins queries",
     "events_tumbling_hourly": "µs-native ts (no derived-timestamp wrapper since the ns→µs fixture fix) — window expr over a raw scan column; partial/final hash agg",
