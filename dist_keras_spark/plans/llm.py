@@ -2187,7 +2187,8 @@ def ivf_refresh_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     its regime note). Same integer-millis rational-centroid exactness,
     same migration-matrix output schema, hot-cell selection replayed
     by the oracle (counts are exact integers; ties to the lower
-    cell)."""
+    cell). Measured at registration: 10× exp 0.32, sf1→sf2 exp 0.28
+    (vs the full refresh's 1.9)."""
     import numpy as np
 
     from dist_keras_spark.operators.quality import hash_split
