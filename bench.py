@@ -230,7 +230,10 @@ def _load_anchor_full(sf_dir: str, n_queries: int) -> dict | None:
             return None
         float(a["clean_total_sec"])
         return a
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError: a malformed anchor whose clean_total_sec is JSON
+        # null must read as "anchor inapplicable", not crash the bench
+        # (ADVICE r12).
         return None
 
 
@@ -245,24 +248,47 @@ def _load_anchor(sf_dir: str, n_queries: int) -> float | None:
 # the top-3 drifting queries so suite-level drift is never a bare
 # number again (VERDICT r11 #4).
 DRIFT_ATTRIB_RATIO = 1.1
+# A single query >30% over ITS anchor time gets labeled even when the
+# suite total is clean-and-under-threshold (VERDICT r12 #4: BENCH_r12
+# carried two >1.25× per-query drifts invisibly). The absolute floor
+# keeps sub-50ms scheduling jitter on tiny queries from tripping it.
+PER_QUERY_DRIFT_RATIO = 1.3
+PER_QUERY_DRIFT_FLOOR_SEC = 0.05
 
 
 def _drift_top(
     timings: dict[str, float], anchor_queries: dict[str, float], k: int = 3
 ) -> dict[str, dict[str, float]]:
-    """Top-k queries by absolute excess over their anchor time."""
+    """Top-k queries by absolute excess over their anchor time.
+    Queries absent from the anchor use 0.0 consistently for both the
+    delta and the reported anchor_sec (ADVICE r12: a mixed None/0.0
+    fallback would report anchor_sec=null beside a delta computed
+    against 0.0)."""
     deltas = sorted(
         ((t - anchor_queries.get(q, 0.0), q) for q, t in timings.items()),
         reverse=True,
     )
     return {
         q: {
-            "anchor_sec": anchor_queries.get(q),
+            "anchor_sec": anchor_queries.get(q, 0.0),
             "now_sec": timings[q],
             "delta_sec": round(d, 3),
         }
         for d, q in deltas[:k]
     }
+
+
+def _per_query_drift(
+    timings: dict[str, float], anchor_queries: dict[str, float]
+) -> bool:
+    """True when any single query exceeds PER_QUERY_DRIFT_RATIO of its
+    anchor time by more than the absolute floor."""
+    return any(
+        q in anchor_queries
+        and t > anchor_queries[q] * PER_QUERY_DRIFT_RATIO
+        and t - anchor_queries[q] > PER_QUERY_DRIFT_FLOOR_SEC
+        for q, t in timings.items()
+    )
 
 
 def _maybe_advance_anchor(
@@ -359,9 +385,15 @@ def main() -> None:
     if (
         clean
         and anchor is not None
-        and best["total"] > anchor * DRIFT_ATTRIB_RATIO
         and anchor_full is not None
         and anchor_full.get("queries")
+        and (
+            best["total"] > anchor * DRIFT_ATTRIB_RATIO
+            # VERDICT r12 #4: a >1.3× single-query drift on an
+            # otherwise-clean-and-under-threshold total was invisible
+            # in BENCH_r12 (arrow_journey, knn_int8). Label it.
+            or _per_query_drift(best["timings"], anchor_full["queries"])
+        )
     ):
         drift_top3 = _drift_top(timings, anchor_full["queries"])
     # Every individual run (incl. the two warm-ups) goes to a trace file

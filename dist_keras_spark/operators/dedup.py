@@ -322,7 +322,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     materialize: str | None = "local",
     full_output: bool = False,
 ) -> DataFrame:
@@ -339,7 +339,11 @@ def minhash_lsh_pairs(
     the miss probability at jaccard j is (1-j^r)^b (≈4e-8 at j=0.9
     with k=64, b=16). `max_bucket` caps degenerate buckets (e.g. the
     empty-shingle bucket) — dropped buckets are logged by count, the
-    skew-safety valve at scale.
+    skew-safety valve at scale. `max_bucket=None` disables the valve
+    entirely (no upper-bound filter in the plan): callers wanting the
+    lossless form should pass None rather than a corpus-sized bound,
+    which would cost an eager count() action at plan-construction time
+    just to build an inert predicate (ADVICE r12).
 
     `materialize` sizes the lineage-truncation strategy to the corpus
     (see `_stage`): 'local' (default) for single-node runs, 'storage'
@@ -396,7 +400,11 @@ def minhash_lsh_pairs(
     good = (
         banded.groupBy("band", "bh")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .filter(
+            F.col("n") > 1
+            if max_bucket is None
+            else (F.col("n") > 1) & (F.col("n") <= max_bucket)
+        )
         .select("band", "bh")
     )
     pruned = banded.join(good, ["band", "bh"])

@@ -1193,9 +1193,9 @@ def jaccard_lsh_pairs_tau06(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=64,
         bands=32,
         threshold=0.6,
-        # corpus-sized ⇒ the bucket drop valve is inert in the
-        # registered form (the neardup_cluster_lsh convention)
-        max_bucket=d.count(),
+        # valve disabled (the neardup_cluster_lsh convention) — no
+        # upper-bound filter, no eager count() at plan time
+        max_bucket=None,
         full_output=True,
     )
     return out.select(

@@ -240,12 +240,15 @@ def neardup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       concentrates mass at the threshold);
     - minhash_lsh_pairs's max_bucket valve silently DROPS band
       buckets above the cap, which the exact oracle does not model —
-      so the REGISTERED form sizes it to the corpus (max_bucket = N:
-      a bucket can never exceed N members, making the valve
-      structurally inert here, at the cost of re-exposing degenerate-
-      bucket skew; production picks a finite cap and accepts the
-      candidate loss). cluster_cap_sample_lsh / leakage_safe_split_lsh
-      inherit this setting by calling this query."""
+      so the REGISTERED form disables the valve (max_bucket=None: no
+      upper-bound filter in the plan, at the cost of re-exposing
+      degenerate-bucket skew; production picks a finite cap and
+      accepts the candidate loss). ADVICE r12: this used to pass a
+      corpus-sized bound (max_bucket=d.count()), which was
+      semantically identical but cost an eager full-table action at
+      plan-construction time. cluster_cap_sample_lsh /
+      leakage_safe_split_lsh inherit this setting by calling this
+      query."""
     from dist_keras_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
 
     d = _lt(spark, sf_dir, "documents")
@@ -257,8 +260,9 @@ def neardup_cluster_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=64,
         bands=16,
         threshold=0.8,
-        # corpus-sized ⇒ effectively unbounded (see docstring note)
-        max_bucket=d.count(),
+        # valve disabled ⇒ lossless vs the exact oracle, and no eager
+        # count() at plan time (see docstring note)
+        max_bucket=None,
     ).select("id_a", "id_b")
     verts = d.select(F.col("doc_id").alias("id"))
     return neardup_clusters(verts, pairs, id_col="id").select(

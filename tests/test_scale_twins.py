@@ -532,6 +532,33 @@ def test_jaccard_lsh_tau06_equals_exact_at_fixture(spark):
     assert lsh == exact and len(lsh) > 0
 
 
+def test_jaccard_lsh_tau06_fixture_in_high_recall_region(spark):
+    """ADVICE r12 guard: jaccard_lsh_pairs_tau06 registers the EXACT
+    inverted-index join as its driver oracle while the engine side is
+    LSH-candidate-based, so a banding miss would surface as a driver
+    hash failure indistinguishable from an engine bug. This pins the
+    risk at the verification layer: the fixture's true pairs must sit
+    where the 32×2 banding's expected total miss mass is negligible.
+    Miss prob per pair at jaccard j is (1 − j²)³²; summed over the
+    fixture's actual true pairs it must stay below 1e-3 — if a future
+    fixture regeneration concentrates mass exactly at j = 0.6, THIS
+    fails with a readable message instead of a driver red row."""
+    from dist_keras_spark.plans.analytics6 import ppjoin_prefix_filter_pairs
+
+    sf = "/root/testdata/sf0.01"
+    jaccs = [
+        r["jacc_e6"] / 1e6 for r in _rows(ppjoin_prefix_filter_pairs, spark, sf)
+    ]
+    assert jaccs, "fixture produced no true pairs at tau=0.6"
+    expected_misses = sum((1.0 - j * j) ** 32 for j in jaccs)
+    assert expected_misses < 1e-3, (
+        f"fixture drifted into the banding's miss region: expected miss "
+        f"mass {expected_misses:.2e} over {len(jaccs)} true pairs "
+        f"(min jaccard {min(jaccs):.4f}); re-tune bands/rows in "
+        f"jaccard_lsh_pairs_tau06 before the driver sees a hash mismatch"
+    )
+
+
 def test_knn_ivf_persisted_scaled_equals_inline(spark):
     """The persisted scaled index (build-once + partition pruning)
     must reproduce the inline scaled form row-for-row — same sample,
