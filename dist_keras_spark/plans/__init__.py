@@ -43,75 +43,67 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics12,
 )
 
-# Round-12 window (VERDICT r11 #2): generated MECHANICALLY by
+# Round-13 window (VERDICT r12 #2): generated MECHANICALLY by
 # `python tools/verify_local.py --window-plan` (output committed below
-# verbatim) — never-checked first (the 18 r11 post-window additions
-# the r11 judge already ran 19/19 hash-green at sf0.01, plus this
-# round's 6 additions: ivf_pq_scaled_top5, rrf_fusion_scaled_top5
-# re-point, ppjoin_dfcap_pairs, jaccard_lsh_pairs_tau06,
-# mrl_truncation_recall_scaled, blocking_quality_rootn; two more,
-# knn_ivf_persisted_scaled_top5, pq_recall_vs_served,
-# knn_lsh_multiprobe_top5 and the index-freshness trio
-# (base+delta search, occupancy drift, Lloyd refresh migration +
-# its budgeted scale-safe twin), register post-window for r13) + the 26
-# oldest re-checks (last driver signal r4/r5). Never-checked debt
+# verbatim) — the 7 never-checked r12 post-window additions first (the
+# index-freshness family + multiprobe + served-recall, all judge-run
+# 7/7 hash-green at sf0.01 in the r12 judge session), then the 43
+# oldest re-checks (last driver signal r5/r6). Never-checked debt
 # returns to ZERO in this window, per the steady-state rule in
-# .claude/skills/verify/SKILL.md (this round added 13 ≤ the 31-slot
-# cap VERDICT r11 #2 set). Every name in this window was verified
-# hash-green at sf0.01 this session (tools/verify_local.py).
-# oracle=None queries are never promoted (driver errors on them).
-# window plan: 24 never-checked, 26 re-checks (oldest round first), 388 oracle-backed total
+# .claude/skills/verify/SKILL.md. oracle=None queries are never
+# promoted (driver errors on them).
+# window plan: 7 never-checked, 43 re-checks (oldest round first), 395 oracle-backed total
 registry.promote(
-    "dedup_embedding_scaled_planes",  # never checked
-    "neardup_cluster_lsh",  # never checked
-    "knn_ivf_scaled_top5",  # never checked
-    "ivf_pq_scaled_top5",  # never checked
-    "rrf_fusion_scaled_top5",  # never checked
-    "ranking_mrr_ndcg_scaled",  # never checked
-    "jaccard_lsh_pairs_tau06",  # never checked
-    "ppjoin_dfcap_pairs",  # never checked
-    "hard_negative_mining_scaled",  # never checked
-    "leakage_safe_split_lsh",  # never checked
-    "blocking_quality_rootn",  # never checked
-    "mrl_truncation_recall_scaled",  # never checked
-    "cluster_cap_sample_lsh",  # never checked
-    "incremental_dedup_dfcap",  # never checked
-    "quantile_normalize_distributed",  # never checked
-    "fellegi_sunter_sorted_neighborhood",  # never checked
-    "chunk_dedup_16word",  # never checked
-    "dup_chunk_cluster_mass",  # never checked
-    "cross_source_dup_chunks",  # never checked
-    "simpson_word_diversity",  # never checked
-    "embedding_defect_scan",  # never checked
-    "packing_fragmentation_rate",  # never checked
-    "unigram_surprisal_quality",  # never checked
-    "heldout_bigram_surprisal",  # never checked
-    "agg_accuracy_evaluator",  # last r4
-    "dedup_embedding_cosine",  # last r4
-    "csv_roundtrip",  # last r4
-    "json_roundtrip",  # last r4
-    "inmemory_dim_join",  # last r4
-    "parquet_sink_roundtrip",  # last r4
-    "random_shuffle_multiset",  # last r4
-    "cached_scan_reuse",  # last r4
-    "udtf_token_explode",  # last r4
-    "barrier_allreduce_dims",  # last r4
-    "salted_join_skew",  # last r4
-    "salted_count_hotkey",  # last r4
-    "feature_reshape",  # last r4
-    "knn_lsh_top5",  # last r4
-    "join_asof",  # last r5
-    "join_asof_tolerance",  # last r5
-    "join_range_binned",  # last r5
-    "win_lag_lead",  # last r5
-    "win_range_frame",  # last r5
-    "win_first_last",  # last r5
-    "scalar_json_map",  # last r5
-    "streaming_tumbling_live",  # last r5
-    "streaming_interval_join_live",  # last r5
-    "multimodal_fake_decode",  # last r5
-    "streaming_foreachbatch_sink",  # last r5
-    "streaming_dedup_live",  # last r5
+    "knn_lsh_multiprobe_top5",  # never checked
+    "knn_ivf_persisted_scaled_top5",  # never checked
+    "ivf_search_base_delta_top5",  # never checked
+    "ivf_centroid_occupancy_drift",  # never checked
+    "ivf_refresh_migration",  # never checked
+    "ivf_refresh_budgeted",  # never checked
+    "pq_recall_vs_served",  # never checked
+    "multimodal_frame_sample",  # last r5
+    "agg_grouping_sets",  # last r5
+    "unpivot_measures",  # last r5
+    "events_tumbling_hourly",  # last r5
+    "events_sliding_window",  # last r5
+    "events_session_window",  # last r5
+    "events_dedup_latest",  # last r5
+    "events_stream_static_join",  # last r5
+    "events_retention_cohort",  # last r5
+    "events_type_share",  # last r5
+    "events_sessionize_rows",  # last r5
+    "stateful_user_totals_live",  # last r5
+    "orc_roundtrip",  # last r5
+    "text_source_scan",  # last r5
+    "bucketed_join_colocated",  # last r5
+    "partitioned_sink_prune",  # last r5
+    "neardup_cluster_assign",  # last r5
+    "pack_docs_into_contexts",  # last r5
+    "quality_repetition_ratio",  # last r5
+    "dataset_split_assign",  # last r5
+    "decontaminate_vs_benchmark",  # last r5
+    "data_mix_token_budget",  # last r5
+    "bm25_topk_docs",  # last r5
+    "simhash_neardup",  # last r5
+    "knn_ivf_top5",  # last r5
+    "events_signup_conversion",  # last r5
+    "quality_ttr_hapax",  # last r5
+    "knn_int8_quantized_top5",  # last r5
+    "events_funnel_steps",  # last r5
+    "events_hourly_gapfill",  # last r5
+    "events_ewma_last",  # last r5
+    "events_anomaly_trailing_z",  # last r5
+    "grouped_mode_event_type",  # last r5
+    "histogram_fixed_width",  # last r5
+    "sample_stratified_hash",  # last r5
+    "merge_upsert_scd",  # last r5
+    "join_asof_forward",  # last r5
+    "win_cumulative_distinct",  # last r5
+    "streaming_session_window_live",  # last r6
+    "streaming_sliding_window_live",  # last r6
+    "agg_max_by",  # last r6
+    "agg_boolean_conditional",  # last r6
+    "agg_string_concat_ordered",  # last r6
 )
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out

@@ -2313,7 +2313,11 @@ def _portable_minhash_sig(d: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_estimate_oracle_sql() -> str:
+def _minhash_estimate_oracle_sql(src: str = "documents") -> str:
+    """`src` is the document relation — `documents` for the full-corpus
+    audit, the md5-bucket √N stratum subquery for the rootn twin (both
+    sides of the pipeline — exact pairs AND signatures — see only
+    `src`, mirroring the _blocking_quality_oracle_sql convention)."""
     mins = ",\n           ".join(
         f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {_MH_P}))"
         f" AS m{i}"
@@ -2325,7 +2329,7 @@ WITH sets AS (
     SELECT doc_id,
            list_distinct(list_transform(range(1, len(t) - 1),
                          i -> array_to_string(t[i:i+2], ' '))) AS s
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
 ), hsets AS (
     SELECT doc_id, len(s) AS ns,
            list_transform(s,
@@ -2390,10 +2394,19 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     certification is the √N stratum (blocking_quality_rootn's
     schedule applies verbatim: the audit needs PAIRS to measure error
     on, and a √N document stratum keeps the pair sample growing while
-    the exact join stays Θ(K²N))."""
+    the exact join stays Θ(K²N)) — the REGISTERED twin is
+    `minhash_estimate_error_rootn` (r13, measured 10× exp 0.11 /
+    sf1→sf2 −0.02 vs this baseline's 2.49)."""
+    return _minhash_estimate_frame(_lt(spark, sf_dir, "documents"))
+
+
+def _minhash_estimate_frame(d: DataFrame) -> DataFrame:
+    """Shared plan for the estimator-certification pair: full-corpus
+    (`minhash_estimate_error`) and √N-stratum
+    (`minhash_estimate_error_rootn`) differ ONLY in the deterministic
+    document filter applied before anything else."""
     from dist_keras_spark.operators.dedup import jaccard_pairs
 
-    d = _lt(spark, sf_dir, "documents")
     sig = _portable_minhash_sig(d)
     # Integer-exact fixed-point ratio from the sufficient statistics
     # (ADVICE r8 #1): floor(float_jaccard * 1e6) disagrees with the
@@ -3299,6 +3312,74 @@ def blocking_quality_rootn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.count()
     pct = min(50, max(1, math.ceil((100 * _BQ_K) / math.sqrt(n))))
     return _blocking_quality_frame(spark, sf_dir, sample_pct=pct)
+
+
+# The md5-bucket stratum, digit-by-digit (DuckDB lacks conv()) — the
+# same expression _blocking_quality_oracle_sql inlines; factored here
+# for the rootn twins that parameterize an existing oracle's source
+# relation.
+_MD5_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),1,1))-1)*4096"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),2,1))-1)*256"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),3,1))-1)*16"
+    "+(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),4,1))-1)) % 100"
+)
+
+
+@query(
+    "minhash_estimate_error_rootn",
+    oracle=_minhash_estimate_oracle_sql(
+        src=f"(SELECT * FROM documents WHERE {_MD5_BUCKET_SQL} < {_BQ_PCT_SQL})"
+    ),
+)
+def minhash_estimate_error_rootn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE twin of minhash_estimate_error (VERDICT r12 #1 —
+    the last super-linear op whose regime note named a dial without a
+    registered form): the same per-pair estimator certification
+    (exact-Jaccard ≥ 0.5 pairs next to the k=16 minhash estimate,
+    everything integer, engine-portable md5-prefix hashing), but BOTH
+    sides of the pipeline — the exact inverted-index truth join AND
+    the signature computation — see only the deterministic md5-bucket
+    √N stratum, pct = clamp(1..50, ceil(100·K/√N)), K = 40 (the
+    blocking_quality_rootn schedule verbatim, same constants).
+
+    Why this is the production shape: the baseline's exact side is the
+    3-gram inverted-index join, measured exp 2.49 at the saturated
+    sf1→sf2 step (the synthetic 31³ shingle-space mechanism — see the
+    baseline's regime note). Under the √N schedule the stratum SIZE
+    grows ∝ √N, so the quadratic truth term is Θ(K²·N): linear in the
+    corpus at any saturation level. And certification semantics
+    IMPROVE with scale rather than merely survive it: the error
+    sample (pairs within the stratum) keeps growing ∝ stratum², so
+    the measured error distribution converges while cost stays
+    linear — fixed-precision certification, the Christen 2012
+    protocol applied to the estimator instead of the blocker.
+
+    Engine parity of the schedule: one correctly-rounded IEEE-754
+    sqrt + division + exact ceil on both engines (the
+    blocking_quality_rootn precedent), computed from the FULL-table
+    count; the stratum filter is the house hash_split md5-bucket,
+    spelled digit-by-digit in the oracle. At every fixture SF the
+    clamp pins pct = 50 (N ≤ 5000 ⇒ ceil(4000/√N) ≥ 57 → 50); at
+    benchdata scales it shrinks (sf1 N=50k ⇒ 18%, sf2 N=100k ⇒ 13%:
+    stratum 9k → 13k docs, pair term ×2.1 over a 2× corpus step ⇒
+    designed exp ≈ 1.05).
+
+    MEASURED (r13, quiet window, bench_extended_trace.json): 10×
+    exp 0.11 (1.93s → 2.46s), sf1→sf2 exp −0.02 (2.45s → 2.42s) vs
+    the full-corpus baseline's 2.49 (11s → 62s at the same step) —
+    at these stratum sizes (≤ 13k docs) wall time is floored by the
+    per-job constant, exactly the regime the schedule is designed to
+    hold: the quadratic term re-emerges only ∝ K²·N, linear in the
+    corpus."""
+    import math
+
+    from dist_keras_spark.operators.quality import deterministic_sample
+
+    d = _lt(spark, sf_dir, "documents")
+    n = d.count()
+    pct = min(50, max(1, math.ceil((100 * _BQ_K) / math.sqrt(n))))
+    return _minhash_estimate_frame(deterministic_sample(d, "doc_id", pct))
 
 
 @query(

@@ -532,6 +532,52 @@ def test_jaccard_lsh_tau06_equals_exact_at_fixture(spark):
     assert lsh == exact and len(lsh) > 0
 
 
+def test_minhash_estimate_rootn_is_stratum_restriction(spark):
+    """The √N twin of minhash_estimate_error must equal the full audit
+    restricted to pairs whose BOTH endpoints fall in the md5-bucket
+    stratum: per-doc signatures and per-pair exact counts don't depend
+    on documents outside the pair, so stratifying the corpus first is
+    exactly a pair filter. Pins that the twin changes WHAT is sampled,
+    never the certified values."""
+    from dist_keras_spark.operators.quality import deterministic_sample
+    from dist_keras_spark.plans.analytics6 import (
+        minhash_estimate_error,
+        minhash_estimate_error_rootn,
+    )
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    # fixture N=500 ⇒ the schedule clamps to pct=50
+    strat = {
+        r["doc_id"]
+        for r in deterministic_sample(
+            load_table(spark, sf, "documents"), "doc_id", 50
+        )
+        .select("doc_id")
+        .collect()
+    }
+    full = _rows(minhash_estimate_error, spark, sf)
+    twin = _rows(minhash_estimate_error_rootn, spark, sf)
+    expected = [
+        r for r in full if r["id_a"] in strat and r["id_b"] in strat
+    ]
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(twin, key=key) == sorted(expected, key=key)
+    assert len(twin) > 0
+
+
+def test_minhash_estimate_rootn_schedule():
+    """Same integer-pct schedule as blocking_quality_rootn (shared
+    _BQ_K): clamped at fixtures, √N past them."""
+    import math
+
+    from dist_keras_spark.plans.analytics6 import _BQ_K
+
+    pct = lambda n: min(50, max(1, math.ceil((100 * _BQ_K) / math.sqrt(n))))
+    assert pct(500) == 50 and pct(5000) == 50
+    assert pct(50000) == 18 and pct(100000) == 13
+
+
 def test_jaccard_lsh_tau06_fixture_in_high_recall_region(spark):
     """ADVICE r12 guard: jaccard_lsh_pairs_tau06 registers the EXACT
     inverted-index join as its driver oracle while the engine side is

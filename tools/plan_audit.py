@@ -198,6 +198,7 @@ AUDITED = {
     "lorenz_curve_deciles": "per-customer rollup partial-aggregates; ordered window on the population-sized rollup under bounded_window_key (exact baseline; gini_histogram_binned is the 100 TB path)",
     "kcore_peel_two_rounds": "per round: degree agg + two left-semi edge filters; edge list monotonically shrinks, checkpoint between rounds at scale",
     "minhash_estimate_error": "k=16 portable signatures as array_min(transform) column math (small codegen class); exact side reuses the inverted index; everything integer",
+    "minhash_estimate_error_rootn": "md5-bucket sqrtN stratum filters the scan BEFORE signatures and the inverted-index truth join - pair term Theta(K^2*N); schedule one count + scan-side filter; measured 10x 0.11 / sf1-sf2 -0.02 vs baseline 2.49",
     "abc_classification_parts": "per-part rollup partial-aggregates; population-sized ordered window under bounded_window_key (exact baseline); 3-row class rollup",
     "bootstrap_ci_mean": "identical to the replica query plus a 20-row ranking and a 1-row point aggregate - CI construction costs nothing beyond the replicas",
     "source_vocab_overlap": "self-join runs on the (source, token) DISTINCT projection (vocabulary-sized, Zipf-bounded) - corpus text never shuffles; pairs <= sources^2",
