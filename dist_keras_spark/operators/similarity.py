@@ -649,63 +649,42 @@ def _milli(col) -> F.Column:
     )
 
 
-def knn_ivf_two_level(
-    corpus: DataFrame,
-    queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe_coarse: int = 4,
-    n_probe_sub: int = 2,
-    seed: int = 42,
-) -> DataFrame:
-    """Two-level (hierarchical) IVF — the path past knn_ivf's driver
-    ceiling (the FAISS IVF-with-coarse-quantizer shape): the driver
-    holds only ~√n_cells COARSE centroids; the full cells-sized
-    sub-centroid table is a DataFrame that never leaves the cluster.
-
-    Structure (everything deterministic and engine-replayable):
-      - n_coarse = ceil(√n_cells) coarse centroids: first n_coarse
-        corpus vectors in md5(id:seed) order — the sample_centroids
-        convention, but the collect is √cells-sized (at N = 10⁹ under
-        the cells = N/1000 schedule: 10⁶ cells → 1000 coarse rows ≈
-        0.5 MB, vs the flat form's 0.5 GB).
-      - Every vector (corpus AND queries) is coarse-assigned scan-side
-        by one Arrow kernel over exact INTEGER-milli squared
-        distances (ties → lower cell; kmeans_lloyd_two_iters'
-        exactness technique, so there is no float-parity surface in
-        either assignment level).
-      - Sub-centroids: within each coarse cell, the first
-        n_sub = ceil(n_cells/n_coarse) members in md5(id:seed:sub)
-        order — ONE window over the coarse-assigned corpus; stays
-        distributed.
-      - Fine assignment: corpus joins its coarse cell's sub-centroids
-        (≤ n_sub rows each — a bounded fan-out join, NOT a cross
-        join), exact integer dist², argmin per vector via a
-        vec-keyed window. Work is Θ(N·√cells) instead of the flat
-        quantizer's Θ(N·cells).
-      - Queries probe their n_probe_coarse nearest coarse cells, then
-        the n_probe_sub nearest sub-cells within each — probed leaf
-        cells = n_probe_coarse · n_probe_sub; candidates re-rank by
-        exact float cosine (round 6), the same final stage as
-        knn_ivf.
-
-    At the fixture clamp (n_cells=16 → 4 coarse × 4 sub, probes 4×2=8
-    leaves) the probed-fraction matches knn_ivf's n_probe=8/16.
-    Scale dial: the fine-assign fold is an interpreted HOF per
-    (vector, sub-centroid) pair — at extreme N swap it for a
-    cogrouped applyInPandas integer matmul per coarse cell (the
-    int_argmax_cell_udf technique, batch × n_sub); semantics
-    unchanged."""
+def _two_level_parts(n_cells: int) -> tuple[int, int]:
+    """(n_coarse, n_sub) = (ceil(sqrt(cells)), ceil(cells/n_coarse)) — one
+    correctly-rounded IEEE sqrt + exact integer ceil-div, identical in
+    Python and the SQL oracle's scalar subquery."""
     import math
 
-    from dist_keras_spark.operators.dedup import spread
-
-    if n_cells < 1 or n_probe_coarse < 1 or n_probe_sub < 1:
-        raise ValueError("knn_ivf_two_level: cells/probes must be >= 1")
     n_coarse = math.ceil(math.sqrt(n_cells))
-    n_sub = (n_cells + n_coarse - 1) // n_coarse
+    return n_coarse, (n_cells + n_coarse - 1) // n_coarse
+
+
+def _two_level_quantize(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    materialize: str | None = "local",
+) -> tuple[DataFrame, DataFrame, np.ndarray]:
+    """Shared two-level quantizer pipeline: returns (fine, subcents,
+    coarse) where `fine` = every corpus vector with its (coarse,
+    sub_rank) leaf assignment plus the original float vector, `subcents`
+    = the distributed (coarse, sub_rank, sq) sub-centroid table, and
+    `coarse` = the ceil(sqrt(cells)) milli-int coarse matrix (the ONLY
+    driver-side object). Used by the inline form (knn_ivf_two_level)
+    and the persisted build (build_ivf_two_level_index).
+
+    `materialize` stages the coarse-assigned corpus (the dedup._stage
+    strategies): the assigned table feeds THREE separate subtrees
+    (fine's left side, the sub-centroid window, the probe join) and
+    ReuseExchange does NOT dedupe them (different downstream
+    Exchanges), so lazy lineage re-runs the corpus-wide Arrow kernel
+    per subtree — measured 3× the staged cost at sf1 (the persisted
+    build pays the pass once at write time and needs no staging)."""
+    from dist_keras_spark.operators.dedup import _stage, spread
+
+    n_coarse, n_sub = _two_level_parts(n_cells)
     corpus = spread(corpus, id_col)
     cq = corpus.select(
         F.col(id_col).alias("vid"),
@@ -722,12 +701,15 @@ def knn_ivf_two_level(
         .collect()
     )
     if not coarse_rows:
-        raise ValueError("knn_ivf_two_level: corpus is empty")
+        raise ValueError("two-level IVF: corpus is empty")
     coarse = np.stack([np.asarray(r["vq"], dtype=np.int64) for r in coarse_rows])
 
-    assigned = cq.withColumn(
-        "coarse",
-        F.element_at(_int_argsort_cells_udf(coarse, 1)("vq"), 1),
+    assigned = _stage(
+        cq.withColumn(
+            "coarse",
+            F.element_at(_int_argsort_cells_udf(coarse, 1)("vq"), 1),
+        ),
+        materialize,
     )
     # sub-centroid table: per coarse cell, first n_sub members in
     # md5(id:seed:sub) order — distributed, never collected
@@ -740,23 +722,43 @@ def knn_ivf_two_level(
         .filter(F.col("sub_rank") <= n_sub)
         .select("coarse", "sub_rank", F.col("vq").alias("sq"))
     )
-    dist2 = F.aggregate(
-        F.zip_with("vq", "sq", lambda v, s: (v - s) * (v - s)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    wv = W.partitionBy("vid").orderBy(
+        _sub_dist2().asc(), F.col("sub_rank").asc()
     )
-    wv = W.partitionBy("vid").orderBy(dist2.asc(), F.col("sub_rank").asc())
     fine = (
         assigned.join(subcents, "coarse")
         .withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") == 1)
-        .select(
-            F.col("vid").alias("neighbor_id"),
-            F.col("vec").alias("cvec"),
-            "coarse",
-            "sub_rank",
-        )
+        .select("vid", "vec", "coarse", "sub_rank")
     )
+    return fine, subcents, coarse
+
+
+def _sub_dist2() -> F.Column:
+    """Exact int64 squared distance between the row's milli vector `vq`
+    and a sub-centroid's `sq` (interpreted HOF fold — acceptable at
+    n_sub ≈ sqrt(cells) candidates per row; the Arrow-matmul cogroup is
+    the named dial past that)."""
+    return F.aggregate(
+        F.zip_with("vq", "sq", lambda v, s: (v - s) * (v - s)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _two_level_probes(
+    queries: DataFrame,
+    subcents: DataFrame,
+    coarse: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_probe_coarse: int,
+    n_probe_sub: int,
+) -> DataFrame:
+    """Probe rows (query_id, qvec, coarse, sub_rank): each query's
+    n_probe_coarse nearest coarse cells (Arrow int kernel), then its
+    n_probe_sub nearest sub-cells within each (bounded join + ranked
+    window) — n_probe_coarse·n_probe_sub leaves per query."""
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -770,16 +772,37 @@ def knn_ivf_two_level(
         ).alias("coarse"),
     )
     wq = W.partitionBy("query_id", "coarse").orderBy(
-        dist2.asc(), F.col("sub_rank").asc()
+        _sub_dist2().asc(), F.col("sub_rank").asc()
     )
-    probes = (
+    return (
         qv.join(subcents, "coarse")
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe_sub)
         .select("query_id", "qvec", "coarse", "sub_rank")
     )
+
+
+def _rerank_candidates(fine: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact float-cosine top-k within probed leaves (the family's
+    shared final stage). `fine` columns: (vid, vec, coarse, sub_rank).
+
+    The spread() before the candidate join is load-bearing: `fine`
+    arrives from a vid-keyed window whose tiny shuffle AQE coalesces
+    to a handful of partitions, and the broadcast join inflates each
+    input row ~n_probe·queries/cells-fold IN PLACE — without the
+    re-spread the whole cosine stage runs on those few cores
+    (measured 72s vs 12s at benchdata/sf1, 5 of 32 partitions)."""
+    from dist_keras_spark.operators.dedup import spread
+
     cand = (
-        fine.join(F.broadcast(probes), ["coarse", "sub_rank"])
+        spread(fine, "vid")
+        .select(
+            F.col("vid").alias("neighbor_id"),
+            F.col("vec").alias("cvec"),
+            "coarse",
+            "sub_rank",
+        )
+        .join(F.broadcast(probes), ["coarse", "sub_rank"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qvec", "neighbor_id", "cvec")
     )
@@ -794,3 +817,145 @@ def knn_ivf_two_level(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def knn_ivf_two_level(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe_coarse: int = 4,
+    n_probe_sub: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-level (hierarchical) IVF — the path past knn_ivf's driver
+    ceiling (the FAISS IVF-with-coarse-quantizer shape): the driver
+    holds only ~sqrt(n_cells) COARSE centroids; the full cells-sized
+    sub-centroid table is a DataFrame that never leaves the cluster.
+
+    Structure (everything deterministic and engine-replayable):
+      - n_coarse = ceil(sqrt(n_cells)) coarse centroids: first n_coarse
+        corpus vectors in md5(id:seed) order — the sample_centroids
+        convention, but the collect is sqrt(cells)-sized (at N = 1e9
+        under the cells = N/1000 schedule: 1e6 cells -> 1000 coarse
+        rows ~ 0.5 MB, vs the flat form's 0.5 GB).
+      - Every vector (corpus AND queries) is coarse-assigned scan-side
+        by one Arrow kernel over exact INTEGER-milli squared distances
+        (ties -> lower cell; kmeans_lloyd_two_iters' exactness
+        technique, so there is no float-parity surface in either
+        assignment level).
+      - Sub-centroids: within each coarse cell, the first
+        n_sub = ceil(n_cells/n_coarse) members in md5(id:seed:sub)
+        order — ONE window over the coarse-assigned corpus; stays
+        distributed.
+      - Fine assignment: corpus joins its coarse cell's sub-centroids
+        (<= n_sub rows each — a bounded fan-out join, NOT a cross
+        join), exact integer dist2, argmin per vector via a vec-keyed
+        window. Work is Theta(N*sqrt(cells)) instead of the flat
+        quantizer's Theta(N*cells).
+      - Queries probe their n_probe_coarse nearest coarse cells, then
+        the n_probe_sub nearest sub-cells within each; candidates
+        re-rank by exact float cosine (round 6), the same final stage
+        as knn_ivf.
+
+    At the fixture clamp (n_cells=16 -> 4 coarse x 4 sub, probes
+    4x2=8 leaves) the probed-fraction matches knn_ivf's n_probe=8/16.
+    Scale dial: the fine-assign fold is an interpreted HOF per
+    (vector, sub-centroid) pair — at extreme N swap it for a cogrouped
+    applyInPandas integer matmul per coarse cell (the
+    int_argmax_cell_udf technique, batch x n_sub); semantics
+    unchanged."""
+    if n_cells < 1 or n_probe_coarse < 1 or n_probe_sub < 1:
+        raise ValueError("knn_ivf_two_level: cells/probes must be >= 1")
+    fine, subcents, coarse = _two_level_quantize(
+        corpus, id_col, vec_col, n_cells, seed
+    )
+    probes = _two_level_probes(
+        queries, subcents, coarse, id_col, vec_col, n_probe_coarse, n_probe_sub
+    )
+    return _rerank_candidates(fine, probes, k)
+
+
+def build_ivf_two_level_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> None:
+    """Materialize the two-level IVF index: corpus written parquet
+    PARTITIONED BY (coarse, sub_rank) — one directory per LEAF cell —
+    with two sidecars: `_coarse_centroids` (the sqrt(cells) milli
+    matrix, the only thing search ever collects) and `_sub_centroids`
+    (the cells-sized table, read as a DataFrame). Same build-once /
+    path-encodes-params / idempotent contract as build_ivf_index:
+    re-calls at the same path validate the persisted coarse count and
+    skip the assignment pass."""
+    import os
+
+    spark0 = corpus.sparkSession
+    n_coarse, n_sub = _two_level_parts(n_cells)
+    if os.path.isdir(f"{path}/_coarse_centroids"):
+        n_persisted = spark0.read.parquet(f"{path}/_coarse_centroids").count()
+        if n_persisted != n_coarse:
+            raise ValueError(
+                f"stale two-level IVF index at {path!r}: persisted "
+                f"{n_persisted} coarse centroids but this build implies "
+                f"n_coarse={n_coarse}; the path encodes the build params"
+            )
+        return
+    fine, subcents, coarse = _two_level_quantize(
+        corpus, id_col, vec_col, n_cells, seed
+    )
+    fine.select(
+        F.col("vid").alias(id_col),
+        F.col("vec").alias(vec_col),
+        "coarse",
+        "sub_rank",
+    ).write.mode("overwrite").partitionBy("coarse", "sub_rank").parquet(path)
+    subcents.write.mode("overwrite").parquet(f"{path}/_sub_centroids")
+    spark0.createDataFrame(
+        [(i, [int(x) for x in row]) for i, row in enumerate(coarse)],
+        "cell int, vq array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_coarse_centroids")
+
+
+def search_ivf_two_level_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe_coarse: int = 4,
+    n_probe_sub: int = 2,
+) -> DataFrame:
+    """Search a build_ivf_two_level_index layout: the driver reads ONLY
+    the sqrt(cells) `_coarse_centroids` sidecar; sub-centroids load as
+    a DataFrame; probed (coarse, sub_rank) LEAF directories prune at
+    the storage layer (two-key partition pruning via the broadcast
+    probe side), and the re-rank is the family's shared cosine stage.
+    Per-query read cost is n_probe_coarse*n_probe_sub*N/cells vectors
+    — constant under the cells-proportional-to-N schedule — while the
+    driver footprint stays sqrt(cells) at ANY index size."""
+    cents_rows = sorted(
+        spark.read.parquet(f"{path}/_coarse_centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    coarse = np.stack(
+        [np.asarray(r["vq"], dtype=np.int64) for r in cents_rows]
+    )
+    subcents = spark.read.parquet(f"{path}/_sub_centroids")
+    fine = spark.read.parquet(path).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col("coarse").cast("int").alias("coarse"),
+        F.col("sub_rank").cast("int").alias("sub_rank"),
+    )
+    probes = _two_level_probes(
+        queries, subcents, coarse, id_col, vec_col, n_probe_coarse, n_probe_sub
+    )
+    return _rerank_candidates(fine, probes, k)

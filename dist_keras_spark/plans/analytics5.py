@@ -1760,8 +1760,9 @@ def _scaled_ivf_candidates(
     bit-identical to knn_ivf's at equal parameters. Driver ceiling
     (documented, inherited from knn_ivf_scaled_top5): the centroid
     sample is a driver collect of ~N/1000 × dim doubles — ~0.5 MB/M
-    rows; production caps cells (hierarchical coarse quantizers) past
-    ~1e5 cells. The probe join carries NO broadcast hint (the
+    rows; past ~1e5 cells the quantizer goes hierarchical —
+    implemented as operators/similarity.knn_ivf_two_level (√cells
+    driver footprint; registered proof `knn_ivf_hier_top5`, r13). The probe join carries NO broadcast hint (the
     hard_negative_mining_scaled / unigram_surprisal ADVICE class: the
     exploded query panel is ∝ N·n_probe rows, not driver-sized) —
     AQE broadcasts it while it measures small and shuffle-hash-joins

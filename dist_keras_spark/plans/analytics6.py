@@ -724,7 +724,9 @@ def semdedup_scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (int_argmax_cell_udf): assignment stays scan-side, exact int64,
     ties to the lower cell — bit-identical to the SQL replay. At true
     100 TB scale k itself grows past model size and assignment becomes
-    hierarchical (IVF over centroids); k = N/100 with a matmul kernel
+    hierarchical (IVF over centroids — the two-level form is
+    implemented: operators/similarity.knn_ivf_two_level, registered
+    as `knn_ivf_hier_top5`, r13); k = N/100 with a matmul kernel
     carries the measured range. MEASURED at 10× (r11 sweep,
     bench_extended_trace "scaling_10x"): exp ≈ 0.54 (3.3s → 11.5s)
     vs the pinned-k baseline's 1.16 — per-cell pairs held constant,

@@ -1,10 +1,12 @@
 """ML training / inference / evaluation queries (SURVEY.md §2.I).
 
-Training queries return their round-by-round history as a DataFrame
-(rows-only driver check — iterative training isn't SQL); the linear
-scorer is fully SQL-expressible and carries a sharp oracle, proving
-the inference arithmetic end-to-end. Convergence itself is gated in
-tests/test_ml.py (distributed-vs-single parity, SURVEY.md §5.2.6).
+Float trainers return their round-by-round history as a DataFrame
+(rows-only driver check — float SGD isn't SQL); the linear scorer and
+the FIXED-POINT replays (two-step GD/DynSGD/EAMSGD/Adam, and the
+ten-step mini-batch SGD whose whole 30-row history is hash-checked)
+carry sharp oracles, proving the inference and update arithmetic
+end-to-end. Convergence itself is gated in tests/test_ml.py
+(distributed-vs-single parity, SURVEY.md §5.2.6).
 """
 
 from __future__ import annotations
@@ -235,6 +237,180 @@ def linreg_gd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = step(step(w0))
     return w2.select("l_returnflag", "n", "w_fp", "b_fp")
+
+
+# Ten-step mini-batch SGD replay: 5 md5-bucket mini-batches rotated
+# round-robin, base lr 1e-4 halved every 4 steps (the repr()'d-float
+# multiplier convention of linreg_dynsgd_two_steps).
+_SGD_STEPS = 10
+_SGD_BATCHES = 5
+_SGD_LR_K = {t: 0.5 ** ((t - 1) // 4) for t in range(1, _SGD_STEPS + 1)}
+# engine-identical mini-batch id: first 4 hex chars of
+# md5(orderkey:linenumber) mod 5 (the hash_split convention on the
+# composite lineitem key)
+_SGD_BATCH_SQL = (
+    "('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||"
+    f" CAST(l_linenumber AS VARCHAR)), 1, 4))::BIGINT % {_SGD_BATCHES}"
+)
+
+
+def _sgd_ten_step_oracle_sql() -> str:
+    """Ten chained gradient-step CTE pairs (the kmeans two-Lloyd-iters
+    finite-unroll technique at depth 10), one per step, each scanning
+    ONLY its rotation batch; the final SELECT unions the ten weight
+    states into the training history."""
+    parts = [
+        f"""
+WITH d AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice) AS BIGINT) * 10000 AS y_fp,
+           {_SGD_BATCH_SQL} AS batch
+    FROM lineitem
+), s1 AS (
+    SELECT l_returnflag, count(*) AS nb,
+           CAST(sum(2 * x * (-y_fp)) AS BIGINT) AS gw,
+           CAST(sum(2 * (-y_fp)) AS BIGINT) AS gb
+    FROM d WHERE batch = 0 GROUP BY l_returnflag
+), w1 AS (
+    SELECT l_returnflag, nb,
+           CAST(0 - floor(CAST(gw AS DOUBLE) / 10000.0 / nb
+                          * {_SGD_LR_K[1]!r}) AS BIGINT) AS w_fp,
+           CAST(0 - floor(CAST(gb AS DOUBLE) / 10000.0 / nb
+                          * {_SGD_LR_K[1]!r}) AS BIGINT) AS b_fp
+    FROM s1
+)"""
+    ]
+    for t in range(2, _SGD_STEPS + 1):
+        b = (t - 1) % _SGD_BATCHES
+        k = _SGD_LR_K[t]
+        parts.append(
+            f""", s{t} AS (
+    SELECT d.l_returnflag, count(*) AS nb, w{t - 1}.w_fp, w{t - 1}.b_fp,
+           CAST(sum(2 * d.x * (w{t - 1}.w_fp * d.x + w{t - 1}.b_fp - d.y_fp))
+                AS BIGINT) AS gw,
+           CAST(sum(2 * (w{t - 1}.w_fp * d.x + w{t - 1}.b_fp - d.y_fp))
+                AS BIGINT) AS gb
+    FROM d JOIN w{t - 1} USING (l_returnflag)
+    WHERE d.batch = {b}
+    GROUP BY d.l_returnflag, w{t - 1}.w_fp, w{t - 1}.b_fp
+), w{t} AS (
+    SELECT l_returnflag, nb,
+           CAST(w_fp - floor(CAST(gw AS DOUBLE) / 10000.0 / nb
+                             * {k!r}) AS BIGINT) AS w_fp,
+           CAST(b_fp - floor(CAST(gb AS DOUBLE) / 10000.0 / nb
+                             * {k!r}) AS BIGINT) AS b_fp
+    FROM s{t}
+)"""
+        )
+    hist = "\nUNION ALL ".join(
+        f"SELECT l_returnflag, CAST({t} AS BIGINT) AS step, "
+        f"CAST(nb AS BIGINT) AS n_batch, w_fp, b_fp FROM w{t}"
+        for t in range(1, _SGD_STEPS + 1)
+    )
+    return "".join(parts) + "\n" + hist
+
+
+@query("linreg_minibatch_sgd_ten_steps", oracle=_sgd_ten_step_oracle_sql())
+def linreg_minibatch_sgd_ten_steps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEN mini-batch SGD steps with the full TRAINING HISTORY under
+    the hash gate (r13) — the deepest composed replay of the loop the
+    reference's trainers run, closing in on the one remaining
+    driver-blind surface ('many float steps composed', accepted risk
+    since r5): where the two-step replays pin one update's
+    arithmetic, this pins a 10-step trajectory with the three moving
+    parts real training has — (a) MINI-BATCHES: 5 deterministic
+    md5-bucket batches over the composite (orderkey, linenumber) key,
+    rotated round-robin, each step's gradient an exact int64 sum over
+    ONLY its batch; (b) an LR SCHEDULE: base 1e-4 halved every 4
+    steps, applied as the repr()'d-float multiplier both engines
+    evaluate identically (the DynSGD convention); (c) HISTORY as
+    data: the output is the per-step (step, n_batch, w_fp, b_fp)
+    trajectory — I12's training-history surface, driver-checked
+    instead of test-only. Fixed-point weights (1e4), floor-of-double
+    updates — every state transition exactly replayable (the
+    linreg_gd_two_steps arithmetic contract at 5× the depth with
+    per-step re-batching).
+
+    Scale shape per step: ONE partial-aggregated scan of the step's
+    mini-batch (the batch predicate prunes at the scan when the
+    bucket is a materialized/partition column; here it filters
+    scan-side) + a model-sized join back; 10 steps chain lazily with
+    no collect and no window. int64 bound: per-batch |Σ 2x·res| ≈
+    (rows/5)·2·50·1e9 — in-range to SF ≈ 50; past that promote the
+    gradient sums to DECIMAL(38,0) (same plan).
+
+    Trajectory sanity is pytest-gated (monotone |gradient-step| decay
+    under the halving schedule; batches partition the fact); the
+    driver hash pins every digit of all 30 history rows."""
+    l = _lt(spark, sf_dir, "lineitem")
+    batch = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_SGD_BATCHES),
+    )
+    d = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
+        batch.alias("batch"),
+    )
+
+    def step(weights: DataFrame, t: int) -> DataFrame:
+        b = (t - 1) % _SGD_BATCHES
+        k = _SGD_LR_K[t]
+        j = d.filter(F.col("batch") == b).join(weights, "l_returnflag")
+        res = F.col("w_fp") * F.col("x") + F.col("b_fp") - F.col("y_fp")
+        g = j.groupBy("l_returnflag", "w_fp", "b_fp").agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(2 * F.col("x") * res).alias("gw"),
+            F.sum(2 * res).alias("gb"),
+        )
+        upd = lambda wcol, gcol: (  # noqa: E731
+            F.col(wcol)
+            - F.floor(
+                F.col(gcol).cast("double") / 10000.0 / F.col("nb") * F.lit(k)
+            )
+        ).cast("long")
+        return g.select(
+            "l_returnflag",
+            "nb",
+            upd("w_fp", "gw").alias("w_fp"),
+            upd("b_fp", "gb").alias("b_fp"),
+        )
+
+    w = d.select("l_returnflag").distinct().select(
+        "l_returnflag",
+        F.lit(0).cast("long").alias("w_fp"),
+        F.lit(0).cast("long").alias("b_fp"),
+    )
+    history = None
+    for t in range(1, _SGD_STEPS + 1):
+        w = step(w.select("l_returnflag", "w_fp", "b_fp"), t)
+        h = w.select(
+            "l_returnflag",
+            F.lit(t).cast("long").alias("step"),
+            F.col("nb").cast("long").alias("n_batch"),
+            "w_fp",
+            "b_fp",
+        )
+        history = h if history is None else history.unionByName(h)
+    return history
 
 
 _DYN_K = {1: 1 / (1 + 0.05 * 1), 2: 1 / (1 + 0.05 * 2)}

@@ -447,3 +447,66 @@ def test_sync_trainer_matches_golden_trajectory(golden_df, mode):
     tr.train(golden_df)
     losses = [h["loss"] for h in tr.history]
     assert losses == pytest.approx(_GOLDEN_LOSSES[mode], rel=1e-9)
+
+
+def test_sgd_ten_step_trajectory_sane(spark):
+    """linreg_minibatch_sgd_ten_steps: 10 history rows per return
+    flag with contiguous steps; every step's batch is one of the 5
+    md5 buckets, which partition the fact exactly (sum of batch
+    sizes over one rotation cycle == group size); and weights move —
+    the trajectory is not a fixed point after step 1 (mini-batch
+    rotation re-excites the gradient even if one batch converges)."""
+    from dist_keras_spark.plans.ml import (
+        _SGD_BATCHES,
+        linreg_minibatch_sgd_ten_steps,
+    )
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = [
+        r.asDict()
+        for r in linreg_minibatch_sgd_ten_steps(spark, sf).collect()
+    ]
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    assert len(by_flag) == 3
+    l = load_table(spark, sf, "lineitem")
+    batch = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_SGD_BATCHES),
+    )
+    sizes = {
+        (r["l_returnflag"], r["b"]): r["n"]
+        for r in l.groupBy("l_returnflag", batch.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for flag, hist in by_flag.items():
+        hist.sort(key=lambda r: r["step"])
+        assert [h["step"] for h in hist] == list(range(1, 11))
+        # each step's n_batch equals the md5 bucket's true size
+        for h in hist:
+            b = (h["step"] - 1) % _SGD_BATCHES
+            assert h["n_batch"] == sizes[(flag, b)]
+        # one full rotation covers the whole group exactly
+        assert sum(sizes[(flag, b)] for b in range(_SGD_BATCHES)) == sum(
+            sizes[(f, b)] for (f, b) in sizes if f == flag
+        )
+        # the trajectory moves: at least one later step changes w
+        ws = [h["w_fp"] for h in hist]
+        assert len(set(ws)) > 1

@@ -532,6 +532,82 @@ def test_jaccard_lsh_tau06_equals_exact_at_fixture(spark):
     assert lsh == exact and len(lsh) > 0
 
 
+def test_knn_ivf_two_level_invariants(spark):
+    """Two-level IVF (knn_ivf_hier_top5): per query ≤ 5 ranked rows
+    with contiguous ranks, cosine non-increasing within a query, no
+    self-matches, and every query in the vec_id % 20 panel that has a
+    non-empty probed region is served. The driver-footprint claim is
+    structural: the operator's only collect is the ceil(√cells)
+    coarse sample (asserted by reading the plan construction — the
+    sub-centroid table is a DataFrame join)."""
+    from dist_keras_spark.plans.llm import knn_ivf_hier_top5
+
+    sf = "/root/testdata/sf0.01"
+    rows = _rows(knn_ivf_hier_top5, spark, sf)
+    assert rows
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q[r["query_id"]].append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["knn_rank"])
+        assert [r["knn_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    # the full % 20 == 0 panel is 25 queries at sf0.01; with 4 of 4
+    # coarse cells probed every query sees a non-empty region
+    assert len(per_q) == 25
+
+
+def test_knn_ivf_two_level_recall_vs_exact(spark):
+    """At the fixture clamp the two-level schedule (16 cells → 4
+    coarse × 4 sub, probes 4×2) scans the same expected corpus
+    fraction as the flat form's 8/16 — recall against the EXACT
+    brute-force top-5 should land in the same band, not collapse.
+    Measured at sf0.01: flat 0.752, hier 0.680 (the expected
+    hierarchical tax — a sub-cell in an unprobed coarse cell is
+    invisible; n_probe_coarse is the dial). Floor at 0.5 so a real
+    routing bug (recall ≈ probed-fraction ≈ 0.5 would mean candidates
+    are effectively random) fails loudly while quantizer-shape noise
+    does not."""
+    from dist_keras_spark.plans.llm import (
+        knn_bruteforce_top5,
+        knn_ivf_hier_top5,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _rows(knn_bruteforce_top5, spark, sf)
+    }
+    hier = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _rows(knn_ivf_hier_top5, spark, sf)
+    }
+    assert brute and hier
+    recall = len(brute & hier) / len(brute)
+    assert recall >= 0.5, f"hier recall vs exact collapsed: {recall:.2f}"
+
+
+def test_knn_ivf_hier_persisted_equals_inline(spark):
+    """The persisted two-level index (build_ivf_two_level_index →
+    search_ivf_two_level_index) must reproduce the inline form
+    row-for-row — same coarse sample, same sub-centroid windows, same
+    probes, same re-rank; only WHERE the leaf-pruning happens (storage
+    vs plan) differs."""
+    from dist_keras_spark.plans.llm import (
+        knn_ivf_hier_persisted_top5,
+        knn_ivf_hier_top5,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    key = lambda r: (r["query_id"], r["knn_rank"])
+    inline = sorted(_rows(knn_ivf_hier_top5, spark, sf), key=key)
+    persisted = sorted(_rows(knn_ivf_hier_persisted_top5, spark, sf), key=key)
+    assert inline == persisted and len(inline) > 0
+
+
 def test_minhash_estimate_rootn_is_stratum_restriction(spark):
     """The √N twin of minhash_estimate_error must equal the full audit
     restricted to pairs whose BOTH endpoints fall in the md5-bucket
