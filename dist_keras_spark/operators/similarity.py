@@ -786,17 +786,16 @@ def _rerank_candidates(fine: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     """Exact float-cosine top-k within probed leaves (the family's
     shared final stage). `fine` columns: (vid, vec, coarse, sub_rank).
 
-    The spread() before the candidate join is load-bearing: `fine`
-    arrives from a vid-keyed window whose tiny shuffle AQE coalesces
-    to a handful of partitions, and the broadcast join inflates each
-    input row ~n_probe·queries/cells-fold IN PLACE — without the
-    re-spread the whole cosine stage runs on those few cores
-    (measured 72s vs 12s at benchdata/sf1, 5 of 32 partitions)."""
-    from dist_keras_spark.operators.dedup import spread
-
+    Callers must hand in a well-partitioned `fine`: the broadcast
+    join below inflates each input row ~n_probe·queries/cells-fold
+    IN PLACE, so however many partitions `fine` arrives with is the
+    parallelism of the whole cosine stage. The inline form re-spreads
+    its window output (AQE coalesces the tiny vid-shuffle to a
+    handful of partitions — measured 72s vs 12s at benchdata/sf1 on
+    5 of 32 cores); the persisted search passes its parquet scan
+    directly so leaf-directory pruning reaches the file index."""
     cand = (
-        spread(fine, "vid")
-        .select(
+        fine.select(
             F.col("vid").alias("neighbor_id"),
             F.col("vec").alias("cvec"),
             "coarse",
@@ -869,13 +868,17 @@ def knn_ivf_two_level(
     unchanged."""
     if n_cells < 1 or n_probe_coarse < 1 or n_probe_sub < 1:
         raise ValueError("knn_ivf_two_level: cells/probes must be >= 1")
+    from dist_keras_spark.operators.dedup import spread
+
     fine, subcents, coarse = _two_level_quantize(
         corpus, id_col, vec_col, n_cells, seed
     )
     probes = _two_level_probes(
         queries, subcents, coarse, id_col, vec_col, n_probe_coarse, n_probe_sub
     )
-    return _rerank_candidates(fine, probes, k)
+    # re-spread the window output: see _rerank_candidates' parallelism
+    # contract
+    return _rerank_candidates(spread(fine, "vid"), probes, k)
 
 
 def build_ivf_two_level_index(

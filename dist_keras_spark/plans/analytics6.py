@@ -1292,6 +1292,16 @@ def ppjoin_dfcap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.02 with full recall at both saturated SFs) — is the registered
     saturation-immune form.
 
+    COUNT MODEL CONFIRMED at the next doubling (r13, VERDICT r12 #3,
+    quiet window, bench_extended_trace "scaling_sf2_sf4"): sf2→sf4
+    measured exp 1.99 (27.3s → 108.8s) vs the pair-mass prediction
+    log2(16.7M/3.49M) = 2.26 — wall growth tracks the counted
+    candidate mass (slightly under it: the scan/signature terms stay
+    linear), so the transient is behaving exactly as counted, not a
+    hidden second mechanism. The op stays a declared
+    counted-transient baseline with the LSH rung as the
+    saturation-path twin.
+
     The oracle replays the ENTIRE capped pipeline — df ranking,
     integer prefix length, cap, candidate join, full-postings verify
     — so the approximation itself is hash-pinned (the

@@ -23,7 +23,7 @@ from dist_keras_spark.operators.trainers import (
     SingleTrainer,
     SyncDistributedTrainer,
 )
-from dist_keras_spark.plans.registry import query
+from dist_keras_spark.plans.registry import ORACLE, query
 from dist_keras_spark.sources.tables import load_table as _lt
 
 _DIMS = (64, 32, 10)  # embeddings: dim 64 → 10 classes
@@ -411,6 +411,229 @@ def linreg_minibatch_sgd_ten_steps(
         )
         history = h if history is None else history.unionByName(h)
     return history
+
+
+@query(
+    "sgd_ten_step_final_loss",
+    oracle=f"""
+WITH hist AS ({ORACLE["linreg_minibatch_sgd_ten_steps"]}),
+final AS (SELECT l_returnflag, w_fp, b_fp FROM hist WHERE step = 10),
+d AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice) AS BIGINT) * 10000 AS y_fp
+    FROM lineitem
+)
+SELECT d.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(f.w_fp) AS w_fp,
+       any_value(f.b_fp) AS b_fp,
+       CAST(sum(abs(f.w_fp * d.x + f.b_fp - d.y_fp)) AS BIGINT)
+           AS l1_loss_fp,
+       CAST(sum(abs(f.w_fp * d.x + f.b_fp - d.y_fp)) // count(*)
+            AS BIGINT) AS mean_abs_err_fp
+FROM d JOIN final f USING (l_returnflag)
+GROUP BY d.l_returnflag
+""",
+)
+def sgd_ten_step_final_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training EVAL composed on the training LOOP, both under the
+    hash gate: score the ten-step trajectory's FINAL weights against
+    the FULL fact (L1 loss + mean absolute error, exact int64 — the
+    residual never leaves fixed point). The oracle wraps the
+    registered ten-step history as a CTE (the derived-query
+    discipline: the weights under evaluation are pinned to the exact
+    SQL the driver already hash-checks, so loop and eval can never
+    drift apart). This is the epoch-end validation pass every trainer
+    runs — ONE partial-aggregated scan of the fact joined to a
+    3-row broadcast weight table; int64 bound: Σ|resid| ≈
+    rows·1e9 < 2⁶³ to SF ≈ 1000."""
+    l = _lt(spark, sf_dir, "lineitem")
+    final = linreg_minibatch_sgd_ten_steps(spark, sf_dir).filter(
+        F.col("step") == _SGD_STEPS
+    ).select("l_returnflag", "w_fp", "b_fp")
+    d = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
+    )
+    res = F.abs(F.col("w_fp") * F.col("x") + F.col("b_fp") - F.col("y_fp"))
+    return (
+        d.join(F.broadcast(final), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("w_fp").alias("w_fp"),
+            F.first("b_fp").alias("b_fp"),
+            F.sum(res).alias("l1_loss_fp"),
+            F.expr("sum(abs(w_fp * x + b_fp - y_fp)) div count(*)")
+            .cast("long")
+            .alias("mean_abs_err_fp"),
+        )
+    )
+
+
+_PAR_WORKERS = 4
+
+
+def _parallel_sgd_oracle_sql() -> str:
+    """W=4 independent two-step GD chains, one per md5-shard, then the
+    integer weight average — the AveragingTrainer / DOWNPOUR round
+    structure finitely unrolled (each worker chain is the
+    linreg_gd_two_steps arithmetic restricted to its shard)."""
+    chains = []
+    for w in range(_PAR_WORKERS):
+        chains.append(f"""s{w}_1 AS (
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(2 * x * (-y_fp)) AS BIGINT) AS gw,
+           CAST(sum(2 * (-y_fp)) AS BIGINT) AS gb
+    FROM d WHERE shard = {w} GROUP BY l_returnflag
+), w{w}_1 AS (
+    SELECT l_returnflag, n,
+           CAST(0 - floor(CAST(gw AS DOUBLE) / 10000.0 / n) AS BIGINT) AS w_fp,
+           CAST(0 - floor(CAST(gb AS DOUBLE) / 10000.0 / n) AS BIGINT) AS b_fp
+    FROM s{w}_1
+), s{w}_2 AS (
+    SELECT d.l_returnflag, c.n, c.w_fp, c.b_fp,
+           CAST(sum(2 * d.x * (c.w_fp * d.x + c.b_fp - d.y_fp)) AS BIGINT) AS gw,
+           CAST(sum(2 * (c.w_fp * d.x + c.b_fp - d.y_fp)) AS BIGINT) AS gb
+    FROM d JOIN w{w}_1 c USING (l_returnflag)
+    WHERE d.shard = {w}
+    GROUP BY d.l_returnflag, c.n, c.w_fp, c.b_fp
+), w{w}_2 AS (
+    SELECT l_returnflag, n,
+           CAST(w_fp - floor(CAST(gw AS DOUBLE) / 10000.0 / n) AS BIGINT) AS w_fp,
+           CAST(b_fp - floor(CAST(gb AS DOUBLE) / 10000.0 / n) AS BIGINT) AS b_fp
+    FROM s{w}_2
+)""")
+
+    workers_union = "\nUNION ALL ".join(
+        f"SELECT l_returnflag, CAST({w} AS BIGINT) AS worker, "
+        f"CAST(n AS BIGINT) AS n_shard, w_fp, b_fp FROM w{w}_2"
+        for w in range(_PAR_WORKERS)
+    )
+    return f"""
+WITH d AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice) AS BIGINT) * 10000 AS y_fp,
+           ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                CAST(l_linenumber AS VARCHAR)), 1, 4))::BIGINT
+               % {_PAR_WORKERS} AS shard
+    FROM lineitem
+), {", ".join(chains)},
+locals AS ({workers_union})
+SELECT l_returnflag, worker, n_shard, w_fp, b_fp FROM locals
+UNION ALL
+SELECT l_returnflag, CAST(-1 AS BIGINT) AS worker,
+       CAST(sum(n_shard) AS BIGINT) AS n_shard,
+       CAST(sum(w_fp) // {_PAR_WORKERS} AS BIGINT) AS w_fp,
+       CAST(sum(b_fp) // {_PAR_WORKERS} AS BIGINT) AS b_fp
+FROM locals GROUP BY l_returnflag
+"""
+
+
+@query("linreg_parallel_sgd_average", oracle=_parallel_sgd_oracle_sql())
+def linreg_parallel_sgd_average(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE reference's core training round under the hash gate (r13):
+    data-parallel workers training independently on disjoint shards,
+    then merged by weight averaging — the AveragingTrainer /
+    one-DOWNPOUR-commit structure (reference workflow: workers =
+    partitions, each running local SGD, parameter server averaging;
+    SURVEY §2.I I3/I4). Four workers, each a two-step fixed-point GD
+    chain (the linreg_gd_two_steps arithmetic verbatim) over its
+    deterministic md5-shard of lineitem; the merge is the exact
+    integer mean (sum div 4 — BIGINT // truncates identically in both
+    engines). Output: the four local trajectories' endpoints
+    (worker 0..3 rows, per return flag) AND the averaged model
+    (worker = -1), so the driver hash pins every worker's local
+    result and the merge arithmetic in one check — the distributed
+    structure the float trainers can't prove, proven on their exact
+    skeleton.
+
+    Scale shape: the four chains share ONE scan lineage (shard is a
+    scan-side md5 column; each step is a partial-aggregated scan of
+    its shard + model-sized join back); the average is a 3-group agg
+    over 12 rows. No collect, no window; the int64 bound of
+    linreg_gd_two_steps divided by W."""
+    l = _lt(spark, sf_dir, "lineitem")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_PAR_WORKERS),
+    )
+    d = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
+        shard.alias("shard"),
+    )
+
+    def two_steps(w: int) -> DataFrame:
+        dw = d.filter(F.col("shard") == w)
+
+        def step(weights: DataFrame) -> DataFrame:
+            j = dw.join(weights, "l_returnflag")
+            res = F.col("w_fp") * F.col("x") + F.col("b_fp") - F.col("y_fp")
+            g = j.groupBy("l_returnflag", "n", "w_fp", "b_fp").agg(
+                F.sum(2 * F.col("x") * res).alias("gw"),
+                F.sum(2 * res).alias("gb"),
+            )
+            upd = lambda wc, gc: (  # noqa: E731
+                F.col(wc)
+                - F.floor(F.col(gc).cast("double") / 10000.0 / F.col("n"))
+            ).cast("long")
+            return g.select(
+                "l_returnflag",
+                "n",
+                upd("w_fp", "gw").alias("w_fp"),
+                upd("b_fp", "gb").alias("b_fp"),
+            )
+
+        w0 = dw.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(
+            "l_returnflag",
+            "n",
+            F.lit(0).cast("long").alias("w_fp"),
+            F.lit(0).cast("long").alias("b_fp"),
+        )
+        return step(step(w0)).select(
+            "l_returnflag",
+            F.lit(w).cast("long").alias("worker"),
+            F.col("n").cast("long").alias("n_shard"),
+            "w_fp",
+            "b_fp",
+        )
+
+    locals_ = None
+    for w in range(_PAR_WORKERS):
+        part = two_steps(w)
+        locals_ = part if locals_ is None else locals_.unionByName(part)
+    avg = locals_.groupBy("l_returnflag").agg(
+        F.lit(-1).cast("long").alias("worker"),
+        F.sum("n_shard").cast("long").alias("n_shard"),
+        F.expr(f"sum(w_fp) div {_PAR_WORKERS}").cast("long").alias("w_fp"),
+        F.expr(f"sum(b_fp) div {_PAR_WORKERS}").cast("long").alias("b_fp"),
+    )
+    return locals_.unionByName(
+        avg.select("l_returnflag", "worker", "n_shard", "w_fp", "b_fp")
+    )
 
 
 _DYN_K = {1: 1 / (1 + 0.05 * 1), 2: 1 / (1 + 0.05 * 2)}

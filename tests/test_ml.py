@@ -510,3 +510,44 @@ def test_sgd_ten_step_trajectory_sane(spark):
         # the trajectory moves: at least one later step changes w
         ws = [h["w_fp"] for h in hist]
         assert len(set(ws)) > 1
+
+
+def test_parallel_sgd_average_structure(spark):
+    """linreg_parallel_sgd_average: the 4 md5 shards partition each
+    return-flag group exactly (Σ n_shard == group size), and the
+    worker=-1 row is the exact integer mean (sum div 4) of the four
+    local endpoints — the AveragingTrainer merge arithmetic on the
+    replay's own rows."""
+    from dist_keras_spark.plans.ml import (
+        _PAR_WORKERS,
+        linreg_parallel_sgd_average,
+    )
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = [
+        r.asDict() for r in linreg_parallel_sgd_average(spark, sf).collect()
+    ]
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], {})[r["worker"]] = r
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(by_flag) == 3
+    for flag, by_worker in by_flag.items():
+        assert set(by_worker) == {-1, 0, 1, 2, 3}
+        locals_ = [by_worker[w] for w in range(_PAR_WORKERS)]
+        avg = by_worker[-1]
+        assert sum(r["n_shard"] for r in locals_) == totals[flag]
+        assert avg["n_shard"] == totals[flag]
+        # python int // matches both engines' BIGINT truncating div on
+        # the (positive) sums here; exactness of the merge arithmetic
+        assert avg["w_fp"] == sum(r["w_fp"] for r in locals_) // _PAR_WORKERS
+        assert avg["b_fp"] == sum(r["b_fp"] for r in locals_) // _PAR_WORKERS
+        # workers saw different data → different local models
+        assert len({(r["w_fp"], r["b_fp"]) for r in locals_}) > 1

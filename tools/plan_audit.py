@@ -200,8 +200,10 @@ AUDITED = {
     "minhash_estimate_error": "k=16 portable signatures as array_min(transform) column math (small codegen class); exact side reuses the inverted index; everything integer",
     "minhash_estimate_error_rootn": "md5-bucket sqrtN stratum filters the scan BEFORE signatures and the inverted-index truth join - pair term Theta(K^2*N); schedule one count + scan-side filter; measured 10x 0.11 / sf1-sf2 -0.02 vs baseline 2.49",
     "knn_ivf_hier_top5": "two-level quantizer: driver holds only ceil(sqrt(cells)) coarse centroids (Arrow int64 kernel); sub-centroid table stays a DataFrame; fine assign = bounded n_sub fan-out join + vec-keyed window argmin - Theta(N*sqrt(cells)) assignment, no cells-sized collect anywhere",
-    "knn_ivf_hier_persisted_top5": "build-once two-level layout partitioned by (coarse, sub_rank) leaf; search collects only the sqrt(cells) coarse sidecar and prunes probed leaf directories at the storage layer; equals the inline form row-for-row",
+    "knn_ivf_hier_persisted_top5": "build-once two-level layout partitioned by (coarse, sub_rank) leaf; search collects only the sqrt(cells) coarse sidecar; DPP (SubqueryAdaptiveBroadcast dynamicpruning on BOTH leaf keys, plan-verified) prunes probed leaf directories; scan passed unshuffled to the rerank (parallelism from file splits); equals the inline form row-for-row",
     "linreg_minibatch_sgd_ten_steps": "10 chained mini-batch gradient steps, each ONE partial-aggregated scan of its md5-bucket batch + a model-sized join back; no collect, no window; int64 exact to SF~50 (DECIMAL(38,0) valve named)",
+    "sgd_ten_step_final_loss": "epoch-end eval: ONE partial-aggregated scan of the full fact joined to the 3-row broadcast final-weight table; oracle wraps the registered ten-step history as a CTE (loop and eval can never drift)",
+    "linreg_parallel_sgd_average": "4 two-step worker chains over disjoint md5-shards sharing one scan lineage (shard is a scan-side column; per step ONE partial-aggregated shard scan + model-sized join), merged by exact integer mean - the AveragingTrainer round with no collect, no window",
     "abc_classification_parts": "per-part rollup partial-aggregates; population-sized ordered window under bounded_window_key (exact baseline); 3-row class rollup",
     "bootstrap_ci_mean": "identical to the replica query plus a 20-row ranking and a 1-row point aggregate - CI construction costs nothing beyond the replicas",
     "source_vocab_overlap": "self-join runs on the (source, token) DISTINCT projection (vocabulary-sized, Zipf-bounded) - corpus text never shuffles; pairs <= sources^2",
