@@ -722,16 +722,49 @@ def _two_level_quantize(
         .filter(F.col("sub_rank") <= n_sub)
         .select("coarse", "sub_rank", F.col("vq").alias("sq"))
     )
+    fine = _fine_argmin(assigned, subcents)
+    return fine, subcents, coarse
+
+
+def _fine_argmin(assigned: DataFrame, subcents: DataFrame) -> DataFrame:
+    """Leaf assignment: each (vid, vec, vq, coarse) row joins its
+    coarse cell's sub-centroids (bounded n_sub fan-out) and keeps the
+    exact-int argmin — shared by the quantizer build and the
+    frozen-structure delta assignment."""
     wv = W.partitionBy("vid").orderBy(
         _sub_dist2().asc(), F.col("sub_rank").asc()
     )
-    fine = (
+    return (
         assigned.join(subcents, "coarse")
         .withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") == 1)
         .select("vid", "vec", "coarse", "sub_rank")
     )
-    return fine, subcents, coarse
+
+
+def two_level_assign_frozen(
+    vectors: DataFrame,
+    subcents: DataFrame,
+    coarse: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors against a FROZEN two-level structure (the
+    base-trained coarse matrix + sub-centroid table) — the delta-
+    segment ingest path: appends land in existing leaf cells without
+    touching the quantizer (the LSM-ish freshness pattern,
+    ivf_search_base_delta's contract at two levels). One Arrow coarse
+    pass + the bounded sub join; no sample, no window over the base."""
+    cq = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _milli(vec_col).alias("vq"),
+    )
+    assigned = cq.withColumn(
+        "coarse",
+        F.element_at(_int_argsort_cells_udf(coarse, 1)("vq"), 1),
+    )
+    return _fine_argmin(assigned, subcents)
 
 
 def _sub_dist2() -> F.Column:

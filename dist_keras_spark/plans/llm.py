@@ -1047,14 +1047,25 @@ def knn_ivf_scaled_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_ivf_hier_oracle_sql(
-    seed: int = 42, n_probe_coarse: int = 4, n_probe_sub: int = 2, k: int = 5
+    seed: int = 42,
+    n_probe_coarse: int = 4,
+    n_probe_sub: int = 2,
+    k: int = 5,
+    base_delta: bool = False,
 ) -> str:
     """Replays knn_ivf_two_level end-to-end: milli quantization, the
     √cells coarse sample (md5 order), exact-integer coarse assignment,
     per-coarse-cell sub-centroid selection (second md5 order),
     exact-integer fine assignment, the 4×2 probe schedule, and the
     float-cosine re-rank — every comparison before the final cosine is
-    int64, so assignments are bit-identical across engines."""
+    int64, so assignments are bit-identical across engines.
+
+    `base_delta=True` replays the FROZEN-structure ingest variant
+    (ivf_hier_base_delta_top5): the schedule, coarse sample, and
+    sub-centroid selection all see ONLY the base stratum (md5 bucket
+    < _IVF_BASE_PCT), while assignment/probing/re-rank cover the full
+    base+delta union (reads the module-level bucket constants at call
+    time — callers sit below their definitions)."""
     cos = """round(
              list_sum(list_transform(range(1, 65),
                  i -> a.v[i] * b.v[i]))
@@ -1064,11 +1075,18 @@ def _knn_ivf_hier_oracle_sql(
         "list_sum(list_transform(range(1, 65),"
         " i -> ({x}.vq[i] - {c}.{cv}[i]) * ({x}.vq[i] - {c}.{cv}[i])))"
     )
+    base_col = (
+        f",\n           ({_IVF_VEC_BUCKET} < {_IVF_BASE_PCT}) AS is_base"
+        if base_delta
+        else ""
+    )
+    base_pred = " WHERE is_base" if base_delta else ""
+    sub_base_pred = " AND c.is_base" if base_delta else ""
     return f"""
 WITH corpus AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq{base_col}
     FROM embeddings),
 params AS (
     SELECT n_cells, n_coarse,
@@ -1076,13 +1094,13 @@ params AS (
     FROM (SELECT greatest(16, count(*) // 1000) AS n_cells,
                  CAST(ceil(sqrt(greatest(16, count(*) // 1000))) AS BIGINT)
                      AS n_coarse
-          FROM corpus)),
+          FROM corpus{base_pred})),
 coarse AS (
     SELECT row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id) - 1
                AS cc,
            vq
-    FROM corpus
+    FROM corpus{base_pred}
     QUALIFY row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR) || ':{seed}'), vec_id)
             <= (SELECT n_coarse FROM params)),
@@ -1099,7 +1117,7 @@ subc AS (
                ORDER BY md5(CAST(c.vec_id AS VARCHAR) || ':{seed}:sub'),
                         c.vec_id) AS sub_rank,
            c.vq AS sq
-    FROM cassign a JOIN corpus c USING (vec_id)
+    FROM cassign a JOIN corpus c ON c.vec_id = a.vec_id{sub_base_pred}
     QUALIFY sub_rank <= (SELECT n_sub FROM params)),
 fine AS (
     SELECT vec_id, cc, sub_rank FROM (
@@ -2190,6 +2208,60 @@ def ivf_search_base_delta_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=8,
         delta_paths=(delta_path,),
     )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
+    )
+
+
+@query(
+    "ivf_hier_base_delta_top5",
+    oracle=_knn_ivf_hier_oracle_sql(base_delta=True),
+)
+def ivf_hier_base_delta_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-freshness story AT TWO LEVELS (r13): the hierarchical
+    quantizer (coarse sample + sub-centroid table, both built from the
+    BASE stratum only — md5 bucket < 80) serves a base+delta union,
+    with late-arriving delta vectors assigned by
+    `two_level_assign_frozen` against the FROZEN structure: one Arrow
+    coarse pass + the bounded n_sub join — appends land in existing
+    leaf cells without re-sampling, re-windowing, or touching the
+    driver (√cells footprint unchanged). Completes the composition
+    matrix: flat×{{inline, persisted, base+delta, drift, refresh}} and
+    now hier×{{inline, persisted, base+delta}} — an ingesting
+    hierarchical index at 100 TB runs THIS query's plan.
+
+    Assignment parity is the hier family's (exact int64 milli
+    distances both levels, zero float surface before the final
+    cosine); the oracle replays schedule/sample/sub-selection on the
+    base stratum and assignment over the union, digit-for-digit.
+    Queries (vec_id % 20) span base AND delta — freshness means new
+    vectors are both findable and probing."""
+    from dist_keras_spark.operators.quality import hash_split
+    from dist_keras_spark.operators.similarity import (
+        _two_level_quantize,
+        _two_level_probes,
+        _rerank_candidates,
+        two_level_assign_frozen,
+    )
+    from dist_keras_spark.operators.dedup import spread
+
+    e = _lt(spark, sf_dir, "embeddings")
+    bucket = hash_split(e, "vec_id", 100)
+    base = e.filter(bucket < _IVF_BASE_PCT)
+    delta = e.filter(bucket >= _IVF_BASE_PCT)
+    cells = max(16, base.count() // 1000)
+    fine_base, subcents, coarse = _two_level_quantize(
+        base, "vec_id", "embedding", cells, 42
+    )
+    fine_delta = two_level_assign_frozen(
+        delta, subcents, coarse, "vec_id", "embedding"
+    )
+    fine = spread(fine_base.unionByName(fine_delta), "vid")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    probes = _two_level_probes(
+        q, subcents, coarse, "vec_id", "embedding", 4, 2
+    )
+    out = _rerank_candidates(fine, probes, 5)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").alias("knn_rank"), "cosine"
     )

@@ -631,6 +631,37 @@ def test_knn_ivf_hier_persisted_plan_prunes_leaves(spark):
     assert idx_part, "index scan missing from plan"
 
 
+def test_ivf_hier_base_delta_serves_fresh_vectors(spark):
+    """The frozen-structure hierarchical ingest must make DELTA
+    vectors first-class: at least one delta vector (md5 bucket ≥ 80)
+    appears as a served neighbor, at least one delta query receives
+    results, and the full %20 query panel is served — freshness means
+    new vectors are findable AND probing without a rebuild."""
+    from dist_keras_spark.operators.quality import hash_split
+    from dist_keras_spark.plans.llm import (
+        _IVF_BASE_PCT,
+        ivf_hier_base_delta_top5,
+    )
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    delta_ids = {
+        r["vec_id"]
+        for r in e.filter(hash_split(e, "vec_id", 100) >= _IVF_BASE_PCT)
+        .select("vec_id")
+        .collect()
+    }
+    assert delta_ids
+    rows = [r.asDict() for r in ivf_hier_base_delta_top5(spark, sf).collect()]
+    assert {r["query_id"] for r in rows} == {
+        r["vec_id"] for r in e.filter(F.col("vec_id") % 20 == 0)
+        .select("vec_id").collect()
+    }
+    assert any(r["neighbor_id"] in delta_ids for r in rows)
+    assert any(r["query_id"] in delta_ids for r in rows)
+
+
 def test_minhash_estimate_rootn_is_stratum_restriction(spark):
     """The √N twin of minhash_estimate_error must equal the full audit
     restricted to pairs whose BOTH endpoints fall in the md5-bucket
