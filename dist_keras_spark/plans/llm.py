@@ -2235,7 +2235,8 @@ def ivf_hier_base_delta_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine); the oracle replays schedule/sample/sub-selection on the
     base stratum and assignment over the union, digit-for-digit.
     Queries (vec_id % 20) span base AND delta — freshness means new
-    vectors are both findable and probing."""
+    vectors are both findable and probing. MEASURED (r13): 10× exp
+    0.79, sf1→sf2 0.84 — the hier family's sub-linear band."""
     from dist_keras_spark.operators.quality import hash_split
     from dist_keras_spark.operators.similarity import (
         _two_level_quantize,

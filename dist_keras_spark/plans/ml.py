@@ -342,9 +342,12 @@ def linreg_minibatch_sgd_ten_steps(
     (rows/5)·2·50·1e9 — in-range to SF ≈ 50; past that promote the
     gradient sums to DECIMAL(38,0) (same plan).
 
-    Trajectory sanity is pytest-gated (monotone |gradient-step| decay
-    under the halving schedule; batches partition the fact); the
-    driver hash pins every digit of all 30 history rows."""
+    Trajectory sanity is pytest-gated (per-step n_batch equals each
+    md5 bucket's true size, one rotation cycle partitions the group
+    exactly, weights keep moving across steps); the driver hash pins
+    every digit of all 30 history rows.
+    MEASURED (r13): 10× exp 0.29, sf1→sf2 0.92 — ten chained scans
+    stay scan-dominated and linear."""
     l = _lt(spark, sf_dir, "lineitem")
     batch = F.pmod(
         F.conv(
@@ -447,7 +450,8 @@ def sgd_ten_step_final_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift apart). This is the epoch-end validation pass every trainer
     runs — ONE partial-aggregated scan of the fact joined to a
     3-row broadcast weight table; int64 bound: Σ|resid| ≈
-    rows·1e9 < 2⁶³ to SF ≈ 1000."""
+    rows·1e9 < 2⁶³ to SF ≈ 1000. MEASURED (r13): 10× exp 0.25,
+    sf1→sf2 0.60."""
     l = _lt(spark, sf_dir, "lineitem")
     final = linreg_minibatch_sgd_ten_steps(spark, sf_dir).filter(
         F.col("step") == _SGD_STEPS
@@ -557,7 +561,10 @@ def linreg_parallel_sgd_average(
     scan-side md5 column; each step is a partial-aggregated scan of
     its shard + model-sized join back); the average is a 3-group agg
     over 12 rows. No collect, no window; the int64 bound of
-    linreg_gd_two_steps divided by W."""
+    linreg_gd_two_steps divided by W. MEASURED (r13): 10× exp 0.27,
+    sf1→sf2 1.26 — total step work is Θ(N) (each of 4 workers scans
+    N/4 twice); the second-step reading rides the shared-lineage
+    scan's fixed overhead fading, in-band."""
     l = _lt(spark, sf_dir, "lineitem")
     shard = F.pmod(
         F.conv(

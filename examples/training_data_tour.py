@@ -73,6 +73,14 @@ TOUR = [
     ("ivf_centroid_occupancy_drift", "…and the occupancy drift metric that schedules the re-cluster"),
     ("ivf_refresh_migration", "…and the Lloyd-step migration matrix that prices it"),
     ("ivf_refresh_budgeted", "…refreshing a 4-cell budget per pass — bounded blast radius"),
+    # round 13: past the driver ceiling + the training round, whole
+    ("knn_ivf_hier_top5", "TWO-LEVEL IVF — √cells driver footprint, sub-centroids stay distributed"),
+    ("knn_ivf_hier_persisted_top5", "…materialized by (coarse, sub) leaf, DPP-pruned from disk"),
+    ("ivf_hier_base_delta_top5", "…ingesting: delta assigned against the frozen two-level structure"),
+    ("linreg_minibatch_sgd_ten_steps", "TEN mini-batch SGD steps, the whole history hash-exact"),
+    ("sgd_ten_step_final_loss", "…and the epoch-end L1 eval of those weights on the full fact"),
+    ("linreg_parallel_sgd_average", "4 shard workers + exact integer weight averaging — the data-parallel round"),
+    ("minhash_estimate_error_rootn", "estimator certification on a √N stratum — converging AND linear"),
 ]
 
 
