@@ -77,6 +77,7 @@ TOUR = [
     ("knn_ivf_hier_top5", "TWO-LEVEL IVF — √cells driver footprint, sub-centroids stay distributed"),
     ("knn_ivf_hier_persisted_top5", "…materialized by (coarse, sub) leaf, DPP-pruned from disk"),
     ("ivf_hier_base_delta_top5", "…ingesting: delta assigned against the frozen two-level structure"),
+    ("ivf_hier_occupancy_drift", "…and the per-LEAF drift monitor that schedules its refresh"),
     ("linreg_minibatch_sgd_ten_steps", "TEN mini-batch SGD steps, the whole history hash-exact"),
     ("sgd_ten_step_final_loss", "…and the epoch-end L1 eval of those weights on the full fact"),
     ("linreg_parallel_sgd_average", "4 shard workers + exact integer weight averaging — the data-parallel round"),

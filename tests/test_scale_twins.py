@@ -662,6 +662,30 @@ def test_ivf_hier_base_delta_serves_fresh_vectors(spark):
     assert any(r["query_id"] in delta_ids for r in rows)
 
 
+def test_ivf_hier_occupancy_drift_totals(spark):
+    """Leaf occupancies partition the corpus exactly: Σ(n_base +
+    n_delta) over all leaves == N, Σ n_delta == the md5-bucket delta
+    stratum size, and every delta share is the exact integer ratio of
+    its row."""
+    from dist_keras_spark.operators.quality import hash_split
+    from dist_keras_spark.plans.llm import (
+        _IVF_BASE_PCT,
+        ivf_hier_occupancy_drift,
+    )
+    from dist_keras_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings")
+    n = e.count()
+    n_delta = e.filter(hash_split(e, "vec_id", 100) >= _IVF_BASE_PCT).count()
+    rows = [r.asDict() for r in ivf_hier_occupancy_drift(spark, sf).collect()]
+    assert sum(r["n_base"] + r["n_delta"] for r in rows) == n
+    assert sum(r["n_delta"] for r in rows) == n_delta
+    for r in rows:
+        tot = r["n_base"] + r["n_delta"]
+        assert r["delta_share_micro"] == (1000000 * r["n_delta"]) // max(tot, 1)
+
+
 def test_minhash_estimate_rootn_is_stratum_restriction(spark):
     """The √N twin of minhash_estimate_error must equal the full audit
     restricted to pairs whose BOTH endpoints fall in the md5-bucket

@@ -204,6 +204,7 @@ AUDITED = {
     "linreg_minibatch_sgd_ten_steps": "10 chained mini-batch gradient steps, each ONE partial-aggregated scan of its md5-bucket batch + a model-sized join back; no collect, no window; int64 exact to SF~50 (DECIMAL(38,0) valve named)",
     "sgd_ten_step_final_loss": "epoch-end eval: ONE partial-aggregated scan of the full fact joined to the 3-row broadcast final-weight table; oracle wraps the registered ten-step history as a CTE (loop and eval can never drift)",
     "ivf_hier_base_delta_top5": "two-level quantizer built on the BASE stratum; delta vectors assigned by one frozen Arrow coarse pass + the bounded n_sub join (no re-sample, no base re-window, sqrt(cells) driver footprint unchanged); union re-ranked in probed leaves",
+    "ivf_hier_occupancy_drift": "frozen base+delta two-level assignment followed by ONE <=cells-sized partial agg on leaf keys - the finer-grained re-cluster trigger (hot leaf inside a calm coarse region is visible)",
     "linreg_parallel_sgd_average": "4 two-step worker chains over disjoint md5-shards sharing one scan lineage (shard is a scan-side column; per step ONE partial-aggregated shard scan + model-sized join), merged by exact integer mean - the AveragingTrainer round with no collect, no window",
     "abc_classification_parts": "per-part rollup partial-aggregates; population-sized ordered window under bounded_window_key (exact baseline); 3-row class rollup",
     "bootstrap_ci_mean": "identical to the replica query plus a 20-row ranking and a 1-row point aggregate - CI construction costs nothing beyond the replicas",
