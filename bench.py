@@ -256,25 +256,53 @@ PER_QUERY_DRIFT_RATIO = 1.3
 PER_QUERY_DRIFT_FLOOR_SEC = 0.05
 
 
+def _ratio_drifters(
+    timings: dict[str, float], anchor_queries: dict[str, float]
+) -> list[str]:
+    """Queries exceeding PER_QUERY_DRIFT_RATIO of their anchor time by
+    more than the absolute floor, worst ratio first."""
+    flagged = [
+        (t / anchor_queries[q], q)
+        for q, t in timings.items()
+        if q in anchor_queries
+        and anchor_queries[q] > 0
+        and t > anchor_queries[q] * PER_QUERY_DRIFT_RATIO
+        and t - anchor_queries[q] > PER_QUERY_DRIFT_FLOOR_SEC
+    ]
+    return [q for _, q in sorted(flagged, reverse=True)]
+
+
 def _drift_top(
     timings: dict[str, float], anchor_queries: dict[str, float], k: int = 3
 ) -> dict[str, dict[str, float]]:
-    """Top-k queries by absolute excess over their anchor time.
-    Queries absent from the anchor use 0.0 consistently for both the
-    delta and the reported anchor_sec (ADVICE r12: a mixed None/0.0
-    fallback would report anchor_sec=null beside a delta computed
-    against 0.0)."""
-    deltas = sorted(
+    """Drift attribution labels: every ratio-triggered drifter FIRST
+    (so the query whose >1.3× drift raised the label is always in the
+    output — a small query's big ratio can carry a tiny absolute
+    excess and would otherwise be crowded out by sub-threshold big
+    queries, the exact invisibility VERDICT r12 #4 was about), then
+    top-by-absolute-excess filled to at least k entries. Queries
+    absent from the anchor use 0.0 consistently for both the delta
+    and the reported anchor_sec (ADVICE r12)."""
+    drifters = set(_ratio_drifters(timings, anchor_queries))
+    by_delta = sorted(
         ((t - anchor_queries.get(q, 0.0), q) for q, t in timings.items()),
         reverse=True,
     )
+    # ratio-triggered drifters first (in excess order), then fill with
+    # the biggest remaining movers up to k total entries
+    ordered = [q for _, q in by_delta if q in drifters]
+    for _, q in by_delta:
+        if len(ordered) >= max(k, len(drifters)):
+            break
+        if q not in drifters:
+            ordered.append(q)
     return {
         q: {
             "anchor_sec": anchor_queries.get(q, 0.0),
             "now_sec": timings[q],
-            "delta_sec": round(d, 3),
+            "delta_sec": round(timings[q] - anchor_queries.get(q, 0.0), 3),
         }
-        for d, q in deltas[:k]
+        for q in ordered
     }
 
 
@@ -283,12 +311,7 @@ def _per_query_drift(
 ) -> bool:
     """True when any single query exceeds PER_QUERY_DRIFT_RATIO of its
     anchor time by more than the absolute floor."""
-    return any(
-        q in anchor_queries
-        and t > anchor_queries[q] * PER_QUERY_DRIFT_RATIO
-        and t - anchor_queries[q] > PER_QUERY_DRIFT_FLOOR_SEC
-        for q, t in timings.items()
-    )
+    return bool(_ratio_drifters(timings, anchor_queries))
 
 
 def _maybe_advance_anchor(

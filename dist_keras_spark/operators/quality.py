@@ -59,6 +59,22 @@ def deterministic_sample(
     return df.filter(hash_split(df, key_col, 100) < fraction_pct)
 
 
+def md5_shard(cols: list[Column | str], buckets: int) -> Column:
+    """Multi-column form of the hash_split convention: deterministic
+    bucket in [0, buckets) from the first 4 hex chars of
+    md5(col1 ':' col2 ...) — engine-identical (DuckDB twin:
+    ('0x' || substr(md5(k), 1, 4))::BIGINT % buckets). One definition
+    for the mini-batch / worker-shard keys so the Spark expression and
+    its SQL twins can't drift apart (code-review r13)."""
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(":"))
+        parts.append((F.col(c) if isinstance(c, str) else c).cast("string"))
+    nibble = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 4), 16, 10)
+    return F.pmod(nibble.cast("long"), F.lit(buckets))
+
+
 # Gopher (Rae et al. 2021, public) / C4 (Raffel et al. 2020, public)
 # named document-quality rules. Thresholds are the published ones where
 # applicable; every rule is a pure column expression so the whole suite

@@ -1728,9 +1728,9 @@ def leakage_safe_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     neardup_cluster_assign's regime note). Oracle wraps the REGISTERED
     neardup_cluster_lsh recursive CTE verbatim, pinning cluster
     structure and split arithmetic with one hash. Inherits
-    neardup_cluster_lsh's corpus-sized max_bucket (the band-bucket
-    drop valve is inert in the registered form — see its
-    accepted-risk notes)."""
+    neardup_cluster_lsh's max_bucket=None (the band-bucket drop valve
+    is DISABLED in the registered form — no upper-bound filter, no
+    eager count; ADVICE r12 — see its accepted-risk notes)."""
     from dist_keras_spark.plans.llm import neardup_cluster_lsh
 
     cc = neardup_cluster_lsh(spark, sf_dir)

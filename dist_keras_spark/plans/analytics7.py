@@ -1084,9 +1084,10 @@ def cluster_cap_sample_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1→sf2 exp 2.62, inherited — see cluster_cap_sample). Oracle
     wraps the REGISTERED neardup_cluster_lsh recursive-CTE fixpoint,
     so the cap is pinned to exactly the clustering the driver already
-    hash-checks. Inherits neardup_cluster_lsh's corpus-sized
-    max_bucket (the band-bucket drop valve is inert in the registered
-    form — see its accepted-risk notes)."""
+    hash-checks. Inherits neardup_cluster_lsh's max_bucket=None (the
+    band-bucket drop valve is DISABLED in the registered form — no
+    upper-bound filter, no eager count; ADVICE r12 — see its
+    accepted-risk notes)."""
     from dist_keras_spark.plans.llm import neardup_cluster_lsh
 
     cc = neardup_cluster_lsh(spark, sf_dir)

@@ -348,30 +348,16 @@ def linreg_minibatch_sgd_ten_steps(
     every digit of all 30 history rows.
     MEASURED (r13): 10× exp 0.29, sf1→sf2 0.92 — ten chained scans
     stay scan-dominated and linear."""
+    from dist_keras_spark.operators.quality import md5_shard
+
     l = _lt(spark, sf_dir, "lineitem")
-    batch = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("l_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("l_linenumber").cast("string"),
-                    )
-                ),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(_SGD_BATCHES),
-    )
     d = l.select(
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("x"),
         (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
-        batch.alias("batch"),
+        md5_shard(["l_orderkey", "l_linenumber"], _SGD_BATCHES).alias(
+            "batch"
+        ),
     )
 
     def step(weights: DataFrame, t: int) -> DataFrame:
@@ -565,30 +551,16 @@ def linreg_parallel_sgd_average(
     sf1→sf2 1.26 — total step work is Θ(N) (each of 4 workers scans
     N/4 twice); the second-step reading rides the shared-lineage
     scan's fixed overhead fading, in-band."""
+    from dist_keras_spark.operators.quality import md5_shard
+
     l = _lt(spark, sf_dir, "lineitem")
-    shard = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("l_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("l_linenumber").cast("string"),
-                    )
-                ),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(_PAR_WORKERS),
-    )
     d = l.select(
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("x"),
         (F.floor("l_extendedprice").cast("long") * 10000).alias("y_fp"),
-        shard.alias("shard"),
+        md5_shard(["l_orderkey", "l_linenumber"], _PAR_WORKERS).alias(
+            "shard"
+        ),
     )
 
     def two_steps(w: int) -> DataFrame:

@@ -228,3 +228,19 @@ def test_committed_anchor_carries_per_query_times():
     assert abs(
         sum(payload["queries"].values()) - payload["clean_total_sec"]
     ) < 0.0005 * (len(payload["queries"]) + 1) + 1e-9
+
+
+def test_drift_labels_always_include_the_ratio_drifter():
+    """Code-review r13: a small query whose >1.3x ratio TRIGGERED the
+    label must appear in drift_top3 even when three sub-threshold big
+    queries carry larger absolute excess — the exact invisibility the
+    VERDICT r12 #4 fix was written for."""
+    b = _bench()
+    anchor_q = {"a": 10.0, "b": 9.0, "c": 8.0, "d": 0.2}
+    now = {"a": 10.5, "b": 9.4, "c": 8.31, "d": 0.3}
+    assert b._per_query_drift(now, anchor_q)  # d: 1.5x, excess 0.1
+    top = b._drift_top(now, anchor_q, k=3)
+    assert "d" in top
+    assert top["d"]["anchor_sec"] == 0.2 and top["d"]["now_sec"] == 0.3
+    # ratio-drifters lead, then the largest remaining movers to k
+    assert list(top)[0] == "d" and len(top) == 3

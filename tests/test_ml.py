@@ -471,28 +471,19 @@ def test_sgd_ten_step_trajectory_sane(spark):
     for r in rows:
         by_flag.setdefault(r["l_returnflag"], []).append(r)
     assert len(by_flag) == 3
+    from dist_keras_spark.operators.quality import md5_shard
+
     l = load_table(spark, sf, "lineitem")
-    batch = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("l_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("l_linenumber").cast("string"),
-                    )
-                ),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(_SGD_BATCHES),
-    )
+    batch = md5_shard(["l_orderkey", "l_linenumber"], _SGD_BATCHES)
     sizes = {
         (r["l_returnflag"], r["b"]): r["n"]
         for r in l.groupBy("l_returnflag", batch.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    group_totals = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -503,9 +494,12 @@ def test_sgd_ten_step_trajectory_sane(spark):
         for h in hist:
             b = (h["step"] - 1) % _SGD_BATCHES
             assert h["n_batch"] == sizes[(flag, b)]
-        # one full rotation covers the whole group exactly
-        assert sum(sizes[(flag, b)] for b in range(_SGD_BATCHES)) == sum(
-            sizes[(f, b)] for (f, b) in sizes if f == flag
+        # one full rotation covers the whole group exactly — compared
+        # against an INDEPENDENT count of the group (code-review r13:
+        # the old form summed the same dict on both sides)
+        assert (
+            sum(sizes[(flag, b)] for b in range(_SGD_BATCHES))
+            == group_totals[flag]
         )
         # the trajectory moves: at least one later step changes w
         ws = [h["w_fp"] for h in hist]

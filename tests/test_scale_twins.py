@@ -621,14 +621,21 @@ def test_knn_ivf_hier_persisted_plan_prunes_leaves(spark):
     df = knn_ivf_hier_persisted_top5(spark, "/root/testdata/sf0.01")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
-    # the index path appears in the plan with its scratch-dir name;
-    # no REPARTITION node between it and the probe join
+    # the index path appears in the plan with its scratch-dir name
     idx_part = [
         seg for seg in plan.split("FileScan parquet")
         if "ivf_hier_index" in seg and "_sub_centroids" not in seg
         and "_coarse_centroids" not in seg
     ]
     assert idx_part, "index scan missing from plan"
+    # and the persisted-search plan carries NO repartition anywhere —
+    # neither the explicit spread() the inline form needs (its window
+    # output is AQE-coalesced) nor any other full-index shuffle; the
+    # scan's own file splits carry the rerank parallelism and an
+    # Exchange above the scan would also block DPP from reaching it
+    # (code-review r13: this was claimed but not asserted)
+    assert "REPARTITION_BY_NUM" not in plan, plan[:2000]
+    assert "RoundRobinPartitioning" not in plan, plan[:2000]
 
 
 def test_ivf_hier_base_delta_serves_fresh_vectors(spark):
