@@ -548,9 +548,13 @@ def linreg_parallel_sgd_average(
     its shard + model-sized join back); the average is a 3-group agg
     over 12 rows. No collect, no window; the int64 bound of
     linreg_gd_two_steps divided by W. MEASURED (r13): 10× exp 0.27,
-    sf1→sf2 1.26 — total step work is Θ(N) (each of 4 workers scans
-    N/4 twice); the second-step reading rides the shared-lineage
-    scan's fixed overhead fading, in-band."""
+    sf1→sf2 1.29 (re-measured on a quiet window: 5.1s → 12.4s,
+    reproducible) — total step work is Θ(N) (each of 4 workers scans
+    the fact twice with a scan-side shard filter; the md5 batch
+    predicate can't push to parquet), so the elevated-but-in-band
+    second step is the 8-scan constant fading against a fact that
+    still fits cache at sf1; the sibling ten-step form (10 scans,
+    same arithmetic) reads 0.92 on the same step."""
     from dist_keras_spark.operators.quality import md5_shard
 
     l = _lt(spark, sf_dir, "lineitem")
