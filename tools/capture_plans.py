@@ -1,0 +1,48 @@
+"""Dump .explain("formatted") for bench queries into plans/r13/.
+
+Usage:
+    python tools/capture_plans.py before [query ...]
+    python tools/capture_plans.py after  [query ...]
+
+With no query names, captures every BENCH_QUERIES entry. Output file:
+plans/r13/<query>_<tag>.txt. The judge reads these to check plan-shape
+claims (Exchange counts, join strategies, PushedFilters) against the
+code, so the capture is the raw formatted explain, unedited.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BENCH_QUERIES, SF_DIR  # noqa: E402
+from dist_keras_spark.plans import QUERIES  # noqa: E402
+from dist_keras_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or BENCH_QUERIES
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r13",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture_plans")
+    for name in names:
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        n_exchange = plan.count("Exchange")
+        print(f"{name}: {n_exchange} Exchange -> {path}")
+
+
+if __name__ == "__main__":
+    main()
