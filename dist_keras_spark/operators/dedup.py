@@ -823,9 +823,25 @@ def ppjoin_prefix_pairs(
     tau_num: int = 3,
     tau_den: int = 5,
     max_df: int | None = None,
+    materialize: str | None = "local",
 ) -> DataFrame:
     """Prefix-filtered set-similarity join (the PPJoin/AllPairs family,
     Chaudhuri et al. 2006 / Xiao et al. 2008 — public knowledge).
+
+    r13 staging (guide §2.4): `posts` is referenced SIX times by this
+    plan (both prefix branches, each branch's df ranking, and both
+    verify-join posting sides) and `prefix` twice (candidate self-
+    join) — Catalyst planned every reference as its own scan→split→
+    explode→distinct subtree (the r13 before-plan shows
+    documents.parquet scanned 6× with six Generate stages;
+    ReuseExchange does NOT dedupe them because the subtrees differ in
+    pushed filters/projections). `materialize` stages both frames via
+    _stage — same strategy knob as minhash_lsh_pairs: 'local' for
+    single-node (default; recomputed inside every timed run — lineage
+    truncation, not cross-run caching), 'storage' for cluster-scale
+    postings, None for pure-lazy. Interleaved same-load A/B at sf0.1:
+    6-round min 1.997s (None) → 1.668s (staged), and every redundant
+    explode disappears from the plan.
 
     `max_df` (r12, VERDICT r11 #3b): optional ABSOLUTE document-
     frequency cap on the prefix CANDIDATE index — the tfidf_dfcap dial
@@ -879,7 +895,7 @@ def ppjoin_prefix_pairs(
     All-integer threshold: tau_den·c ≥ tau_num·(na+nb−c); returned
     jacc_e6 = (1e6·c) div (na+nb−c).
     """
-    posts = shingle_postings(df, id_col, text_col, n)
+    posts = _stage(shingle_postings(df, id_col, text_col, n), materialize)
     dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     # prefix length: ns − ceil(τ·ns) + 1, all-integer ceil
     plen = (
@@ -896,7 +912,7 @@ def ppjoin_prefix_pairs(
     prefix = ranked.filter(F.col("rk") <= plen)
     if max_df is not None:
         prefix = prefix.filter(F.col("dfreq") <= max_df)
-    prefix = prefix.select("id", "ns", "shingle")
+    prefix = _stage(prefix.select("id", "ns", "shingle"), materialize)
     pa = prefix.select(
         F.col("id").alias("id_a"), F.col("ns").alias("na"), "shingle"
     )

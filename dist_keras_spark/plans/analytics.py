@@ -710,15 +710,21 @@ FROM per_nation, total
 """,
 )
 def share_of_total_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percent-of-total the SCALABLE way: aggregate per group, then
-    crossJoin the 1-row grand total back (broadcast nested loop over a
-    single row). The tempting alternative — `sum(revenue) OVER ()` —
-    is a window with an EMPTY partition clause: Spark moves EVERY row
-    into one partition on one task, which is exactly the
-    constant-cardinality serialization this engine bans. Here the
-    grand total is computed as a second tiny aggregate over the
-    already-reduced per-group frame (group-count rows, not data rows),
-    so nothing data-sized ever converges on one task."""
+    """Percent-of-total the SCALABLE way: aggregate per group FIRST,
+    then take the grand total over the already-reduced per-group frame
+    (group-count rows — 25 nations, SF-invariant — never data rows).
+
+    r13 optimization (guide §2.4, remove shuffles outright): the total
+    used to be a second aggregate over `per_nation` crossJoined back,
+    which Catalyst plans as a SECOND copy of the whole 3-join subtree —
+    two lineitem scans, two join pipelines, two n_name exchanges
+    (measured: AQE does NOT reuse the duplicated stage; 1.10s → 0.82s
+    same-session A/B at sf0.1). Now the total is a window sum over the
+    25-row aggregate: one subtree, one extra single-partition exchange
+    of 25 rows. `sum(x) OVER ()` on RAW data stays banned (that moves
+    every data row to one task); over a bounded post-aggregation frame
+    it is the cheapest correct plan, and `bounded_window_key` marks it
+    as a reviewed bounded-input global window."""
     li = _lt(spark, sf_dir, "lineitem")
     o = _lt(spark, sf_dir, "orders")
     c = _lt(spark, sf_dir, "customer")
@@ -734,11 +740,11 @@ def share_of_total_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    total = per_nation.agg(F.sum("revenue").alias("t"))
-    return per_nation.crossJoin(F.broadcast(total)).select(
+    wt = W.partitionBy(bounded_window_key(F.col("n_name")))
+    return per_nation.select(
         "n_name",
         "revenue",
-        F.round(F.col("revenue") / F.col("t"), 6).alias("share"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wt), 6).alias("share"),
     )
 
 
@@ -1170,55 +1176,81 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 completion — direction='nearest' (the third pandas
     merge_asof mode): each click matched to the purchase with the
     SMALLEST absolute time gap, ties broken backward-first then by
-    event id. Composed from the two directional as-of joins (each ONE
-    key-shuffle union+window — operators/asof.py) plus a comparison
-    projection: still no range-join explosion anywhere, while the
-    oracle spells out the quadratic formulation. A left row missing
-    one side falls back to the other."""
-    from dist_keras_spark.operators.asof import asof_join
+    event id. Still no range-join explosion anywhere, while the
+    oracle spells out the quadratic formulation. A click missing one
+    side falls back to the other.
 
+    r13 (guide §2.4): previously composed from TWO directional
+    asof_join calls joined back on click_id — Catalyst planned that
+    as two complete union+window subtrees (4 events scans, 2 key
+    Exchanges) plus a broadcast join. Both directional fills are now
+    computed over ONE tagged union: the backward pass is
+    last(purchase, ignorenulls) over (__t asc, right-before-left,
+    neg-id asc) and the forward pass the same running frame over the
+    REVERSED total order (__t desc — last over the reversed prefix ==
+    first over the forward suffix, the O(rows) form; [currentRow,
+    unboundedFollowing] recomputes per row, O(rows²) per key). Both
+    windows partition on __k, so the plan is ONE Exchange with two
+    local Sorts: 2 scans, 1 Exchange, 0 joins (plan diff in
+    plans/r13/, oracle hash-green at 3 SFs). Tie semantics are
+    byte-identical to the two-leg form: at equal __t right rows sort
+    before the click in BOTH orders (a simultaneous purchase is
+    visible to <= and >=), backward ties pick the smallest id via the
+    negated-id asc / last() pair, forward via id desc / last()."""
     e = _lt(spark, sf_dir, "events")
+    rv_t = "struct<purchase_id:bigint,p_ts:timestamp_ntz>"
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), "ts"
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast(rv_t).alias("__rv"),
+        F.lit(None).cast("long").alias("__tb"),
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-        # Backward asof_join resolves equal-timestamp ties by LARGEST
-        # tiebreak (last() over tiebreak asc); the oracle picks the
-        # SMALLEST event_id on ties, so the backward leg ties on the
-        # NEGATED id. Forward already picks smallest (first(), asc).
-        (-F.col("event_id")).alias("neg_purchase_id"),
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.struct(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        ).cast(rv_t).alias("__rv"),
+        F.col("event_id").alias("__tb"),
     )
-    common = dict(
-        key="user_id", left_ts="ts", right_ts="p_ts",
-        value_cols=["purchase_id", "p_ts"], how="left",
+    run = lambda wo: wo.rowsBetween(W.unboundedPreceding, 0)
+    wb = run(
+        W.partitionBy("__k").orderBy(
+            F.col("__t").asc(), F.col("__is_left").asc(), (-F.col("__tb")).asc()
+        )
     )
-    bwd = asof_join(
-        clicks, purchases, direction="backward", tiebreak="neg_purchase_id", **common
-    ).select(
-        "click_id",
-        "ts",
-        F.col("purchase_id").alias("b_id"),
-        F.col("p_ts").alias("b_ts"),
+    wf = run(
+        W.partitionBy("__k").orderBy(
+            F.col("__t").desc(), F.col("__is_left").asc(), F.col("__tb").desc()
+        )
     )
-    fwd = asof_join(
-        clicks, purchases, direction="forward", tiebreak="purchase_id", **common
-    ).select(F.col("click_id").alias("f_click"), F.col("purchase_id").alias("f_id"), F.col("p_ts").alias("f_ts"))
-    both = bwd.join(fwd, bwd.click_id == fwd.f_click)
+    both = (
+        clicks.unionByName(purchases)
+        .select(
+            "__is_left",
+            "click_id",
+            "__t",
+            F.last("__rv", ignorenulls=True).over(wb).alias("__b"),
+            F.last("__rv", ignorenulls=True).over(wf).alias("__f"),
+        )
+        .filter(F.col("__is_left") == 1)
+    )
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
-    gap_b = us("ts") - us("b_ts")   # >= 0 when backward match exists
-    gap_f = us("f_ts") - us("ts")   # >= 0 when forward match exists
-    pick_backward = (
-        F.col("b_id").isNotNull()
-        & (F.col("f_id").isNull() | (gap_b <= gap_f))  # tie → backward
+    gap_b = us("__t") - us("__b.p_ts")  # >= 0 when backward match exists
+    gap_f = us("__f.p_ts") - us("__t")  # >= 0 when forward match exists
+    pick_backward = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (gap_b <= gap_f)  # tie → backward
     )
     return both.select(
         "click_id",
-        F.when(pick_backward, F.col("b_id")).otherwise(F.col("f_id")).alias(
-            "purchase_id"
-        ),
+        F.when(pick_backward, F.col("__b.purchase_id"))
+        .otherwise(F.col("__f.purchase_id"))
+        .alias("purchase_id"),
     ).filter(F.col("purchase_id").isNotNull())
 
 
@@ -1433,20 +1465,40 @@ def gini_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank formula is pinned by a pytest (<0.01 absolute at every SF);
     binning replaces the exact variant's global customer sort."""
     o = _lt(spark, sf_dir, "orders")
+    # r13 (guide §2.4/§5): the per-customer cents aggregate used to be
+    # planned THREE times (max-h branch, n/m-totals branch, binning
+    # branch — 3 orders scans + 3 custkey exchanges; AQE measurably
+    # does not reuse the duplicated stages). localCheckpoint pins it
+    # once — executor-resident, ~customer-count rows (two longs each,
+    # 100× smaller than orders), the same lineage-truncation pattern
+    # minhash_lsh_pairs stages — and ONE combined stats aggregate
+    # (h, n, m) replaces the two separate global-agg branches.
+    # Same-session A/B at sf0.1: 0.78s → 0.62s min-of-5.
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    ).localCheckpoint(eager=True)
+    stats = spend.agg(
+        F.max("cents").alias("h"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("m"),
     )
-    hi = spend.agg(F.max("cents").alias("h"))
     binned = (
-        spend.crossJoin(F.broadcast(hi))
+        spend.crossJoin(F.broadcast(stats))
         .select(
             F.when(F.expr("cents * 1000 div h") >= 1000, 999)
             .otherwise(F.expr("cents * 1000 div h").cast("int"))
             .alias("bin"),
             "cents",
+            "n",
+            "m",
         )
         .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("cents").alias("mass"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("mass"),
+            F.min("n").alias("n"),
+            F.min("m").alias("m"),
+        )
     )
     wb = (
         W.partitionBy(bounded_window_key(F.col("bin")))
@@ -1454,10 +1506,7 @@ def gini_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     lorenz = binned.select(
-        "bin", "cnt", "mass", F.sum("mass").over(wb).alias("cm")
-    )
-    totals = spend.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("m")
+        "bin", "cnt", "mass", "n", "m", F.sum("mass").over(wb).alias("cm")
     )
     # The documented rescale path, now exercised: the r11 sf2 sweep
     # (20× sf0.1) crashed this aggregate with ARITHMETIC_OVERFLOW —
@@ -1474,8 +1523,9 @@ def gini_histogram_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (F.col("cm") + (F.col("cm") - F.col("mass")))
             ).alias("num"),
             F.count(F.lit(1)).alias("n_bins_used"),
+            F.min("n").alias("n"),
+            F.min("m").alias("m"),
         )
-        .crossJoin(F.broadcast(totals))
         .select(
             F.round(
                 1.0

@@ -342,13 +342,24 @@ def test_zorder_buckets_cluster_both_dims(spark, sf_dir):
         assert r.max_b - r.min_b < 512
 
 
-def test_share_of_total_sums_to_one_no_global_window(spark, sf_dir):
+def test_share_of_total_sums_to_one_single_subtree(spark, sf_dir):
     df = QUERIES["share_of_total_broadcast"](spark, sf_dir)
+    # plan BEFORE collect: an executed AdaptiveSparkPlan stringifies
+    # both the Final and the Initial plan, double-counting every scan
+    plan = _plan(df)
     rows = df.collect()
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3  # rounding at 6dp
-    # the scale guard: no window function in the plan at all — the
-    # grand total comes from a second aggregate, not sum() OVER ()
-    assert "Window" not in _plan(df)
+    # r13 scale guards: the grand total is a window over the
+    # ALREADY-REDUCED per-nation frame (25 rows, bounded_window_key —
+    # never raw data), and the duplicate aggregate subtree is gone:
+    # lineitem is scanned exactly ONCE (it was scanned twice when the
+    # total was a second aggregate crossJoined back; AQE measurably
+    # did not reuse the duplicated stage).
+    assert plan.count("lineitem.parquet") == 1, plan
+    # the window partitions on the reviewed bounded key (pmod(hash(..)))
+    # — physical plans alias the key to _w0, so check the logical plan
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod(hash(n_name" in logical, logical
 
 
 def test_bounce_rate_bounds_and_session_count(spark, sf_dir):
@@ -518,7 +529,16 @@ def test_embedding_centroid_partial_state_mergeable(spark, sf_dir):
 
 
 def test_asof_nearest_picks_smaller_gap(spark, sf_dir):
-    rows = QUERIES["join_asof_nearest"](spark, sf_dir).collect()
+    df = QUERIES["join_asof_nearest"](spark, sf_dir)
+    # r13 plan gate: both directional fills ride ONE tagged union — two
+    # windows on the same user_id partitioning, so the plan has exactly
+    # one shuffle Exchange, two events scans, and NO join (it used to be
+    # two complete union+window subtrees joined back on click_id).
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 2, plan
+    assert "Join" not in plan, plan
+    assert plan.count("+- Exchange") == 1, plan
+    rows = df.collect()
     e = load_table(spark, sf_dir, "events")
     evs = {r.event_id: r for r in e.collect()}
     purchases: dict[int, list] = {}

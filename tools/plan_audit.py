@@ -62,12 +62,12 @@ AUDITED = {
     "cosine_pairs_threshold": "r10 rewrite: spread corpus, per-side norms precomputed, interpreted cosine computed ONCE in a projection then filtered (no CSE exists for interpreted HOFs across filter+project); query side broadcast",
     "join_asof_forward": "forward as-of via the same union+window operator (first() over [current,+inf)) — ONE key shuffle, never the quadratic range join the oracle spells out",
     "win_cumulative_distinct": "running distinct as first-occurrence flag + running sum — O(1) window state vs collect_set-over-window's per-row set",
-    "share_of_total_broadcast": "grand total via a second tiny aggregate crossJoined back — NO sum() OVER () (empty window partition = every row through one task); plan asserted window-free",
+    "share_of_total_broadcast": "grand total as a window sum over the ALREADY-REDUCED 25-row per-nation aggregate (bounded_window_key) — one subtree, lineitem scanned ONCE (r13: the crossJoined second aggregate duplicated the whole 3-join pipeline; AQE measurably did not reuse it). sum() OVER () on RAW data stays banned",
     "pipeline_curation_end2end": "quality gate pushed scan-side, ONE content-hash dedup shuffle, split projection shuffle-free, final group-by — exactly two Exchanges for the whole curation chain (plan-asserted)",
     "ab_test_t_stat": "one scan → 2-group aggregate → 1×1 crossJoin; Welch's t is closed-form over six aggregate values, no per-row Python",
     "dq_expectations_orders": "four column checks fold into ONE aggregate scan; the FK check is a single left-anti join — five expectations, one scan + one join",
     "zorder_cluster_stats": "Morton interleave as whole-stage-codegen bit math; one partial/final agg into ≤64 z-range groups",
-    "join_asof_nearest": "two directional union+window as-of passes + comparison projection — nearest-match semantics with zero range-join explosion",
+    "join_asof_nearest": "BOTH directional as-of fills over ONE tagged union — two running-frame windows (asc + reversed order) on the same user_id partitioning: 2 scans, 1 Exchange, 0 joins (r13: was two complete union+window subtrees joined back — 4 scans, 2 Exchanges, 1 broadcast join); nearest-match semantics with zero range-join explosion",
     "bpe_first_merges": "HOF pair expansion (no UDF) → one hash agg → TakeOrderedAndProject; ranking window runs on the bounded top-10 only",
     "bm25_topk_docs": "scan-side tf/dl, 1-row stats broadcast, orderBy+limit(k) bounds the corpus BEFORE the ranking window (global-window rule)",
     "sql_lateral_topn": "correlated LATERAL with ORDER BY+LIMIT decorrelated by Catalyst into a ranked join — never per-outer-row re-execution",
@@ -187,7 +187,7 @@ AUDITED = {
     "semdedup_cell_prune": "int8 quantization + norms scan-side; 16-centroid broadcast crossJoin for assignment; dedup self-join shuffles ONCE on cell; n_cells is the scale knob",
     "changepoint_mean_shift": "daily rollup map-side combined; running sums via forward running frames (never unbounded-following); per-type top-1 window; integer scores",
     "mixture_temperature_alloc": "per-source partial agg; sqrt weights + apportionment over the source dimension under bounded_window_key; floor(sqrt) is IEEE-portable",
-    "ppjoin_prefix_filter_pairs": "prefix index keeps ~40% of postings and ONLY the rarest tokens - the m^2 blowup concentrates where m is smallest; df ranking broadcast; verify join candidate-bounded",
+    "ppjoin_prefix_filter_pairs": "prefix index keeps ~40% of postings and ONLY the rarest tokens - the m^2 blowup concentrates where m is smallest; df ranking broadcast; verify join candidate-bounded; r13: postings + prefix staged via _stage (posts was re-planned SIX times: 6 documents scans -> 0 re-scans)",
     "label_propagation_two_rounds": "per round: edge-list join with label vector + (dst,label) agg + per-node top-1 window - the PageRank skeleton with argmax",
     "text_normalize_canonical": "three codegen string kernels in the scan; zero shuffles",
     "leakage_safe_split_assign": "CC iteration dominates (ids-only shuffle-joins per diameter round); split is scan-side md5 on the CC output",
