@@ -1743,7 +1743,10 @@ def _rrf_fuse(exr: DataFrame, pqr: DataFrame) -> DataFrame:
 
 
 def _scaled_ivf_candidates(
-    emb: DataFrame, n_probe: int = 8, seed: int = 42
+    emb: DataFrame,
+    n_probe: int = 8,
+    seed: int = 42,
+    materialize: str | None = "local",
 ) -> DataFrame:
     """The scaled-cells IVF candidate stage shared by
     ivf_pq_scaled_top5 and rrf_fusion_scaled_top5 — knn_ivf_scaled's
@@ -1767,7 +1770,20 @@ def _scaled_ivf_candidates(
     exploded query panel is ∝ N·n_probe rows, not driver-sized) —
     AQE broadcasts it while it measures small and shuffle-hash-joins
     on cell past that; candidates, not the corpus, are what moves
-    either way."""
+    either way.
+
+    `materialize` (r13, guide §2.4): the two cell-assignment frames are
+    staged through dedup._stage before the probe join — every consumer
+    of this helper feeds the candidate frame to MULTIPLE scoring arms
+    (rrf exact+PQ, pq_recall served+PQ, mrl full+truncated), and the
+    final AQE plans showed the assignment subtree re-EXECUTED per arm
+    (3–8 embeddings scans, zero ReusedExchange: the arms' projections
+    differ, defeating exchange reuse — the ppjoin/gini waste class).
+    Staging runs the Arrow kernel + corpus scan ONCE per frame;
+    recomputed inside every timed run (lineage truncation, not
+    caching). 'local' default for single-node; 'storage' for cluster
+    scale; None restores pure-lazy lineage when staging exceeds block
+    storage."""
     import numpy as np
 
     from dist_keras_spark.operators.similarity import (
@@ -1780,15 +1796,27 @@ def _scaled_ivf_candidates(
     cents = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cvec"),
-        F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1).alias("cell"),
+    from dist_keras_spark.operators.dedup import _stage
+
+    c = _stage(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec"),
+            F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1).alias(
+                "cell"
+            ),
+        ),
+        materialize,
     )
-    q = emb.filter(F.col("vec_id") % 20 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.explode(_cell_assign_udf(cents, n_probe)("embedding")).alias("cell"),
+    q = _stage(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.explode(_cell_assign_udf(cents, n_probe)("embedding")).alias(
+                "cell"
+            ),
+        ),
+        materialize,
     )
     return (
         c.join(q, "cell")
