@@ -656,6 +656,15 @@ def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") == 1)
         .select("vec_id", "cell", "v", "nn")
     )
+    # r13 audit (guide §2.4): assign IS consumed three times with
+    # differing projections (6 embeddings scans, zero ReusedExchange),
+    # but staging it A/B'd 1.2x WORSE at sf0.1 (interleaved, min
+    # 3.34s staged vs 2.73s unstaged): this fixed-k=16 variant is
+    # dominated by the N^2/16 within-cell pair join, not assignment,
+    # and the checkpoint write of the vector-carrying frame costs more
+    # than the deduped assignment saves.  Kept lazy; the k ∝ N twin
+    # (semdedup_scaled_cells), whose Arrow matmul assignment IS the
+    # dominant cost, is staged and measured 0.57x.
     a = assign.select(
         F.col("vec_id").alias("id_a"),
         "cell",
@@ -769,7 +778,14 @@ def semdedup_scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("nn"),
     )
-    assign = n.withColumn("cell", int_argmax_cell_udf(cents)("v"))
+    # r13 (guide §2.4): same three-consumer shape as
+    # semdedup_cell_prune — stage the Arrow-assigned frame once so the
+    # int matmul kernel + corpus scan run once, not three times.
+    from dist_keras_spark.operators.dedup import _stage
+
+    assign = _stage(
+        n.withColumn("cell", int_argmax_cell_udf(cents)("v")), "local"
+    )
     # pair stage: identical to semdedup_cell_prune's — one cell-keyed
     # shuffle, integer cross-multiplied threshold, keep-first greedy
     a = assign.select(

@@ -2476,17 +2476,32 @@ def ivf_refresh_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
     )
-    before = e.select(
-        "vec_id",
-        F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1)
-        .cast("int")
-        .alias("cell"),
+    # r13 (guide §2.4): `before` (full-N Arrow assignment) feeds both
+    # the Lloyd-step sum AND the final migration join, and `q` feeds
+    # the sum AND the re-assignment crossJoin — the copies' projections
+    # differ, so both subtrees re-executed (4 embeddings scans, zero
+    # ReusedExchange).  Stage each once per run (lineage truncation,
+    # not caching; the ppjoin/gini convention).
+    from dist_keras_spark.operators.dedup import _stage
+
+    before = _stage(
+        e.select(
+            "vec_id",
+            F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1)
+            .cast("int")
+            .alias("cell"),
+        ),
+        "local",
     )
-    q = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("vq"),
+    q = _stage(
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            ).alias("vq"),
+        ),
+        "local",
     )
     per_dim = (
         before.join(q, "vec_id")
@@ -2570,12 +2585,24 @@ def ivf_refresh_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cents / np.maximum(
         np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
     )
-    before_all = e.select(
-        "vec_id",
-        (bucket < _IVF_BASE_PCT).alias("is_base"),
-        F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1)
-        .cast("int")
-        .alias("cell"),
+    # r13 (guide §2.4): before_all (full-N Arrow assignment) feeds the
+    # hot-cell agg, the region filter, the Lloyd sum and the final
+    # migration join — four consumers with differing projections, so
+    # the assignment kernel re-executed per consumer (8 embeddings
+    # scans, zero ReusedExchange).  Stage it (ids+cell only — no
+    # vectors) and the quantized frame once per run (lineage
+    # truncation, not caching).
+    from dist_keras_spark.operators.dedup import _stage
+
+    before_all = _stage(
+        e.select(
+            "vec_id",
+            (bucket < _IVF_BASE_PCT).alias("is_base"),
+            F.element_at(_cell_assign_udf(cents, 1)("embedding"), 1)
+            .cast("int")
+            .alias("cell"),
+        ),
+        "local",
     )
     hot = (
         before_all.groupBy("cell")
@@ -2589,11 +2616,15 @@ def ivf_refresh_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = before_all.join(F.broadcast(hot), "cell").select(
         "vec_id", "cell"
     )
-    q = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("vq"),
+    q = _stage(
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            ).alias("vq"),
+        ),
+        "local",
     )
     region = q.join(before.select("vec_id"), "vec_id")
     per_dim = (
