@@ -3003,6 +3003,14 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2),
         ),
     )
+    # r13 (guide §2.4): `d` feeds the fit agg, the calibration rank
+    # arm and the test arm — three consumers with differing pushed
+    # filters (4 lineitem scans, zero ReusedExchange, the per-row md5
+    # fold computed three times).  Stage the 4-long-columns frame once
+    # per run (lineage truncation, not caching).
+    from dist_keras_spark.operators.dedup import _stage
+
+    d = _stage(d, "local")
     cal = d.filter(F.col("fold") == 0)
     fit = cal.agg(
         F.count(F.lit(1)).alias("n_cal"),
