@@ -790,11 +790,25 @@ def test_hhi_bounds_and_monopoly_limit(spark, sf_dir):
 
 
 def test_table_profile_matches_direct_queries(spark, sf_dir):
+    import re
+
     import pyspark.sql.functions as F
 
     from dist_keras_spark.plans.analytics6 import table_profile_orders
 
-    rows = {r["column_name"]: r for r in table_profile_orders(spark, sf_dir).collect()}
+    df = table_profile_orders(spark, sf_dir)
+    # r14 plan gate: the multi-distinct Expand pass must stay
+    # HashAggregate — a string min/max buffer inside that aggregate
+    # demotes the whole N·7-row frame to Sort + SortAggregate (the
+    # r14 before-plan). String min/max live in a separate KEYLESS
+    # aggregate, which may itself plan as SortAggregate (keys=[] ⇒ no
+    # Sort inserted, harmless) — so the gate is: no KEYED
+    # SortAggregate anywhere in the plan. Regex over node shape, not
+    # exact rendering (ADVICE r13).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keyed_sort_agg = re.findall(r"SortAggregate\(key=\[[^\]]", plan)
+    assert not keyed_sort_agg, plan
+    rows = {r["column_name"]: r for r in df.collect()}
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     n = o.count()
     assert all(r["n_rows"] == n and r["n_nulls"] == 0 for r in rows.values())

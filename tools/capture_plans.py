@@ -1,4 +1,6 @@
-"""Dump .explain("formatted") for bench queries into plans/r13/.
+"""Dump .explain("formatted") for bench queries into plans/<round>/.
+
+Round dir defaults to r14; override with SPARK_GRAFT_PLAN_DIR.
 
 Usage:
     python tools/capture_plans.py before [query ...]
@@ -28,7 +30,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
