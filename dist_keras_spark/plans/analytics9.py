@@ -95,12 +95,19 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by doc_id (bounded by doc length); the pair join is
     an inverted fingerprint index bounded by the df cap — never
     all-pairs. At true scale the same shape runs per-band like LSH;
-    selectivity is tuned with k/w, not plan changes. The fingerprint
-    subtree appears 4× in the static plan (keep ⋈ keep, each side
-    also feeding the df valve) but executes ONCE: AQE inserts 4
-    ReusedExchange nodes at runtime (measured sf0.01, r9) — the
-    ReuseExchange-over-eager-staging boundary documented at
-    blocking_quality_metrics, reconfirmed here."""
+    selectivity is tuned with k/w, not plan changes.
+
+    r14 staging A/B (guide §2.4, negative result kept unstaged): the
+    4 fingerprint-subtree copies in the static plan (keep ⋈ keep,
+    each side also feeding the df valve) ARE runtime-deduped — an
+    initial-plan read shows 0 ReusedExchange (which is what the first
+    r14 audit measured, via the pre-fix final_plan_audit tool that
+    read the un-executed QueryExecution), but localCheckpoint-staging
+    fps + keep measured WORSE in a same-load interleaved A/B at
+    sf0.1: staged min 4.684s vs lazy min 4.202s over 5 alternated
+    rounds (staged lost every round) — the checkpoint job barriers
+    cost more than the (already reuse-covered) recompute. The r9
+    reuse claim stands; kept fully lazy."""
     d = _lt(spark, sf_dir, "documents").where(F.length("text") >= _WIN_K)
     kg = d.select(
         "doc_id",

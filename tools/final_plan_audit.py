@@ -33,9 +33,23 @@ def main() -> None:
         try:
             t0 = time.monotonic()
             df = QUERIES[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            # Execute the DataFrame's OWN QueryExecution. A noop
+            # write would run a *different* QueryExecution (the write
+            # command wraps the plan), leaving df's adaptive plan
+            # un-executed — its toString then shows the INITIAL plan,
+            # where AQE's runtime ReusedExchange can never appear
+            # (the r14 winnowing false positive: 'reused_exchange=0'
+            # from this tool while the interleaved A/B showed the
+            # subtrees were in fact runtime-deduped). collect() is
+            # fine here: audited queries return top-k/aggregate-sized
+            # results, and this is a measurement tool, not the bench.
+            df.collect()
             wall = time.monotonic() - t0
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # An executed AdaptiveSparkPlan stringifies BOTH the
+            # Final and the Initial plan — count nodes in the Final
+            # section only, or every scan double-counts.
+            plan = plan.split("== Initial Plan ==")[0]
         except Exception as exc:  # noqa: BLE001
             print(f"{name}\tERROR\t{type(exc).__name__}: {exc}"[:300], flush=True)
             continue
