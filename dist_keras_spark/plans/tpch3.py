@@ -217,28 +217,51 @@ def tpch_q20_shape_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     defining plan feature is the aggregate-predicate SEMI-join: the
     excess set reduces to distinct supplier ids before touching
     supplier, so the big derived relations never widen the final join.
-    partsupp and `recent` share the (partkey, suppkey) grouping key —
-    one co-partitioned join, no re-shuffle."""
-    ps = _pseudo_partsupp(spark, sf_dir)
+    r14 (guide §2.3/§2.4/§3.2): the partsupp derivation and `recent`
+    were two SEPARATE full-lineitem aggregations — 2 scans + 2
+    (partkey, suppkey) shuffles of the whole fact table (final-plan
+    audit: lineitem×2, zero ReusedExchange; the copies differ in
+    pushed filters). Both quantities now come out of ONE aggregate
+    over lineitem pre-filtered to red parts by a broadcast semi-join
+    (the Bloom/semi pre-filter shape, §3.2: only red-part rows reach
+    the one remaining shuffle): ps_availqty = sum(qty), q_recent =
+    sum(qty) over shipdate ≥ 1999 rows, and the original inner join's
+    "group has recent rows" condition becomes q_recent IS NOT NULL.
+    Equivalence: the red semi-join commutes with the (partkey,
+    suppkey) groupBy because it filters on a grouping key (whole
+    groups survive or drop — part is keyed on p_partkey), and the
+    conditional sum adds exactly the rows the separate filtered
+    aggregate added (small-integer quantities in doubles — exact at
+    any fold order). Oracle hash-green at 3 SFs; A/B in
+    OPTIMIZATION_r14.md."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    recent = (
-        li.filter(F.col("l_shipdate") >= "1999-01-01")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.sum("l_quantity")).cast("long").alias("q_recent"))
-    )
     red = p.filter(F.col("p_name").like("red %")).select("p_partkey")
-    excess = (
-        ps.join(red, ps.ps_partkey == red.p_partkey)
-        .join(
-            recent,
-            (ps.ps_partkey == recent.l_partkey)
-            & (ps.ps_suppkey == recent.l_suppkey),
+    fused = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("long").alias("ps_availqty"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_shipdate") >= "1999-01-01",
+                        F.col("l_quantity"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("q_recent"),
         )
-        .filter(F.col("ps_availqty") > 2 * F.col("q_recent"))
-        .select("ps_suppkey")
+    )
+    excess = (
+        fused.filter(
+            F.col("q_recent").isNotNull()
+            & (F.col("ps_availqty") > 2 * F.col("q_recent"))
+        )
+        .select(F.col("l_suppkey").alias("ps_suppkey"))
         .distinct()
     )
     return (
