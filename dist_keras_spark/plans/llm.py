@@ -2720,7 +2720,11 @@ GROUP BY a2.cid
 
 
 @query("kmeans_lloyd_two_iters", oracle=_kmeans_oracle_sql())
-def kmeans_lloyd_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_lloyd_two_iters(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str | None = "local",
+) -> DataFrame:
     """K-means (Lloyd's algorithm), two iterations, EXACTLY replayed by
     the SQL oracle — the iterative-ML pattern with a hash-checkable
     result. The trick making a float-centroid algorithm cross-engine
@@ -2746,14 +2750,31 @@ def kmeans_lloyd_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ·1000) that bounds n < ~6e6 members per cluster. Past that,
     promote the fold accumulator to DECIMAL(38,0) (or carry the
     centroid as (Σ/g, n/g) with g = gcd) before trusting the
-    arithmetic; the query asserts nothing at larger n."""
+    arithmetic; the query asserts nothing at larger n.
+
+    r14 (guide §2.4, VERDICT r13 #4): the quantized frame `q` feeds
+    FIVE consumers (init limit, both assignment crossJoins, the
+    update join, the final membership join) — the fixed final-plan
+    audit read 5 embeddings scans, zero ReusedExchange, the per-row
+    quantize transform re-run each time. `q` is staged once per run
+    through `_stage` (`materialize` knob: 'local' single-node,
+    'storage' cluster scale, None fully lazy); the per-iteration
+    re-assignment stays lazy — it IS the declared computation.
+    Interleaved A/B at sf0.1: 1.575 → 1.334s min (staged won 5/5
+    alternated rounds); oracle hash-green at 3 SFs."""
+    from dist_keras_spark.operators.dedup import _stage
+
     k, dim = 8, 64
     e = _lt(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ).alias("vq"),
+    q = _stage(
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            ).alias("vq"),
+        ),
+        materialize,
     )
     init = (
         q.orderBy("vec_id")
