@@ -714,7 +714,11 @@ _SCALED_CELLS_SQL = "greatest(16, (SELECT count(*) // 100 FROM embeddings))"
     "semdedup_scaled_cells",
     oracle=_semdedup_oracle_sql(n_cells=_SCALED_CELLS_SQL),
 )
-def semdedup_scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_scaled_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str | None = "local",
+) -> DataFrame:
     """Scale-safe twin of semdedup_cell_prune (VERDICT r10 #1b): the
     paper's k ∝ N cluster count — n_cells = max(16, N div 100) — so
     per-cell membership stays ~100 rows as the corpus grows and the
@@ -781,10 +785,13 @@ def semdedup_scaled_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.4): same three-consumer shape as
     # semdedup_cell_prune — stage the Arrow-assigned frame once so the
     # int matmul kernel + corpus scan run once, not three times.
+    # r14 (VERDICT r13 #3): strategy via the `materialize` knob
+    # ('local' single-node default / 'storage' cluster / None lazy),
+    # not a hard-coded 'local'.
     from dist_keras_spark.operators.dedup import _stage
 
     assign = _stage(
-        n.withColumn("cell", int_argmax_cell_udf(cents)("v")), "local"
+        n.withColumn("cell", int_argmax_cell_udf(cents)("v")), materialize
     )
     # pair stage: identical to semdedup_cell_prune's — one cell-keyed
     # shuffle, integer cross-multiplied threshold, keep-first greedy
@@ -2949,7 +2956,11 @@ WHERE r.fold = 1
 GROUP BY f.n_cal, f.slope_micro, f.intercept_micro, q.q_hat_micro
 """,
 )
-def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conformal_interval_coverage(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str | None = "local",
+) -> DataFrame:
     """Split-conformal prediction interval (Vovk et al. / Lei et al.,
     public knowledge) measured end-to-end: fit pooled OLS
     (quantity → price/100, the ols_slope_per_supplier fixed-point
@@ -3007,10 +3018,11 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arm and the test arm — three consumers with differing pushed
     # filters (4 lineitem scans, zero ReusedExchange, the per-row md5
     # fold computed three times).  Stage the 4-long-columns frame once
-    # per run (lineage truncation, not caching).
+    # per run (lineage truncation, not caching). r14: strategy via the
+    # `materialize` knob (local/storage/None), not hard-coded.
     from dist_keras_spark.operators.dedup import _stage
 
-    d = _stage(d, "local")
+    d = _stage(d, materialize)
     cal = d.filter(F.col("fold") == 0)
     fit = cal.agg(
         F.count(F.lit(1)).alias("n_cal"),

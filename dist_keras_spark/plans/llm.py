@@ -2415,7 +2415,11 @@ def ivf_centroid_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ivf_refresh_migration", oracle=_ivf_incr_oracle_sql("refresh"))
-def ivf_refresh_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_refresh_migration(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str | None = "local",
+) -> DataFrame:
     """INDEX FRESHNESS, the refresh leg (r12) — closing the loop the
     drift metric opens: ONE exact Lloyd step over the frozen
     base-trained assignment, emitting the CELL MIGRATION MATRIX
@@ -2491,7 +2495,7 @@ def ivf_refresh_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("cell"),
         ),
-        "local",
+        materialize,
     )
     q = _stage(
         e.select(
@@ -2501,7 +2505,7 @@ def ivf_refresh_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.round(x.cast("double") * 1000).cast("long"),
             ).alias("vq"),
         ),
-        "local",
+        materialize,
     )
     per_dim = (
         before.join(q, "vec_id")
@@ -2546,7 +2550,11 @@ def ivf_refresh_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_refresh_budgeted",
     oracle=_ivf_incr_oracle_sql("refresh_budgeted"),
 )
-def ivf_refresh_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_refresh_budgeted(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str | None = "local",
+) -> DataFrame:
     """The SCALE-SAFE twin of ivf_refresh_migration (r12): refresh a
     BUDGET of B = 4 cells per maintenance pass — the ones that
     ingested the most delta mass (n_delta desc, cell asc; the signal
@@ -2602,7 +2610,7 @@ def ivf_refresh_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("cell"),
         ),
-        "local",
+        materialize,
     )
     hot = (
         before_all.groupBy("cell")
@@ -2624,7 +2632,7 @@ def ivf_refresh_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: F.round(x.cast("double") * 1000).cast("long"),
             ).alias("vq"),
         ),
-        "local",
+        materialize,
     )
     region = q.join(before.select("vec_id"), "vec_id")
     per_dim = (

@@ -853,3 +853,22 @@ def test_semdedup_scaled_cells_grows_k_with_corpus(spark):
     out = semdedup_scaled_cells(spark, "/root/testdata/sf0.1").toPandas()
     assert out["cell"].max() == 19
     assert out["cell"].nunique() > 16
+
+
+def test_materialize_storage_mode_staged_queries(spark, sf_dir, tmp_path):
+    """VERDICT r13 #3: the staged query plans must run the documented
+    100 TB path ('storage' = reliable checkpoint to the session's
+    checkpoint dir) as executed code, not a docstring — and produce
+    the identical result. One representative per touched file:
+    conformal_interval_coverage (analytics6) and
+    kmeans_lloyd_two_iters (llm)."""
+    from dist_keras_spark.plans.analytics6 import conformal_interval_coverage
+    from dist_keras_spark.plans.llm import kmeans_lloyd_two_iters
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    for fn in (conformal_interval_coverage, kmeans_lloyd_two_iters):
+        local = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        stored = sorted(
+            map(tuple, fn(spark, sf_dir, materialize="storage").collect())
+        )
+        assert stored == local, fn.__name__
