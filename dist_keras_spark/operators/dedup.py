@@ -36,7 +36,18 @@ def _stage(df: DataFrame, materialize: str | None) -> DataFrame:
     'local'   — localCheckpoint(eager): blocks live on executors; right
                 for single-node / interactive use, NOT for 100 TB (the
                 signature set must fit in cluster block storage and
-                dies with executors).
+                dies with executors). Retained-block cost (ADVICE
+                r13): each invocation checkpoints a fresh RDD and
+                nothing unpersists it until the DataFrame is GC'd on
+                the driver (ContextCleaner then drops the blocks), so
+                tight re-invocation loops (bench min-of-N, ab_time)
+                accumulate executor block-manager storage between
+                GCs. Fine for fixture-sized staged frames (narrow
+                id/hash columns); at larger SFs prefer 'storage' or
+                None, or hold no references so the cleaner can run.
+                Also note eager=True runs Spark jobs at CONSTRUCTION
+                time: a query function that stages this way executes
+                work before any action on the returned DataFrame.
     'storage' — reliable checkpoint to spark.sparkContext's checkpoint
                 dir (HDFS/object store at scale); caller must have
                 called setCheckpointDir.

@@ -357,9 +357,14 @@ def test_share_of_total_sums_to_one_single_subtree(spark, sf_dir):
     # did not reuse the duplicated stage).
     assert plan.count("lineitem.parquet") == 1, plan
     # the window partitions on the reviewed bounded key (pmod(hash(..)))
-    # — physical plans alias the key to _w0, so check the logical plan
+    # — physical plans alias the key to _w0, so check the logical plan.
+    # Tolerate rendering drift (spacing, inserted casts) across Spark
+    # versions: require a pmod(...hash(...n_name chain rather than one
+    # exact substring (ADVICE r13).
+    import re
+
     logical = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "pmod(hash(n_name" in logical, logical
+    assert re.search(r"pmod\([^)]*hash\([^)]*n_name", logical), logical
 
 
 def test_bounce_rate_bounds_and_session_count(spark, sf_dir):
@@ -536,8 +541,15 @@ def test_asof_nearest_picks_smaller_gap(spark, sf_dir):
     # two complete union+window subtrees joined back on click_id).
     plan = _plan(df)
     assert plan.count("events.parquet") == 2, plan
-    assert "Join" not in plan, plan
-    assert plan.count("+- Exchange") == 1, plan
+    # Node-name regexes, not exact rendering (ADVICE r13): a join node
+    # is any \w*Join\w*; a shuffle is an Exchange node regardless of
+    # the tree-branch prefix (+-, :-) it renders with. BroadcastExchange
+    # would also be a regression here (the old shape joined back on
+    # click_id via a broadcast), so plain \bExchange\b is the right net.
+    import re
+
+    assert not re.search(r"\w*Join", plan), plan
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
     rows = df.collect()
     e = load_table(spark, sf_dir, "events")
     evs = {r.event_id: r for r in e.collect()}

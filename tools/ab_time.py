@@ -29,12 +29,17 @@ def main() -> None:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--runs"):
-            if "=" in a:
-                runs = int(a.split("=", 1)[1])
-            else:
-                runs = int(argv[i + 1])
-                i += 1
+        if a == "--runs":
+            if i + 1 >= len(argv):
+                raise SystemExit("--runs needs a count")
+            runs = int(argv[i + 1])
+            i += 1
+        elif a.startswith("--runs="):
+            runs = int(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            # a malformed '--runs5' used to fall through and consume
+            # the NEXT argv element as the count (ADVICE r13)
+            raise SystemExit(f"unknown option: {a}")
         else:
             args.append(a)
         i += 1
