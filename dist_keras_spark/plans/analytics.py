@@ -1196,9 +1196,28 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical to the two-leg form: at equal __t right rows sort
     before the click in BOTH orders (a simultaneous purchase is
     visible to <= and >=), backward ties pick the smallest id via the
-    negated-id asc / last() pair, forward via id desc / last()."""
+    negated-id asc / last() pair, forward via id desc / last().
+
+    r14 (ADVICE r13): the struct used to carry p_ts as timestamp_ntz
+    and the gap math round-tripped it through cast('timestamp') —
+    lossless only because the session pins UTC (a non-UTC session
+    would skew gaps silently on the NTZ fixture branch). The struct
+    now carries unix MICROS as a plain long, derived once per row
+    with a timezone-free expression per ts dtype: timestampdiff from
+    the NTZ epoch when ts reads as TIMESTAMP_NTZ (pure wall-clock
+    arithmetic), unix_micros directly when ts is TIMESTAMP (the
+    ns-bigint fixture branch — instant-based, no cast)."""
     e = _lt(spark, sf_dir, "events")
-    rv_t = "struct<purchase_id:bigint,p_ts:timestamp_ntz>"
+    if dict(e.dtypes).get("ts") == "timestamp_ntz":
+        def us_of(col: str) -> F.Column:
+            return F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), {col})"
+            )
+    else:
+        def us_of(col: str) -> F.Column:
+            return F.unix_micros(F.col(col))
+    rv_t = "struct<purchase_id:bigint,p_us:bigint>"
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("__k"),
         F.col("ts").alias("__t"),
@@ -1214,7 +1233,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("click_id"),
         F.struct(
             F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
+            us_of("ts").alias("p_us"),
         ).cast(rv_t).alias("__rv"),
         F.col("event_id").alias("__tb"),
     )
@@ -1240,9 +1259,9 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__is_left") == 1)
     )
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
-    gap_b = us("__t") - us("__b.p_ts")  # >= 0 when backward match exists
-    gap_f = us("__f.p_ts") - us("__t")  # >= 0 when forward match exists
+    t_us = us_of("__t")
+    gap_b = t_us - F.col("__b.p_us")  # >= 0 when backward match exists
+    gap_f = F.col("__f.p_us") - t_us  # >= 0 when forward match exists
     pick_backward = F.col("__b").isNotNull() & (
         F.col("__f").isNull() | (gap_b <= gap_f)  # tie → backward
     )
