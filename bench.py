@@ -372,6 +372,87 @@ def _select_pass(passes: list[dict], anchor: float | None) -> tuple[dict, bool]:
     return min(passes, key=lambda p: p["total"]), False
 
 
+# --------------------------------------------------------------------------
+# Scale-sensitive leg (VERDICT r13 #5): the sf0.1 headline suite is
+# overhead-bound (every 8→32-core ratio ≤ 1.24 at sf0.1), so staging and
+# parallelism changes were invisible in the one number the driver
+# compares round-over-round. After the headline passes, the same 22
+# queries run ONCE-warmed + min-of-2 at the sf1-shaped bench dataset
+# (tools/gen_benchdata.py — deterministic seed-42, generated on demand,
+# NOT an oracle fixture) and the result rides the SAME JSON line as an
+# additive "sf1_leg" key. The headline contract is untouched: timed
+# region, query list, min-of-N policy, `value`/`queries`, and the
+# anchor logic all stay as they were; the leg labels itself with its
+# own CPU mix and clean flag, and skips (with a reason) rather than
+# jeopardize the headline artifact when disabled, off-SF, over budget,
+# or when generation fails.
+SF1_LEG_RUNS = 2
+SF1_GEN_TIMEOUT_SEC = 420
+SF1_START_BUDGET_SEC = 10 * 60  # skip the leg if the retries ate this
+
+
+def _sf1_leg(spark, t_start: float) -> dict:
+    if os.environ.get("SPARK_GRAFT_SF1_LEG", "1") == "0":
+        return {"skipped": "disabled via SPARK_GRAFT_SF1_LEG=0"}
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        # completion-gate runs at sf0.001 (tests/test_bench_gate.py)
+        # and ad-hoc SF overrides don't get a scale leg
+        return {"skipped": f"headline SF_DIR is {SF_DIR}, not sf0.1"}
+    elapsed = time.perf_counter() - t_start
+    if elapsed > SF1_START_BUDGET_SEC:
+        return {"skipped": f"headline passes took {elapsed:.0f}s"}
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf1"
+        ),
+    )
+    generated = False
+    if not os.path.isdir(sf1_dir):
+        import subprocess
+
+        gen = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools",
+            "gen_benchdata.py",
+        )
+        try:
+            subprocess.run(
+                [sys.executable, gen, sf1_dir],
+                check=True,
+                capture_output=True,
+                timeout=SF1_GEN_TIMEOUT_SEC,
+            )
+            generated = True
+        except Exception as exc:  # noqa: BLE001
+            return {"skipped": f"sf1 generation failed: {type(exc).__name__}"}
+    timings: dict[str, float] = {}
+    runs_trace: dict[str, list[float]] = {}
+    cpu0 = _cpu_sample()
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        runs = []
+        # first run doubles as the sf1 codegen warm (plans differ from
+        # the sf0.1 ones); min-of-2 is the budget-bounded compromise
+        for _ in range(SF1_LEG_RUNS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf1_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        runs_trace[name] = runs
+    mix = _cpu_mix(cpu0, _cpu_sample())
+    return {
+        "sf_dir": sf1_dir,
+        "generated": generated,
+        "runs_per_query": SF1_LEG_RUNS,
+        "total_sec": round(sum(timings.values()), 3),
+        "queries": timings,
+        **mix,
+        "clean": mix["cpu_steal_pct"] <= STEAL_CLEAN_PCT,
+        "runs": runs_trace,
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     t_start = time.perf_counter()
@@ -419,6 +500,10 @@ def main() -> None:
         )
     ):
         drift_top3 = _drift_top(timings, anchor_full["queries"])
+    # Scale leg AFTER the headline passes so it can never perturb the
+    # retry loop or the anchor; it self-labels and self-skips instead.
+    sf1_leg = _sf1_leg(spark, t_start)
+    sf1_leg_line = {k: v for k, v in sf1_leg.items() if k != "runs"}
     # Every individual run (incl. the two warm-ups) goes to a trace file
     # so environment-induced outliers (cold JVM, co-tenant load, GC) are
     # diagnosable after the fact — the driver only records the one-line
@@ -446,6 +531,7 @@ def main() -> None:
                 "passes": [
                     {"total": p["total"], **p["cpu_mix"]} for p in passes
                 ],
+                "sf1_leg": sf1_leg,
                 "trace": trace,
             },
             fh,
@@ -468,6 +554,7 @@ def main() -> None:
                 "anchor_sec": anchor,
                 "drift_top3": drift_top3,
                 "passes_run": len(passes),
+                "sf1_leg": sf1_leg_line,
             }
         )
     )

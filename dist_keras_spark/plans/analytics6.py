@@ -2608,7 +2608,16 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to the replica query (scan-side ×B
     fan-out, one B-group agg) plus a 20-row ranking under
     bounded_window_key and a 1-row point-estimate aggregate — CI
-    construction costs nothing beyond the replicas."""
+    construction costs nothing beyond the replicas.
+
+    r14 audit (kept lazy): final plan shows orders×2 (replica arm +
+    point-estimate arm), zero reuse — but both are narrow
+    single-column pushed-filter scans and the query's 0.58s warm min
+    is dominated by the ×20 fan-out aggregate, not the scans.
+    Staging the same shape measured WORSE on linreg_adam_two_steps
+    this round (quiet-window A/B recorded there: checkpoint
+    round-trip > narrow codegen rescan), so the duplicate scan
+    stays."""
     from dist_keras_spark.operators.utils import bounded_window_key
     from dist_keras_spark.plans.analytics5 import poisson_bootstrap_replicas
 

@@ -1936,7 +1936,18 @@ def knn_ivf_persisted_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     so total work is Θ(N²/40) by construction. Kept as the
     fixed-parameter ORACLE baseline; the registered scale-safe path
     is knn_ivf_scaled_top5 (cells ∝ N, constant ~8000-vector probe
-    fan-out per query)."""
+    fan-out per query).
+
+    r14 audit (kept as-is): fixed final-plan audit shows ZERO
+    duplicate scans in the executed search plan (the earlier
+    embeddings×2 reading was the un-executed initial plan; at runtime
+    the DPP subquery over the query panel is reused/trivial). Warm
+    min 1.42s is ~8 fixed driver jobs (idempotency check, two
+    centroid collects, broadcast, probed-cell scan, top-k window) —
+    per-query latency that amortizes at scale; the cold 3.9s trace
+    wall is the one-time build (assignment + partitioned write), the
+    build-once lifecycle under test. Nothing to remove without
+    deleting the capability."""
     from dist_keras_spark.operators.similarity import (
         build_ivf_index,
         search_ivf_index,

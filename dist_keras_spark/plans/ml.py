@@ -945,7 +945,17 @@ def linreg_adam_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated scan plus a model-sized join back; Adam state
     (m, v per group) rides in the model frame, never the fact. Same
     int64 valve: gradient sums stay in-range to SF ≈ 10, then promote
-    to DECIMAL(38,0)."""
+    to DECIMAL(38,0).
+
+    r14 staging A/B (negative result, kept lazy): the (flag, x, y_fp)
+    base frame feeds both step aggregates (final-plan audit:
+    lineitem×2, zero ReusedExchange), but localCheckpoint-staging it
+    measured WORSE on a genuinely quiet window (steal 0.0%, busy ~5%):
+    staged min 1.187s vs lazy 1.001s over 6 interleaved rounds (lazy
+    won 4/6). The duplicated work is a narrow 3-column codegen scan +
+    cast projection — cheaper to recompute than to round-trip ~15 MB
+    through checkpoint blocks. Same class as bootstrap_ci_mean's two
+    narrow orders scans (kept lazy for the same reason)."""
     l = _lt(spark, sf_dir, "lineitem")
     d = l.select(
         "l_returnflag",
