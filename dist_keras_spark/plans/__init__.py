@@ -43,68 +43,68 @@ from dist_keras_spark.plans import (  # noqa: E402,F401
     analytics12,
 )
 
-# Round-13 window (VERDICT r12 #2): generated MECHANICALLY by
+# Round-14 window: generated MECHANICALLY by
 # `python tools/verify_local.py --window-plan` (output committed below
-# verbatim) — the 7 never-checked r12 post-window additions first (the
-# index-freshness family + multiprobe + served-recall, all judge-run
-# 7/7 hash-green at sf0.01 in the r12 judge session), then the 43
-# oldest re-checks (last driver signal r5/r6). Never-checked debt
-# returns to ZERO in this window, per the steady-state rule in
-# .claude/skills/verify/SKILL.md. oracle=None queries are never
-# promoted (driver errors on them).
-# window plan: 7 never-checked, 43 re-checks (oldest round first), 395 oracle-backed total
+# verbatim) — the 8 never-checked queries the interrupted r13 build
+# session added (two-level IVF quantizer family, SGD replay trio,
+# minhash_estimate_error_rootn; all oracle-verified at sf0.01 in that
+# session's own gate) first, then the 42 oldest re-checks (last driver
+# signal r6). Never-checked debt returns to ZERO in this window, per
+# the steady-state rule in .claude/skills/verify/SKILL.md.
+# window plan: 8 never-checked, 42 re-checks (oldest round first), 403 oracle-backed total
 registry.promote(
-    "knn_lsh_multiprobe_top5",  # never checked
-    "knn_ivf_persisted_scaled_top5",  # never checked
-    "ivf_search_base_delta_top5",  # never checked
-    "ivf_centroid_occupancy_drift",  # never checked
-    "ivf_refresh_migration",  # never checked
-    "ivf_refresh_budgeted",  # never checked
-    "pq_recall_vs_served",  # never checked
-    "multimodal_frame_sample",  # last r5
-    "agg_grouping_sets",  # last r5
-    "unpivot_measures",  # last r5
-    "events_tumbling_hourly",  # last r5
-    "events_sliding_window",  # last r5
-    "events_session_window",  # last r5
-    "events_dedup_latest",  # last r5
-    "events_stream_static_join",  # last r5
-    "events_retention_cohort",  # last r5
-    "events_type_share",  # last r5
-    "events_sessionize_rows",  # last r5
-    "stateful_user_totals_live",  # last r5
-    "orc_roundtrip",  # last r5
-    "text_source_scan",  # last r5
-    "bucketed_join_colocated",  # last r5
-    "partitioned_sink_prune",  # last r5
-    "neardup_cluster_assign",  # last r5
-    "pack_docs_into_contexts",  # last r5
-    "quality_repetition_ratio",  # last r5
-    "dataset_split_assign",  # last r5
-    "decontaminate_vs_benchmark",  # last r5
-    "data_mix_token_budget",  # last r5
-    "bm25_topk_docs",  # last r5
-    "simhash_neardup",  # last r5
-    "knn_ivf_top5",  # last r5
-    "events_signup_conversion",  # last r5
-    "quality_ttr_hapax",  # last r5
-    "knn_int8_quantized_top5",  # last r5
-    "events_funnel_steps",  # last r5
-    "events_hourly_gapfill",  # last r5
-    "events_ewma_last",  # last r5
-    "events_anomaly_trailing_z",  # last r5
-    "grouped_mode_event_type",  # last r5
-    "histogram_fixed_width",  # last r5
-    "sample_stratified_hash",  # last r5
-    "merge_upsert_scd",  # last r5
-    "join_asof_forward",  # last r5
-    "win_cumulative_distinct",  # last r5
-    "streaming_session_window_live",  # last r6
-    "streaming_sliding_window_live",  # last r6
-    "agg_max_by",  # last r6
-    "agg_boolean_conditional",  # last r6
-    "agg_string_concat_ordered",  # last r6
+    "knn_ivf_hier_top5",  # never checked
+    "knn_ivf_hier_persisted_top5",  # never checked
+    "ivf_hier_base_delta_top5",  # never checked
+    "ivf_hier_occupancy_drift",  # never checked
+    "linreg_minibatch_sgd_ten_steps",  # never checked
+    "sgd_ten_step_final_loss",  # never checked
+    "linreg_parallel_sgd_average",  # never checked
+    "minhash_estimate_error_rootn",  # never checked
+    "events_ohlc_daily",  # last r6
+    "events_time_weighted_avg",  # last r6
+    "union_schema_evolution",  # last r6
+    "parquet_schema_merge",  # last r6
+    "custom_datasource_scan",  # last r6
+    "custom_datasource_stream_live",  # last r6
+    "incremental_rollup_merge",  # last r6
+    "snapshot_time_travel",  # last r6
+    "pipeline_curation_end2end",  # last r6
+    "bpe_first_merges",  # last r6
+    "embedding_centroid_by_label",  # last r6
+    "join_asof_left",  # last r6
+    "scalar_regex_mask",  # last r6
+    "events_transition_matrix",  # last r6
+    "zorder_cluster_stats",  # last r6
+    "share_of_total_broadcast",  # last r6
+    "events_session_bounce_rate",  # last r6
+    "ab_test_t_stat",  # last r6
+    "regression_trend_slope",  # last r6
+    "dq_expectations_orders",  # last r6
+    "scalar_try_cast_tolerant",  # last r6
+    "join_null_safe_eq",  # last r6
+    "win_range_numeric",  # last r6
+    "explode_outer_empty_arrays",  # last r6
+    "agg_bitmap_event_types",  # last r6
+    "join_asof_nearest",  # last r6
+    "robust_outliers_mad",  # last r6
+    "user_event_entropy",  # last r6
+    "gini_customer_spend",  # last r6
+    "gini_histogram_binned",  # last r6
+    "setop_multiset_all",  # last r6
+    "sort_null_ordering",  # last r6
+    "join_shuffle_hash_hint",  # last r6
+    "observed_scan_metrics",  # last r6
+    "grouped_agg_pandas_udaf",  # last r6
+    "heavy_hitters_support",  # last r6
+    "drift_chi2_daily",  # last r6
+    "win_reset_running_sum",  # last r6
+    "sql_recursive_cte",  # last r6
+    "sql_lateral_topn",  # last r6
+    "tpch_q2_shape_min_cost_supplier",  # last r6
+    "tpch_q11_shape_important_stock",  # last r6
 )
+# rotation horizon: 403 oracle-backed / 50 slots = 9 rounds to re-check every query once; oldest standing driver signal: r1
 
 # Rows-only queries (no SQL-expressible oracle): pytest-gated, kept out
 # of the driver's 50-slot window permanently.
