@@ -281,11 +281,17 @@ def test_capped_sessions_span_below_cap_and_count_all_events(spark, sf_dir):
 
 
 def test_documents_profile_matches_pandas(spark, sf_dir):
+    import re
+
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
-    prof = {
-        r["column_name"]: r
-        for r in table_profile_documents(spark, sf_dir).collect()
-    }
+    df = table_profile_documents(spark, sf_dir)
+    # r14 plan gate (same as table_profile_orders): the multi-distinct
+    # Expand pass must stay HashAggregate; string min/max live in a
+    # separate keyless side-aggregate (keys=[] ⇒ no Sort inserted), so
+    # no KEYED SortAggregate may appear anywhere in the plan.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"SortAggregate\(key=\[[^\]]", plan), plan
+    prof = {r["column_name"]: r for r in df.collect()}
     assert set(prof) == {"doc_id", "text_len", "lang", "source", "n_chars"}
     assert all(r["n_rows"] == len(docs) for r in prof.values())
     assert prof["doc_id"]["n_distinct"] == docs["doc_id"].nunique()
