@@ -137,6 +137,51 @@ def _quant(col: str = "embedding"):
     )
 
 
+_CODE_BITS = 6  # codebook ids are 0..15 (< 2**6); d2 << 6 is tiny vs int64
+
+def _argmin_code(cdist: DataFrame) -> DataFrame:
+    """groupBy(vec_id, s) argmin of (d2, c), ties toward the lower
+    code id, over a PQ distance frame (vec_id, s, c, d2).
+
+    r14 (guide §7.2): this used to be min(struct(d2, c)) — a struct
+    aggregation buffer excludes HashAggregateExec, so the N·8·16-row
+    distance frame (the hottest frame in PQ coding) was demoted to
+    Sort + SortAggregate at BOTH partial and final levels. Packing
+    the pair into ONE bigint min(d2·64 + c) keeps the aggregate
+    hash-based. Exact: d2 ≥ 0 (integer sum of squares) and
+    0 ≤ c < 16 < 2**_CODE_BITS, so the packed order IS the
+    lexicographic (d2, c) order bit for bit. Returns
+    (vec_id, s, code, d2).
+
+    Same-session interleaved A/B (tools-pattern, variants alternated
+    per round, per-run busy/steal recorded): packed won 4/6 rounds on
+    pq_adc at sf0.1 (min 0.969 vs 1.015) and 4/5 clean rounds on
+    pq_recall_vs_served (the one loss carried 14.7% steal); WASH at
+    sf1 on pq_lloyd (struct 4/6, overlapping margins) because the
+    distance frame arrives pre-clustered by (vec_id, s) from the
+    posexplode generator — the demoted sorts ran over nearly-sorted
+    narrow rows and the partial collapse is 16→1 within one map task
+    either way. Kept for the strictly lighter plan (no Sort nodes)
+    and the marginal sf0.1 win; oracle hash-green at 3 SFs for all 8
+    consumer queries."""
+    return (
+        cdist.groupBy("vec_id", "s")
+        .agg(
+            F.min(
+                F.shiftleft(F.col("d2"), _CODE_BITS) + F.col("c")
+            ).alias("mp")
+        )
+        .select(
+            "vec_id",
+            "s",
+            F.col("mp")
+            .bitwiseAND(F.lit((1 << _CODE_BITS) - 1))
+            .alias("code"),
+            F.shiftright(F.col("mp"), _CODE_BITS).alias("d2"),
+        )
+    )
+
+
 _GOPHER_RULES = [
     "word_count",
     "mean_word_length",
@@ -764,11 +809,7 @@ def pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdist = subs.join(F.broadcast(cb), "s").select(
         "vec_id", "s", "c", d2.alias("d2")
     )
-    codes = (
-        cdist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "c")).alias("m"))
-        .select("vec_id", "s", F.col("m.c").alias("code"))
-    )
+    codes = _argmin_code(cdist).select("vec_id", "s", "code")
     qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("s").alias("qs"),
@@ -1109,14 +1150,10 @@ def _pq_codes_qtab(q: DataFrame) -> tuple[DataFrame, DataFrame]:
     cdist = subs.join(F.broadcast(cb), "s").select(
         "vec_id", "s", "c", d2sub.alias("d2")
     )
-    codes = (
-        cdist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "c")).alias("m"))
-        .select(
-            F.col("vec_id").alias("code_vec"),
-            F.col("s").alias("code_s"),
-            F.col("m.c").alias("code"),
-        )
+    codes = _argmin_code(cdist).select(
+        F.col("vec_id").alias("code_vec"),
+        F.col("s").alias("code_s"),
+        "code",
     )
     qtab = cdist.filter(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("tq"),
@@ -2353,11 +2390,7 @@ def pq_lloyd_refined_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdist = subs.join(F.broadcast(cb), "s").select(
         "vec_id", "s", "c", d2.alias("d2")
     )
-    assign0 = (
-        cdist.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "c")).alias("m"))
-        .select("vec_id", "s", F.col("m.c").alias("code"), F.col("m.d2").alias("d2"))
-    )
+    assign0 = _argmin_code(cdist)
     dims = (
         assign0.join(subs, ["vec_id", "s"])
         .select(
@@ -2392,11 +2425,7 @@ def pq_lloyd_refined_sse(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdist1 = subs.join(F.broadcast(cb1), "s").select(
         "vec_id", "s", "c", d2.alias("d2")
     )
-    assign1 = (
-        cdist1.groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "c")).alias("m"))
-        .select(F.col("m.d2").alias("d2"))
-    )
+    assign1 = _argmin_code(cdist1).select("d2")
     sse0 = assign0.agg(F.sum("d2").alias("sse_seeded"))
     sse1 = assign1.agg(F.sum("d2").alias("sse_trained"))
     n = q.agg(F.count(F.lit(1)).alias("n_docs"))
