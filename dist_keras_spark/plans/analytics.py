@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dist_keras_spark.operators.dedup import _stage
 from dist_keras_spark.operators.utils import bounded_window_key
 from dist_keras_spark.plans.registry import query
 from dist_keras_spark.sources.tables import load_table as _lt
@@ -1810,7 +1811,11 @@ SELECT CAST(day AS DATE) AS day, CAST(sum(o) AS BIGINT) AS n_events,
 FROM cells GROUP BY day
 """,
 )
-def drift_chi2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def drift_chi2_daily(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str | None = "local",
+) -> DataFrame:
     """Distribution-drift monitor: per-day χ² statistic of the
     event-type mix against the whole-corpus mix — the standard
     data-quality alarm for 'today's traffic looks different'. Expected
@@ -1820,11 +1825,24 @@ def drift_chi2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift exactly when a category disappears, the case the monitor
     exists to catch. Counts are exact integers; the only floats are
     per-cell expected values (identical products of identical
-    integers) and a 5-term sum rounded to 4dp."""
+    integers) and a 5-term sum rounded to 4dp.
+
+    r14 (guide §2.4, the r13 staging methodology): the dim-sized
+    `daily` aggregate feeds SIX consumers (days, types, day_tot,
+    glob, gt, and the left join), and Catalyst prunes each branch
+    differently (the distinct-only branches drop the count), so the
+    subtrees are not byte-identical and runtime ReusedExchange never
+    fires — the final plan re-ran the full events scan + aggregate
+    6×. `daily` (days × 5 types rows, three narrow columns) is now
+    staged once via the `materialize` knob; final plan 6→1 events
+    scans. Oracle hash-green at 3 SFs."""
     e = _lt(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("o"))
+    daily = _stage(
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("o")),
+        materialize,
+    )
     days = daily.select("day").distinct()
     types = daily.select("event_type").distinct()
     day_tot = daily.groupBy("day").agg(F.sum("o").alias("dn"))

@@ -861,12 +861,18 @@ def test_materialize_storage_mode_staged_queries(spark, sf_dir, tmp_path):
     checkpoint dir) as executed code, not a docstring — and produce
     the identical result. One representative per touched file:
     conformal_interval_coverage (analytics6) and
-    kmeans_lloyd_two_iters (llm)."""
+    kmeans_lloyd_two_iters (llm); r14 adds drift_chi2_daily
+    (analytics — the 6→1 events-scan staging)."""
+    from dist_keras_spark.plans.analytics import drift_chi2_daily
     from dist_keras_spark.plans.analytics6 import conformal_interval_coverage
     from dist_keras_spark.plans.llm import kmeans_lloyd_two_iters
 
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    for fn in (conformal_interval_coverage, kmeans_lloyd_two_iters):
+    for fn in (
+        conformal_interval_coverage,
+        kmeans_lloyd_two_iters,
+        drift_chi2_daily,
+    ):
         local = sorted(map(tuple, fn(spark, sf_dir).collect()))
         stored = sorted(
             map(tuple, fn(spark, sf_dir, materialize="storage").collect())
