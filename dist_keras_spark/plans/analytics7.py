@@ -2083,7 +2083,21 @@ def countmin_sketch_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, embarrassingly MERGEABLE (entrywise sum), which is the
     whole point at scale: per-partition/per-day sketches sum into the
     global one without touching rows again. The exact top-10 exists
-    to certify; production reads the sketch alone."""
+    to certify; production reads the sketch alone.
+
+    r14 negative result (dup-scan sweep follow-up, kept for the
+    record): the final plan scans documents 5× (3 sketch rows +
+    stream_len + top-10) with zero runtime reuse, and a fused
+    rewrite — ONE posexplode(3 bucket ids) pass groupBy (r, b), probe
+    join once on (r, b), stream_len = sum(c) div 3, byte-identical
+    consumers so ReusedExchange fired (docs 5→2) — was built, oracle-
+    verified at 3 SFs, and measured SLOWER on alternated A/B rounds:
+    min 1.51 vs 1.13 at sf0.1 and 9.19 vs 4.61 at sf1. The five lazy
+    branches are cheap map-side-combined aggregations that run
+    CONCURRENTLY in one job, while the fused form serializes a
+    3×-exploded generator stage onto the critical path ahead of both
+    broadcast consumers. Fewer scans ≠ faster when the duplicated
+    branches are embarrassingly parallel; kept as five branches."""
     d = _lt(spark, sf_dir, "documents")
     toks = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
