@@ -427,21 +427,46 @@ def interpolate_linear_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: everything partitions on user_id; grid width is bounded by
     each user's observed span, and the four windows share one
-    shuffle."""
+    shuffle.
+
+    r14 (guide §2.4, dup-scan sweep): the grid used to be built as a
+    separate per-user span aggregate + sequence explode LEFT JOINed
+    back onto `hourly` — two consumers of `hourly`, pruned
+    differently, so the events scan + hourly aggregate executed twice
+    (events×2, 0 ReusedExchange) plus a join shuffle. The same frame
+    is now emitted in ONE pass: each observed hour explodes
+    `sequence(h, next_observed_h − 1h)` (lead over the user timeline;
+    a lone/last observation emits just itself), carrying cents only
+    on the observed row. Consecutive observations tile [h0, h1]
+    exactly, so the union of these slices IS the old grid, row for
+    row. Final plan: 1 events scan, join gone, exchanges 4→2; oracle
+    (which still declares the grid + left join) hash-green at 3 SFs."""
     e = _lt(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.floor(F.avg("value") * 100).cast("long").alias("cents"))
-    span = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
+    wl = W.partitionBy("user_id").orderBy("h")
+    withnext = hourly.select(
+        "user_id", "h", "cents", F.lead("h").over(wl).alias("lead_h")
     )
-    grid = span.select(
+    joined = withnext.select(
         "user_id",
+        "cents",
+        F.col("h").alias("oh"),
         F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            F.sequence(
+                "h",
+                F.coalesce(
+                    F.expr("lead_h - INTERVAL 1 HOUR"), F.col("h")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
         ).alias("h"),
+    ).select(
+        "user_id",
+        "h",
+        F.when(F.col("h") == F.col("oh"), F.col("cents")).alias("cents"),
     )
-    joined = grid.join(hourly, ["user_id", "h"], "left")
     wb = (
         W.partitionBy("user_id")
         .orderBy("h")

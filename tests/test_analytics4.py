@@ -96,7 +96,16 @@ def test_interpolation_is_bounded_and_exact_on_observed(spark, sf_dir):
     """Observed hours pass through exactly (num = cents·3600); every
     interpolated value lies within [min(prev,next), max(prev,next)]
     reconstructed from the observed series."""
+    import re
+
     out = interpolate_linear_gaps(spark, sf_dir)
+    # r14 plan gate: the grid is emitted by ONE explode over the
+    # lead(h) timeline — no span aggregate joined back, so no Join
+    # node and a single events scan (regex over node shapes, not
+    # exact rendering).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"\w+Join", plan), plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1, plan
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     hourly = (
         e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
