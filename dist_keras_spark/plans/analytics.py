@@ -120,7 +120,11 @@ FROM spine s LEFT JOIN hourly h
   ON s.hour = h.hour AND s.event_type = h.event_type
 """,
 )
-def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_hourly_gapfill(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str | None = "local",
+) -> DataFrame:
     """Time-series resample + gap-fill (the hypertable `time_bucket_gapfill`
     / `locf` shape): a dense hour × event_type spine, hourly aggregates
     left-joined on, missing hours carried forward with
@@ -131,20 +135,33 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the crossJoin of two tiny derived frames is sanctioned; the one
     data-sized shuffle is the hourly groupBy. The LOCF window
     partitions by event_type over the SPINE (not the raw events), so
-    its sort is spine-sized. Raw events are never sorted globally."""
+    its sort is spine-sized. Raw events are never sorted globally.
+
+    r14 (guide §2.4, dup-scan sweep): bounds and the type list used
+    to be separate aggregates over raw events — three differently-
+    pruned consumers of the same scan, so the final plan read events
+    3× with zero runtime reuse. Both now derive from the staged
+    `hourly` aggregate, which is exact: date_trunc('hour') is
+    monotonic (min/max of truncated hours == truncated min/max ts),
+    and every event lands in a group so DISTINCT event_type over the
+    aggregate equals DISTINCT over events. Final plan: events scans
+    3→1 (`materialize` knob, default 'local'); oracle unchanged and
+    hash-green at 3 SFs."""
     e = _lt(spark, sf_dir, "events")
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    hourly = _stage(
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")),
+        materialize,
+    )
+    bounds = hourly.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
     )
     hours = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
     )
-    types = e.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     spine = hours.crossJoin(types)  # dim-sized × dim-sized: sanctioned
-    hourly = e.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
     joined = spine.join(hourly, ["hour", "event_type"], "left")
     return joined.select(
         "event_type",
