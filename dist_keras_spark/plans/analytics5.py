@@ -1003,10 +1003,19 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup the way soft near-dup complements exact.
 
     100 TB shape: shingles fingerprint to md5 scan-side (text never
-    shuffles), first-occurrence is ONE partial-agg min keyed on the
-    fingerprint, and the verdict join is fingerprint-bucketed. The
-    novelty quotient is floor-micro of an exact-int ratio — engine
-    bit-identical."""
+    shuffles), first-occurrence is ONE fingerprint-keyed shuffle, and
+    the novelty quotient is floor-micro of an exact-int ratio —
+    engine bit-identical.
+
+    r14 (guide §2.4, dup-scan sweep): first-occurrence used to be a
+    groupBy(fp).min self-JOINed back onto the gram frame — two
+    consumers of the expensive shingle explode (documents×2, 0
+    runtime reuse) plus a join shuffle. It is now a whole-partition
+    window min(doc_id) OVER (PARTITION BY fp) — the same value
+    attached to every gram row in one fp-keyed pass (an unordered
+    window frame is computed once per partition, O(rows)). Plan:
+    documents scans 2→1, join gone, exchanges 3→2. Oracle unchanged,
+    hash-green at 3 SFs."""
     from dist_keras_spark.operators.dedup import substring_fingerprints
 
     docs = _lt(spark, sf_dir, "documents")
@@ -1016,16 +1025,17 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = substring_fingerprints(docs, "doc_id", "text", 3).select(
         F.col("id").alias("doc_id"), "fp"
     )
-    firsts = grams.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    first_doc = F.min("doc_id").over(W.partitionBy("fp"))
+    flagged = grams.select(
+        "doc_id", (first_doc == F.col("doc_id")).cast("long").alias("novel")
+    )
     return (
-        grams.join(firsts, "fp")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(novel).alias("n_novel"),
+            F.sum("novel").alias("n_novel"),
             F.floor(
-                F.sum(novel).cast("double")
+                F.sum("novel").cast("double")
                 / F.count(F.lit(1)).cast("double")
                 * F.lit(1000000.0)
             ).cast("long").alias("novelty_micro"),
