@@ -862,9 +862,20 @@ def ab_test_t_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset_split_assign — no RNG, retry-stable) and Welch's
     t-statistic from per-variant (n, mean, variance). The statistic is
     a closed-form over THREE aggregate values per arm, so the whole
-    analysis is one scan + one 2-group aggregate + a 1×1 crossJoin —
-    nothing resembling a per-row Python loop, and the same plan at
-    any scale."""
+    analysis is one scan + one aggregate — nothing resembling a
+    per-row Python loop, and the same plan at any scale.
+
+    r14 (guide §2.4, dup-scan sweep): the per-arm values used to be
+    filter(variant)-ed out of a 2-group aggregate and crossJoined —
+    the variant filters pushed below the aggregate into the derived
+    bucket expression, so the events scan + aggregate ran TWICE (one
+    per arm, zero runtime reuse). Both arms now come from ONE keyless
+    conditional aggregate (count/avg/var_samp over the when-masked
+    value; null-skipping makes them the exact per-arm statistics).
+    Plan: events scans 2→1, crossJoin gone, exchanges 3→1. Alternated
+    A/B mins: 0.559 vs 0.602 (sf0.1), 0.924 vs 1.193 (sf1, 0.77×).
+    Oracle unchanged (round(.,4) on the float outputs), hash-green
+    ×3 SFs."""
     e = _lt(spark, sf_dir, "events")
     bucket = (
         F.conv(
@@ -879,18 +890,19 @@ def ab_test_t_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.select(
         F.when(bucket == 0, "A").otherwise("B").alias("variant"), "value"
     )
-    stats = assigned.groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("value").alias("m"),
-        F.var_samp("value").alias("v"),
+    va = F.when(F.col("variant") == "A", F.col("value"))
+    vb = F.when(F.col("variant") == "B", F.col("value"))
+    stats = assigned.agg(
+        # count(when(cond, 1)), not count(masked value): the original
+        # per-group count(1) counts arm ROWS, value-nulls included
+        F.count(F.when(F.col("variant") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == "B", 1)).alias("n_b"),
+        F.avg(va).alias("m_a"),
+        F.avg(vb).alias("m_b"),
+        F.var_samp(va).alias("v_a"),
+        F.var_samp(vb).alias("v_b"),
     )
-    a = stats.filter(F.col("variant") == "A").select(
-        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("v").alias("v_a")
-    )
-    b = stats.filter(F.col("variant") == "B").select(
-        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("v").alias("v_b")
-    )
-    return a.crossJoin(b).select(
+    return stats.select(
         "n_a",
         "n_b",
         F.round("m_a", 4).alias("mean_a"),
