@@ -897,7 +897,18 @@ def rbo_ranking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one token count (map-side combined), two top-10
     LIMITs, then POST-LIMIT bounded ranking windows (the zipf_rank_
     frequency pattern) and a ≤20-row full outer join — the vocabulary
-    never sorts globally beyond the top-k selections."""
+    never sorts globally beyond the top-k selections.
+
+    r14 negative result (dup-scan sweep follow-up, kept for the
+    record): the two top-10 selections order the SAME vocab-sized
+    `freq` frame by different keys, so the corpus tokenize +
+    aggregate plans twice (documents×2, 0 runtime reuse). Staging
+    `freq` (localCheckpoint knob) was built, oracle-verified ×3 SFs,
+    and measured SLOWER on alternated A/B at BOTH scales: 0.833 vs
+    0.737 min (sf0.1), 2.464 vs 2.169 (sf1) — the two lazy branches
+    run concurrently in one job (same wall as one tokenize, more
+    CPU), while staging pays an eager-checkpoint barrier on the
+    critical path. The countmin lesson again; kept lazy."""
     from dist_keras_spark.operators.utils import bounded_window_key
 
     d = _lt(spark, sf_dir, "documents")
